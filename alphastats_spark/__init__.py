@@ -1,0 +1,32 @@
+"""alphastats-spark: PySpark-native portfolio analytics.
+
+A from-scratch rebuild of the capabilities of the reference library
+(``alphaprime-dev/alphastats`` — Polars-backed QuantStats-style metrics)
+on the Spark DataFrame/Catalyst stack, designed for 100 TB-scale inputs.
+
+Public surface mirrors the reference's export list
+(``alphastats/__init__.py:1-4``): the ``stats`` module and
+``reports.metrics``.
+"""
+
+from alphastats_spark import exceptions, reports, stats
+from alphastats_spark.exceptions import (
+    AlphaStatsError,
+    AmbiguousBenchmarkReturnsError,
+    MultipleTemporalColumnsError,
+    NoReturnColumnError,
+    NoTemporalColumnError,
+)
+
+__all__ = [
+    "stats",
+    "reports",
+    "exceptions",
+    "AlphaStatsError",
+    "AmbiguousBenchmarkReturnsError",
+    "MultipleTemporalColumnsError",
+    "NoReturnColumnError",
+    "NoTemporalColumnError",
+]
+
+__version__ = "0.1.0"

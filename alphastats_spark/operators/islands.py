@@ -1,0 +1,125 @@
+"""Gaps-and-islands rewrites of the reference's eager Python loops.
+
+The reference computes streaks (``stats.py:1249-1289``) and drawdown
+episodes (``stats.py:1570-1642``) by collecting every row to the driver and
+looping in Python — the two **[EAGER]** hot spots flagged in SURVEY §2.3.
+Both are rewritten here as distributed window/groupBy plans:
+
+* ``longest_streaks`` needs no groupBy at all: with a global row index and a
+  running max over break positions, the current streak length is
+  ``idx − last_break_idx`` — two prefix passes (shared bucket shuffle) and
+  one aggregate, for ALL columns at once.
+* ``drawdown_episode_stats`` assigns an episode id per column via a prefix
+  sum over break flags, unpivots the N asset columns into a long
+  (asset, episode) frame, and computes per-episode extents with ONE
+  ``groupBy`` for all columns — instead of N driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alphastats_spark.operators import ordered
+
+
+def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, int]:
+    """Longest run of r>0 (wins) or r<0 (losses); nulls and zeros break runs
+    (reference ``_consecutive_count``, ``stats.py:1249-1261``)."""
+    df = ordered.add_row_index(df, "__idx")
+
+    brk_exprs = {}
+    for c in cols:
+        pred = (F.col(c) > 0) if winning else (F.col(c) < 0)
+        # null predicate falls through to otherwise(1): null breaks the run,
+        # matching the reference's `current = 0` on None.
+        brk_exprs[c] = F.when(pred, F.lit(0)).otherwise(F.lit(1))
+
+    df = ordered.add_prefix_columns(
+        df,
+        maxes={
+            f"__lastbrk_{c}": F.when(brk_exprs[c] == 1, F.col("__idx")) for c in cols
+        },
+    )
+    aggs = []
+    for c in cols:
+        streak = F.when(
+            brk_exprs[c] == 0, F.col("__idx") - F.coalesce(F.col(f"__lastbrk_{c}"), F.lit(0))
+        ).otherwise(F.lit(0))
+        aggs.append(F.coalesce(F.max(streak), F.lit(0)).alias(c))
+    row = df.agg(*aggs).first()
+    return {c: int(row[c]) for c in cols}
+
+
+def drawdown_episode_stats(
+    df: DataFrame, cols: list[str], temporal_name: str | None
+) -> dict[str, dict[str, float]]:
+    """Per-column drawdown-episode aggregates in one distributed pass.
+
+    Returns {column: {"longest_days": int, "avg_days": float, "avg_dd": float}}
+    mirroring ``_drawdown_period_lengths`` / ``avg_drawdown`` (reference
+    ``stats.py:1570-1642``): episode length is calendar days (end−start+1)
+    when a temporal column exists, else the episode row count.
+    """
+    df = ordered.add_drawdown_columns(df, {f"__dd_{c}": c for c in cols})
+    df = ordered.add_prefix_columns(
+        df,
+        sums={
+            f"__isl_{c}": F.when(F.col(f"__dd_{c}") < 0, F.lit(0)).otherwise(F.lit(1))
+            for c in cols
+        },
+    )
+
+    # Unpivot the per-asset (dd, island) pairs into a long frame so a single
+    # groupBy covers every column.
+    is_date = False
+    if temporal_name is not None:
+        dtype = dict(df.dtypes).get(temporal_name)
+        is_date = dtype == "date"
+        pos = F.col(temporal_name)
+    else:
+        pos = F.col(ordered.ORDER_COL)
+
+    # Single-scan unpivot via stack() — a union of N per-column selects would
+    # recompute the whole drawdown plan N times.
+    df = df.withColumn("__pos", pos)
+    stack_args = ", ".join(
+        f"'{c}', `__isl_{c}`, cast(`__dd_{c}` as double)" for c in cols
+    )
+    long_df = df.selectExpr(
+        "__pos", f"stack({len(cols)}, {stack_args}) as (__asset, __island, __dd)"
+    ).where(F.col("__dd") < 0)
+
+    if temporal_name is None:
+        length = F.count(F.lit(1)).cast("long")
+    elif is_date:
+        length = (F.datediff(F.max("__pos"), F.min("__pos")) + 1).cast("long")
+    else:
+        length = (
+            F.floor(
+                (F.unix_timestamp(F.max("__pos")) - F.unix_timestamp(F.min("__pos"))) / 86400
+            )
+            + 1
+        ).cast("long")
+
+    episodes = long_df.groupBy("__asset", "__island").agg(
+        F.min("__dd").alias("__min_dd"), length.alias("__len")
+    )
+    rows = (
+        episodes.groupBy("__asset")
+        .agg(
+            F.max("__len").alias("longest_days"),
+            F.avg("__len").alias("avg_days"),
+            F.avg("__min_dd").alias("avg_dd"),
+        )
+        .collect()
+    )
+    out = {c: {"longest_days": 0, "avg_days": 0.0, "avg_dd": 0.0} for c in cols}
+    for r in rows:
+        out[r["__asset"]] = {
+            "longest_days": int(r["longest_days"]),
+            "avg_days": float(r["avg_days"]),
+            "avg_dd": float(r["avg_dd"]),
+        }
+    return out

@@ -1,0 +1,81 @@
+"""Join helpers: backward as-of join and positional (horizontal) concat.
+
+The reference joins strategy returns with a benchmark either by
+``join_asof`` on the temporal columns (``alphastats/stats.py:446-449``) or by
+positional horizontal concat when no temporal column exists
+(``stats.py:451``). Spark has neither natively.
+
+* ``asof_join`` — union-and-forward-fill: tag both sides, sort by
+  (timestamp, side) so right-side rows at an equal timestamp precede left
+  rows (backward-inclusive match, Polars' default), forward-fill the right
+  value columns with the distributed two-phase ffill from
+  ``operators.ordered``, keep left rows. One bucket shuffle, no
+  single-partition window, no driver collect — works at any scale.
+* ``positional_join`` — row-position equi-join. Row position is only
+  meaningful for order-stable frames; the reference uses this solely for
+  small keyless benchmark series, so we document the constraint rather than
+  pretend positional semantics scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from alphastats_spark.operators import ordered
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right_on <= left_on`` (inclusive), like Polars ``join_asof``."""
+    value_cols = [c for c in right.columns if c != right_on]
+    left_cols = [c for c in left.columns]
+
+    right_schema = {f.name: f.dataType for f in right.schema.fields}
+    l_tagged = left.select(
+        F.col(left_on).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right_schema[c]).alias(c) for c in value_cols],
+    )
+    left_schema = {f.name: f.dataType for f in left.schema.fields}
+    r_tagged = right.select(
+        F.col(right_on).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left_schema[c]).alias(c) for c in left_cols],
+        *[F.col(c) for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Order: timestamp, then right-before-left at ties (backward-inclusive).
+    unioned = unioned.withColumn(ordered.ORDER_COL, F.struct(F.col("__ts"), F.col("__side")))
+    unioned = unioned.withColumn(
+        ordered.BUCKET_COL, (F.year("__ts") * 12 + F.month("__ts")).cast("long")
+    )
+    filled = ordered.add_ffill_columns(unioned, {f"{c}__f": F.col(c) for c in value_cols})
+    out = filled.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"{c}__f").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Align two frames by row position (reference horizontal concat,
+    ``stats.py:451``; reports ``reports.py:373``).
+
+    Row position is derived from input order via a global row_number — this
+    funnels through one task and is intentionally reserved for the
+    reference's small keyless-benchmark case. Frames with a temporal column
+    take the ``asof_join`` path instead.
+    """
+    w = Window.orderBy(F.monotonically_increasing_id())
+    l_idx = left.withColumn("__idx", F.row_number().over(w))
+    r_idx = right.withColumn("__idx", F.row_number().over(w))
+    joined = l_idx.join(r_idx, on="__idx", how="full").drop("__idx")
+    return joined

@@ -1,0 +1,231 @@
+"""Distributed order-dependent primitives (prefix sums/max, ffill, lag).
+
+Why this module exists
+----------------------
+The reference relies on Polars preserving insertion order for every
+cumulative op (``cum_prod``/``cum_max`` in ``alphastats/stats.py:412-416``,
+streak loops at ``stats.py:1249-1261``). Spark preserves no row order, and
+the naive translation — ``Window.orderBy(ts)`` with no ``partitionBy`` —
+funnels the entire dataset through ONE task: correct on 60k rows, dead on
+100 TB.
+
+Instead, every cumulative operation here is the classic two-phase
+partial-aggregate + offset-broadcast decomposition:
+
+1. bucket rows by a *coarse, order-aligned* key (calendar month for temporal
+   data — derived from the row itself, so no pre-scan job is needed);
+2. compute the within-bucket prefix via ``Window.partitionBy(bucket)
+   .orderBy(order)`` — parallel across buckets;
+3. aggregate one row per bucket (map-side combinable ``groupBy``), compute
+   exclusive running totals over that tiny table, and broadcast-join the
+   offsets back.
+
+Cost: one shuffle by bucket (reused by every subsequent window/groupBy on the
+same key — Spark recognizes the co-partitioning) plus a tiny aggregate. The
+cumulative product needed for drawdowns is decomposed into log-space prefix
+sums with explicit sign/zero tracking, so it is exact for any return > −1 and
+still correct (sign-flip / collapse-to-zero) beyond that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alphastats_spark.expressions import NAN, fdiv
+
+ORDER_COL = "__as_order"
+BUCKET_COL = "__as_bucket"
+
+_TEMPORAL_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def with_order(df: DataFrame, temporal_name: str | None) -> DataFrame:
+    """Attach ``__as_order`` / ``__as_bucket`` columns.
+
+    With a temporal column the bucket is the calendar month — computed from
+    the row itself (no extra scan) and monotone in the order key, which is
+    what phase 2/3 require. Without one (the reference's keyless Series
+    case), fall back to ``monotonically_increasing_id`` whose high bits are
+    the partition id: ordering by it reproduces input order, and using the
+    partition id as the bucket keeps the prefix computation parallel.
+    """
+    if temporal_name is not None:
+        ts = F.col(temporal_name)
+        return df.withColumn(ORDER_COL, ts).withColumn(
+            BUCKET_COL, (F.year(ts) * 12 + F.month(ts)).cast("long")
+        )
+    mono = F.monotonically_increasing_id()
+    return df.withColumn(ORDER_COL, mono).withColumn(
+        BUCKET_COL, F.shiftrightunsigned(F.col(ORDER_COL), 33)
+    )
+
+
+def drop_order(df: DataFrame) -> DataFrame:
+    return df.drop(ORDER_COL, BUCKET_COL)
+
+
+def _bucket_prefix_window() -> Window:
+    # Exclusive running window over the per-bucket aggregate table. That
+    # table has one row per bucket (months of data / input partitions), so a
+    # global window over it is a few-KB single task — not a scale hazard.
+    return Window.orderBy(BUCKET_COL).rowsBetween(Window.unboundedPreceding, -1)
+
+
+def add_prefix_columns(
+    df: DataFrame,
+    sums: dict[str, Column] | None = None,
+    maxes: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Add running-total / running-max columns over the global row order.
+
+    ``sums``/``maxes`` map output column name → source expression. Null
+    inputs are skipped (output is the prefix over non-null values so far,
+    null until the first non-null appears) — matching Polars ``cum_sum`` /
+    ``cum_max`` null semantics.
+    """
+    sums = sums or {}
+    maxes = maxes or {}
+    w = (
+        Window.partitionBy(BUCKET_COL)
+        .orderBy(ORDER_COL)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    within_cols = []
+    for out, col in sums.items():
+        within_cols.append(F.sum(col).over(w).alias(f"{out}__in"))
+    for out, col in maxes.items():
+        within_cols.append(F.max(col).over(w).alias(f"{out}__in"))
+    df = df.select("*", *within_cols)
+
+    aggs = [F.sum(col).alias(out) for out, col in sums.items()]
+    aggs += [F.max(col).alias(out) for out, col in maxes.items()]
+    bucket_totals = df.groupBy(BUCKET_COL).agg(*aggs)
+
+    wb = _bucket_prefix_window()
+    offset_cols = [F.sum(out).over(wb).alias(f"{out}__prev") for out in sums]
+    offset_cols += [F.max(out).over(wb).alias(f"{out}__prev") for out in maxes]
+    offsets = bucket_totals.select(BUCKET_COL, *offset_cols)
+
+    df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
+
+    final = []
+    for out in sums:
+        a, p = F.col(f"{out}__in"), F.col(f"{out}__prev")
+        final.append(F.coalesce(a + p, a, p).alias(out))
+    for out in maxes:
+        final.append(F.greatest(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out))
+    keep = [c for c in df.columns if not (c.endswith("__in") or c.endswith("__prev"))]
+    return df.select(*keep, *final)
+
+
+def add_ffill_columns(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Forward-fill (last non-null so far) per global row order — same
+    two-phase shape as ``add_prefix_columns``."""
+    w = (
+        Window.partitionBy(BUCKET_COL)
+        .orderBy(ORDER_COL)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within_cols = [F.last(col, ignorenulls=True).over(w).alias(f"{out}__in") for out, col in cols.items()]
+    df = df.select("*", *within_cols)
+
+    # Last non-null value per bucket: max_by over rows where the value is
+    # non-null (deterministic, unlike F.last inside groupBy).
+    aggs = [
+        F.max_by(col, F.when(col.isNotNull(), F.col(ORDER_COL))).alias(out)
+        for out, col in cols.items()
+    ]
+    bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
+    wb = _bucket_prefix_window()
+    offsets = bucket_last.select(
+        BUCKET_COL,
+        *[F.last(out, ignorenulls=True).over(wb).alias(f"{out}__prev") for out in cols],
+    )
+    df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
+    final = [F.coalesce(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out) for out in cols]
+    keep = [c for c in df.columns if not (c.endswith("__in") or c.endswith("__prev"))]
+    return df.select(*keep, *final)
+
+
+def add_lag_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """lag(1) per global row order: within-bucket ``F.lag`` plus a tiny join
+    carrying each bucket's last row value across the boundary.
+
+    ``cols`` maps output name → source column *name*.
+    """
+    w = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
+    df = df.select("*", *[F.lag(src).over(w).alias(f"{out}__in") for out, src in cols.items()])
+
+    aggs = [F.max_by(F.col(src), F.col(ORDER_COL)).alias(out) for out, src in cols.items()]
+    bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
+    wb = Window.orderBy(BUCKET_COL)
+    offsets = bucket_last.select(
+        BUCKET_COL, *[F.lag(out).over(wb).alias(f"{out}__prev") for out in cols]
+    )
+    df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
+
+    w_first = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
+    rn = F.row_number().over(w_first)
+    df = df.withColumn("__as_rn", rn)
+    final = [
+        F.when(F.col("__as_rn") == 1, F.col(f"{out}__prev")).otherwise(F.col(f"{out}__in")).alias(out)
+        for out in cols
+    ]
+    keep = [c for c in df.columns if not (c.endswith("__in") or c.endswith("__prev") or c == "__as_rn")]
+    return df.select(*keep, *final)
+
+
+def add_drawdown_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Add per-row drawdown columns (reference ``_drawdowns``, ``stats.py:412-416``).
+
+    drawdown = cumprod(1+r)/cummax(cumprod(1+r)) − 1, clipped ≤ 0.
+
+    Spark-first decomposition: cumprod(1+r) = sign · exp(Σ log|1+r|), with the
+    sign and collapse-to-zero tracked by two extra prefix sums, so the whole
+    chain is prefix-sums + one prefix-max — fully parallel across buckets.
+    ``cols`` maps output drawdown column name → source returns column name.
+
+    Null returns produce null drawdowns and are skipped by the running
+    product/max, exactly like Polars' null-skipping cumulative ops.
+    """
+    sums: dict[str, Column] = {}
+    for out, src in cols.items():
+        factor = F.col(src).cast("double") + 1
+        sums[f"{out}__ls"] = F.when(factor == 0, F.lit(0.0)).otherwise(F.log(F.abs(factor)))
+        sums[f"{out}__neg"] = (factor < 0).cast("long")
+        sums[f"{out}__zero"] = (factor == 0).cast("long")
+    df = add_prefix_columns(df, sums=sums)
+
+    wealth_cols = []
+    for out, src in cols.items():
+        sign = F.when(F.col(f"{out}__neg") % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        wealth = (
+            F.when(F.col(src).isNull(), F.lit(None).cast("double"))
+            .when(F.col(f"{out}__zero") > 0, F.lit(0.0))
+            .otherwise(F.exp(F.col(f"{out}__ls")) * sign)
+        )
+        wealth_cols.append(wealth.alias(f"{out}__w"))
+    df = df.select("*", *wealth_cols)
+
+    df = add_prefix_columns(df, maxes={f"{out}__peak": F.col(f"{out}__w") for out in cols})
+
+    dd_cols = []
+    for out in cols:
+        ratio = fdiv(F.col(f"{out}__w"), F.col(f"{out}__peak")) - 1
+        dd = (
+            F.when(F.col(f"{out}__w").isNull(), F.lit(None).cast("double"))
+            .when(F.isnan(ratio), NAN())
+            .otherwise(F.least(ratio, F.lit(0.0)))
+        )
+        dd_cols.append(dd.alias(out))
+    helper = [c for c in df.columns if "__ls" in c or "__neg" in c or "__zero" in c or c.endswith("__w") or c.endswith("__peak")]
+    return df.select(*[c for c in df.columns if c not in helper], *dd_cols)
+
+
+def add_row_index(df: DataFrame, out: str = "__as_idx") -> DataFrame:
+    """1-based global row position via prefix count — parallel, not a
+    single-partition ``row_number``."""
+    return add_prefix_columns(df, sums={out: F.lit(1).cast("long")})
