@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-metric snapshot on sf0.001;
+``queries()`` exposes one entry per implemented SURVEY §2 operator;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (omitted for
+non-SQL-expressible ops, which get a rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from alphastats_spark import harness  # noqa: E402
+
+_QUERIES, _ORACLES = harness.build_registry()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: one-pass multi-metric snapshot over sf0.001 returns."""
+    from pyspark.sql import functions as F
+
+    from alphastats_spark import expressions as X
+    from alphastats_spark.operators import ordered
+
+    rets = harness.load_returns(spark, "/root/testdata/sf0.001")
+    rets = ordered.with_order(rets, "d")
+    rets = ordered.add_drawdown_columns(rets, {"dd": "r"})
+    c = F.col("r")
+    return rets.agg(
+        F.count(c).alias("n_days"),
+        X.comp(c).alias("total_return"),
+        X.cagr(c).alias("cagr"),
+        X.sharpe(c, None, 252, True).alias("sharpe"),
+        X.sortino(c, None, 252, True).alias("sortino"),
+        X.volatility(c, 252, True).alias("volatility"),
+        F.min("dd").alias("max_drawdown"),
+        X.win_rate(c).alias("win_rate"),
+        X.profit_factor(c).alias("profit_factor"),
+        X.tail_ratio(c).alias("tail_ratio"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents for the queries above."""
+    return dict(_ORACLES)

@@ -1,0 +1,129 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each headline query exercises a different part of the engine:
+  q_snapshot   — one-pass multi-metric aggregate (10 metrics, single agg)
+  q_drawdowns  — distributed prefix machinery (log-space cumprod + cummax)
+  q_episodes   — gaps-and-islands episode stats
+  q_greeks     — as-of join + benchmark CAPM aggregates
+  q_monthly    — calendar re-bucketing
+  q_report     — full batched 36-row report
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("alphastats-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from alphastats_spark import expressions as X
+    from alphastats_spark import harness, reports, stats
+    from alphastats_spark.operators import ordered
+
+    # warm the JVM + parquet footers once (not part of any timed query)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    def q_snapshot():
+        rets = harness.load_returns(spark, sf_dir)
+        c = F.col("r")
+        return rets.agg(
+            X.comp(c).alias("total_return"),
+            X.cagr(c).alias("cagr"),
+            X.sharpe(c, None, 252, True).alias("sharpe"),
+            X.sortino(c, None, 252, True).alias("sortino"),
+            X.volatility(c, 252, True).alias("volatility"),
+            X.win_rate(c).alias("win_rate"),
+            X.profit_factor(c).alias("profit_factor"),
+            X.tail_ratio(c).alias("tail_ratio"),
+            X.kelly_criterion(c).alias("kelly"),
+            X.skew(c).alias("skew"),
+        ).collect()
+
+    def q_drawdowns():
+        rets = harness.load_returns(spark, sf_dir)
+        rets = ordered.with_order(rets, "d")
+        rets = ordered.add_drawdown_columns(rets, {"dd": "r"})
+        return rets.agg(
+            F.min("dd"), F.sqrt(F.sum(F.pow(F.col("dd"), 2)) / (F.count("r") - 1))
+        ).collect()
+
+    def q_episodes():
+        rets = harness.load_returns(spark, sf_dir)
+        return stats.longest_drawdown_days(rets).collect()
+
+    def q_greeks():
+        rets = harness.load_returns(spark, sf_dir)
+        bench = harness.load_benchmark(spark, sf_dir)
+        return stats.greeks(rets, bench).collect()
+
+    def q_monthly():
+        rets = harness.load_returns(spark, sf_dir)
+        monthly, _ = stats._simple_returns(rets, "month", True)
+        return monthly.agg(
+            X.expected_return(F.col("r")), F.max("r"), F.min("r")
+        ).collect()
+
+    def q_report():
+        rets = harness.load_returns(spark, sf_dir)
+        return reports.metrics(rets, display=False, mode="basic").collect()
+
+    queries = {
+        "q_snapshot": q_snapshot,
+        "q_drawdowns": q_drawdowns,
+        "q_episodes": q_episodes,
+        "q_greeks": q_greeks,
+        "q_monthly": q_monthly,
+        "q_report": q_report,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+at the given scale factor, compares row count, column names and
+order-insensitive values. Usage:
+
+    python scripts/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 7)
+    return v
+
+
+def norm_rows(rows, cols):
+    return sorted(
+        [tuple(norm_cell(r[c]) for c in cols) for r in rows],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_rows = sdf.collect()
+            s_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(s_rows)} rows")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            continue
+        o_cols = list(odf.columns)
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append((name, f"columns {s_cols} vs {o_cols}"))
+            print(f"FAIL  {name}: columns {s_cols} vs {o_cols}")
+            continue
+        o_rows = odf.to_dict("records")
+        if len(s_rows) != len(o_rows):
+            failures.append((name, f"rows {len(s_rows)} vs {len(o_rows)}"))
+            print(f"FAIL  {name}: rows {len(s_rows)} vs {len(o_rows)}")
+            continue
+        sn = norm_rows([r.asDict() for r in s_rows], sorted(s_cols))
+        on = norm_rows(o_rows, sorted(s_cols))
+        if sn != on:
+            diff = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            failures.append((name, f"values differ: {diff}"))
+            print(f"FAIL  {name}: values differ: {diff}")
+            continue
+        print(f"ok    {name}: {len(s_rows)} rows match")
+
+    print(f"\n{len(failures)} failures / {len(queries)} queries")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
