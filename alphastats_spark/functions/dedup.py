@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design
+------------
+* **Exact**: hash-groupBy on the normalized-text md5 — one shuffle, map-side
+  combine; at 100 TB this is the canonical "group by content hash" dedup.
+* **MinHash + LSH**: shingle → K min-hashes (one explode + one groupBy) →
+  band keys → self-join *within bands only*. The band groupBy bounds the
+  join: candidate pairs are generated per-band bucket instead of the O(n²)
+  cross join. Skewed buckets (boilerplate shingles) are the classic hazard —
+  the band key includes the full band signature so only true band-collisions
+  meet.
+* **SimHash**: per-token 32-bit hashes aggregated into a per-document
+  signature with one groupBy (32 conditional sums — still one shuffle);
+  near-dups = signatures at small Hamming distance found by exact match on
+  rotated halves (here: exact signature match, the degenerate distance-0
+  case, plus the Hamming-distance UDF-free comparator for candidate pairs).
+* **n-gram Jaccard**: explode distinct shingles, self-join on shingle,
+  count(common)/union — the exact similarity pass usually run only on LSH
+  candidates; exposed standalone for verification.
+* **Embedding cosine**: broadcast-able brute-force pass for verification;
+  the scale path buckets by random-hyperplane signs first (see
+  :mod:`.similarity`).
+
+All hashes are md5-derived so each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alphastats_spark.functions.text import normalize
+
+MINHASH_K = 8
+SIMHASH_BITS = 32
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (JVM-side)."""
+    toks = F.split(normalize(text), r" ")
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    grams = F.when(F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group documents by content fingerprint; representative = min id."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+def minhash_signature_cols(k: int = MINHASH_K) -> list:
+    """K min-hash expressions over an exploded ``shingle`` column."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"seed{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+) -> DataFrame:
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
+    )
+    return exploded.groupBy(id_col).agg(*minhash_signature_cols(k))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents agreeing on any full band.
+
+    Join happens per (band index, band signature) bucket — never a global
+    cross join. Output: (id_a, id_b, n_bands) with id_a < id_b.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    n_bands = k // rows_per_band
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def _token_hash(tok: Column) -> Column:
+    """Deterministic 32-bit token hash: first 8 hex chars of md5 → long.
+
+    md5 keeps the oracle exact in DuckDB (``CAST('0x'||SUBSTR(md5(t),1,8) AS
+    BIGINT)``); Spark's xxhash64 would be faster but engine-specific.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document SimHash signature in one explode + one groupBy."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize(F.col(text_col)), r" ")).alias("tok"),
+    ).select(F.col(id_col), _token_hash(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum((F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — UDF-free via bin() + char counting."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    Jaccard rounded to 7dp BEFORE thresholding so the cutoff cannot flip on
+    cross-engine float noise.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    left = sh.alias("l")
+    right = sh.alias("r")
+    common = (
+        left.join(
+            right,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
+    out = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 7
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Brute-force cosine near-duplicate pairs (verification-scale).
+
+    Math runs in double precision element-wise so the DuckDB oracle matches
+    bit-for-bit after rounding. The 100 TB path pre-buckets by
+    random-hyperplane signs (see similarity.lsh_buckets) before this
+    pairwise pass.
+    """
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        ).alias("norm"),
+    )
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 7))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Hashing uses md5 so every operator
+has an exact DuckDB oracle (Spark ``xxhash64`` is engine-specific).
+
+Operators: tokenization, token counting, document stats, quality scoring,
+n-gram language ID, and content fingerprinting (full-document and shingle
+minimum — the building block for MinHash in :mod:`.dedup`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic, cross-engine-expressible marker profiles for language ID.
+# A real pipeline would ship trained character-n-gram profiles; the scoring
+# machinery (per-language marker counts → argmax) is the same.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is ", " that "],
+    "es": [" el ", " la ", " que ", " de ", " los "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "that"]
+
+_WS = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (JVM-side)."""
+    return F.filter(F.split(F.trim(text), _WS), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: maximal runs of word chars or of
+    punctuation — the cheap regex approximation of a BPE tokenizer's count.
+    (RE2-compatible pattern, no lookarounds, so the DuckDB oracle matches.)"""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]+"), F.lit(0)))
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, _WS, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized text."""
+    return F.md5(normalize(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    digits = n - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, stop / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1].
+
+    Rewards mid-range document length, plausible mean token length and some
+    stopword mass; penalizes punctuation/digit noise — the standard cheap
+    pre-filter shape for pretraining corpora (C4/Gopher-style rules).
+    """
+    n_tok = token_count(text).cast("double")
+    length_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    atl = avg_token_len(text)
+    token_len_score = F.when((atl >= 3) & (atl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    noise = punct_ratio(text) + digit_ratio(text)
+    noise_score = F.greatest(F.lit(1.0) - 2 * noise, F.lit(0.0))
+    return (
+        0.3 * length_score + 0.2 * token_len_score + 0.2 * stop_score + 0.3 * noise_score
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Occurrence count of each language's marker n-grams (padded text)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        score = F.lit(0).cast("long")
+        for m in markers:
+            occurrences = (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
+            score = score + occurrences.cast("long")
+        out[lang] = score
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker scores; 'unknown' when all zero.
+
+    Ties break by language-code order (deterministic, matches the SQL
+    oracle's CASE chain).
+    """
+    scores = lang_scores(text)
+    best_score = F.greatest(*scores.values())
+    result = F.lit("unknown")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        result = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(result)
+    return F.when(best_score > 0, result).otherwise(F.lit("unknown"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats bundle in one projection (single codegen stage)."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(t).alias("n_chars_computed"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        F.round(avg_token_len(t), 7).alias("avg_token_len"),
+        F.round(punct_ratio(t), 7).alias("punct_ratio"),
+        F.round(digit_ratio(t), 7).alias("digit_ratio"),
+        F.round(stopword_ratio(t), 7).alias("stopword_ratio"),
+        F.round(quality_score(t), 7).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -422,4 +422,338 @@ FROM joined
         ),
         None)
 
+    _add_extensions(add)
     return q, o
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extensions (documents / embeddings / events)
+
+_NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+_TOKS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+_LTOKS_SQL = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"
+_SHINGLE_CTE = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM t
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _add_extensions(add) -> None:
+    from alphastats_spark.functions import dedup, multimodal, similarity, text
+
+    # ---- text analysis ----------------------------------------------------
+    add("doc_token_counts",
+        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+            "doc_id",
+            text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_subword_tokens"),
+        ),
+        f"""SELECT doc_id,
+       len({_TOKS_SQL}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+')) AS n_subword_tokens
+FROM documents""")
+
+    add("doc_text_stats",
+        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+            "doc_id",
+            F.round(text.punct_ratio(F.col("text")), ROUND).alias("punct_ratio"),
+            F.round(text.digit_ratio(F.col("text")), ROUND).alias("digit_ratio"),
+            F.round(text.stopword_ratio(F.col("text")), ROUND).alias("stopword_ratio"),
+            F.round(text.avg_token_len(F.col("text")), ROUND).alias("avg_token_len"),
+        ),
+        f"""SELECT doc_id,
+  ROUND(CASE WHEN length(text) > 0 THEN
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+    ELSE 0 END, {ROUND}) AS punct_ratio,
+  ROUND(CASE WHEN length(text) > 0 THEN
+    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+    ELSE 0 END, {ROUND}) AS digit_ratio,
+  ROUND(CASE WHEN len({_LTOKS_SQL}) > 0 THEN
+    len(list_filter({_LTOKS_SQL}, t -> t IN ({_stop_list()}))) * 1.0 / len({_LTOKS_SQL})
+    ELSE 0 END, {ROUND}) AS stopword_ratio,
+  ROUND(CASE WHEN len({_TOKS_SQL}) > 0 THEN
+    list_sum(list_transform({_TOKS_SQL}, t -> length(t))) * 1.0 / len({_TOKS_SQL})
+    ELSE 0 END, {ROUND}) AS avg_token_len
+FROM documents""")
+
+    add("doc_quality",
+        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+            "doc_id",
+            F.round(text.quality_score(F.col("text")), ROUND).alias("quality_score"),
+        ),
+        f"""
+WITH parts AS (
+  SELECT doc_id,
+    len({_TOKS_SQL}) * 1.0 AS n_tok,
+    CASE WHEN len({_TOKS_SQL}) > 0 THEN
+      list_sum(list_transform({_TOKS_SQL}, t -> length(t))) * 1.0 / len({_TOKS_SQL})
+      ELSE 0 END AS atl,
+    CASE WHEN len({_LTOKS_SQL}) > 0 THEN
+      len(list_filter({_LTOKS_SQL}, t -> t IN ({_stop_list()}))) * 1.0 / len({_LTOKS_SQL})
+      ELSE 0 END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+      ELSE 0 END
+    + CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
+      ELSE 0 END AS noise
+  FROM documents
+)
+SELECT doc_id, ROUND(
+    0.3 * LEAST(n_tok / 50.0, 1.0)
+  + 0.2 * (CASE WHEN atl >= 3 AND atl <= 10 THEN 1.0 ELSE 0.5 END)
+  + 0.2 * LEAST(stop_ratio * 5, 1.0)
+  + 0.3 * GREATEST(1.0 - 2 * noise, 0.0), {ROUND}) AS quality_score
+FROM parts""")
+
+    add("doc_lang_id",
+        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+            "doc_id", text.lang_id(F.col("text")).alias("lang_pred")
+        ),
+        _lang_id_sql())
+
+    add("doc_fingerprint",
+        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+            "doc_id", text.fingerprint(F.col("text")).alias("fingerprint")
+        ),
+        f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents")
+
+    # ---- deduplication ----------------------------------------------------
+    add("dedup_exact",
+        lambda spark, sf_dir: dedup.exact_duplicates(_docs(spark, sf_dir)),
+        f"""SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS representative, COUNT(*) AS copies
+FROM documents GROUP BY 1""")
+
+    mh_sql = ", ".join(
+        f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
+    )
+    add("dedup_minhash_signatures",
+        lambda spark, sf_dir: dedup.minhash_signatures(_docs(spark, sf_dir)),
+        _SHINGLE_CTE + f"SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id")
+
+    n_bands = dedup.MINHASH_K // 2
+    band_rows = ", ".join(
+        f"({b}, mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(n_bands)
+    )
+    add("dedup_lsh_candidates",
+        lambda spark, sf_dir: dedup.lsh_candidate_pairs(_docs(spark, sf_dir)),
+        _SHINGLE_CTE + f""",
+sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, b.sig
+  FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_bands
+FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+GROUP BY 1, 2""")
+
+    add("dedup_ngram_jaccard",
+        lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5),
+        _SHINGLE_CTE + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), {ROUND}) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), {ROUND}) >= 0.5""")
+
+    add("dedup_simhash",
+        lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir)),
+        _simhash_sql())
+
+    add("emb_near_dups",
+        lambda spark, sf_dir: dedup.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4),
+        f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), {ROUND}) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), {ROUND}) >= 0.4""")
+
+    # ---- similarity search -------------------------------------------------
+    def _ann_query(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return similarity.cosine_topk(emb, qvec, k=20)
+
+    add("ann_cosine_topk", _ann_query, f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    ROUND(list_dot_product(embedding::DOUBLE[], qe)
+      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(qe, qe))), {ROUND}) AS cosine
+  FROM embeddings, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
+
+    def _ann_lsh(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return similarity.lsh_topk(emb, qvec, k=20)
+
+    add("ann_lsh_topk", _ann_lsh, None)  # approximate — rows-only check
+
+    # ---- multimodal plumbing (fake decoder; rows-only) ---------------------
+    def _media(spark, sf_dir):
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+            F.struct(
+                F.lit("text/plain").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        feats = multimodal.decode_features(media)
+        return feats.select(
+            "media_id", F.round(F.element_at("features", 1).cast("double"), ROUND).alias("f0")
+        )
+
+    add("media_decode_features", _media, None)
+
+    # ---- event-stream operators (batch form of the streaming layer) -------
+    # epoch-based math throughout so neither engine's session timezone nor
+    # sub-second truncation can skew gap detection or the hour bucket
+    add("event_sessionization",
+        lambda spark, sf_dir: _sessionize(spark, sf_dir),
+        """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id""")
+
+    add("event_hourly_counts",
+        lambda spark, sf_dir: _events(spark, sf_dir)
+        .groupBy(
+            F.floor(_event_epoch() / 3600).cast("bigint").alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), ROUND).alias("total_value"),
+        ),
+        f"""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
+FROM events GROUP BY 1, 2""")
+
+
+def _stop_list() -> str:
+    from alphastats_spark.functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _lang_id_sql() -> str:
+    from alphastats_spark.functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        terms = " + ".join(
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in markers
+        )
+        score_exprs.append(f"({terms}) AS s_{lang}")
+    langs_sorted = sorted(LANG_MARKERS)
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs_sorted)
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+scores AS (SELECT doc_id, {', '.join(score_exprs)} FROM padded),
+best_s AS (SELECT *, GREATEST({', '.join('s_' + lang for lang in langs_sorted)}) AS best FROM scores)
+SELECT doc_id, CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'unknown' END AS lang_pred
+FROM best_s"""
+
+
+def _simhash_sql() -> str:
+    from alphastats_spark.functions.dedup import SIMHASH_BITS
+
+    sums = ", ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || SUBSTR(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+),
+bits AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({sig}) AS simhash FROM bits"""
+
+
+def _events(spark: SparkSession, sf_dir: str):
+    """events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
+    read the raw int64 nanos instead (tz-independent by construction)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _event_epoch():
+    """Epoch seconds at microsecond precision, matching DuckDB's read of a
+    nanos parquet timestamp (truncated to µs). Integer `div` keeps the µs
+    value exact — a double ns division would round near µs boundaries."""
+    return F.expr("ts div 1000") / F.lit(1e6)
+
+
+def _sessionize(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = _event_epoch()
+    g = events.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch - F.lag(epoch).over(w) > 1800.0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = g.withColumn("session_id", F.sum("brk").over(w))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.max(epoch)) - F.floor(F.min(epoch))).cast("bigint").alias("duration_s"),
+    )

@@ -1,0 +1,171 @@
+"""Unit tests for the training-data pipeline operators (text/dedup/similarity/multimodal)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphastats_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different text about spark engines and data"),
+        (4, "el perro y el gato y el raton y el pajaro"),
+        (5, ""),
+        (6, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        out = {r["doc_id"]: r["n"] for r in docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+        assert out[0] == 9
+        assert out[5] == 0
+        assert out[6] == 1
+
+    def test_bpe_ish(self, spark):
+        df = spark.createDataFrame([(0, "hello, world! it's 42")], "id int, text string")
+        n = df.select(text.bpe_ish_token_count(F.col("text")).alias("n")).first()["n"]
+        # hello | , | world | ! | it | ' | s | 42
+        assert n == 8
+
+    def test_normalize_fingerprint(self, spark, docs):
+        rows = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+        fp = {r["doc_id"]: r["fp"] for r in rows}
+        assert fp[0] == fp[2]
+        assert fp[0] != fp[1]
+
+    def test_ratios_bounds(self, spark, docs):
+        out = text.with_text_stats(docs).collect()
+        for r in out:
+            for field in ("punct_ratio", "digit_ratio", "stopword_ratio", "quality_score"):
+                assert 0.0 <= r[field] <= 1.0, (r["doc_id"], field, r[field])
+
+    def test_lang_id(self, spark, docs):
+        out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+        assert out[0] == "en"
+        assert out[4] == "es"
+        assert out[5] == "unknown"
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        groups = dedup.exact_duplicates(docs).collect()
+        by_rep = {r["representative"]: r["copies"] for r in groups}
+        assert by_rep[0] == 2  # docs 0 and 2
+        assert by_rep[1] == 1
+
+    def test_lsh_finds_near_dup(self, spark, docs):
+        pairs = dedup.lsh_candidate_pairs(docs).collect()
+        pairset = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 2) in pairset  # exact dups always collide on all bands
+
+    def test_jaccard(self, spark, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert d[(0, 2)] == 1.0
+        assert 0.4 < d[(0, 1)] < 1.0
+
+    def test_simhash_identical_docs(self, spark, docs):
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.where("text <> ''")).collect()}
+        assert sigs[0] == sigs[2]
+        d01 = dedup_hamming(spark, sigs[0], sigs[1])
+        d03 = dedup_hamming(spark, sigs[0], sigs[3])
+        assert d01 < d03  # near-dup closer than unrelated doc
+
+    def test_embedding_near_dups(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        pairs = dedup.embedding_near_dup_pairs(df, threshold=0.9).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def dedup_hamming(spark, a: int, b: int) -> int:
+    return (
+        spark.range(1)
+        .select(dedup.hamming_distance(F.lit(a), F.lit(b)).alias("d"))
+        .first()["d"]
+    )
+
+
+class TestSimilarity:
+    @pytest.fixture
+    def vectors(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal(8)
+        rows = [(0, [float(x) for x in base])]
+        for i in range(1, 50):
+            noise = rng.standard_normal(8) * (0.01 if i < 5 else 1.0)
+            rows.append((i, [float(x) for x in base * (1 if i < 5 else 0) + noise]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def test_bruteforce_topk(self, spark, vectors):
+        q = vectors.where("vec_id = 0").first()["embedding"]
+        top = similarity.cosine_topk(vectors, [float(x) for x in q], k=5).collect()
+        assert top[0]["vec_id"] == 0
+        assert top[0]["cosine"] == pytest.approx(1.0)
+        # the 4 perturbed copies dominate the top-5
+        assert {r["vec_id"] for r in top} == {0, 1, 2, 3, 4}
+
+    def test_lsh_topk_recall(self, spark, vectors):
+        q = vectors.where("vec_id = 0").first()["embedding"]
+        top = similarity.lsh_topk(vectors, [float(x) for x in q], k=5, n_planes=4).collect()
+        ids = {r["vec_id"] for r in top}
+        # near-identical vectors share the query's bucket
+        assert 0 in ids
+        assert len(ids & {1, 2, 3, 4}) >= 3
+
+    def test_bucket_determinism(self, spark, vectors):
+        b1 = {r["vec_id"]: r["lsh_bucket"] for r in similarity.lsh_buckets(vectors).collect()}
+        b2 = {r["vec_id"]: r["lsh_bucket"] for r in similarity.lsh_buckets(vectors).collect()}
+        assert b1 == b2
+
+
+class TestMultimodal:
+    @pytest.fixture
+    def media(self, spark):
+        rows = [
+            (0, b"payload-one", ("image/png", 640, 480, None)),
+            (1, b"payload-two", ("image/png", 800, 600, None)),
+            (2, None, ("video/mp4", 1920, 1080, 4500)),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_fake_decode_shapes(self, spark, media):
+        feats = multimodal.decode_features(media).collect()
+        assert len(feats) == 3
+        for r in feats:
+            assert len(r["features"]) == multimodal.FEATURE_DIM
+            assert all(0.0 <= x <= 1.0 for x in r["features"])
+
+    def test_fake_decode_deterministic(self, spark, media):
+        a = {r["media_id"]: r["features"] for r in multimodal.decode_features(media).collect()}
+        b = {r["media_id"]: r["features"] for r in multimodal.decode_features(media).collect()}
+        assert a == b
+
+    def test_real_decoder_stubbed(self, media):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_features(media, decoder="real")
+
+    def test_resize_rewrites_meta(self, spark, media):
+        out = multimodal.resize_stub(media, 224, 224).select("meta.width", "meta.height").collect()
+        assert all(r["width"] == 224 and r["height"] == 224 for r in out)
+
+    def test_frame_sampling(self, spark, media):
+        frames = multimodal.sample_frames_stub(media.where("media_id = 2"), every_ms=1000).collect()
+        assert len(frames) == 4  # 4500ms / 1000ms
+        assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
