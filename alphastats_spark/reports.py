@@ -101,10 +101,16 @@ def metrics(
         max_ts = max_ts.date()
 
     # ---- fill nulls with 0 (report-only policy) --------------------------
+    # The report makes ~6 passes (main agg, stage-2, calendar×3, islands).
+    # Persisting the prepared frame stops each pass from re-running the
+    # whole ingest lineage. A returns frame is bounded by time-grain ×
+    # assets — even for decades of daily data it is tiny relative to the
+    # 100 TB raw inputs it was derived from, so MEMORY_AND_DISK is safe.
     filled = frame.select(
         *([F.col(temporal)] if temporal else []),
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in output_names],
     )
+    filled.persist()
 
     # ---- enrich with ordered machinery -----------------------------------
     rdf = ordered.with_order(filled, temporal)
@@ -117,6 +123,7 @@ def metrics(
             brk[f"__lbl_{c}"] = F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
         rdf = ordered.add_prefix_columns(rdf, maxes=brk)
         rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in output_names})
+    rdf.persist()
 
     # ---- main aggregation pass -------------------------------------------
     windows = _window_bounds(max_ts) if temporal else None
@@ -352,6 +359,8 @@ def metrics(
                 bench_row(lambda c: (g("comp", c) - rf) / g("beta", c) * pct if g("beta", c) else math.nan),
             )
 
+    rdf.unpersist()
+    filled.unpersist()
     result_rows = [
         (label, {name: _format_value(values.get(name)) for name in output_names})
         for label, values in rows
