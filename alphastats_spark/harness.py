@@ -399,12 +399,25 @@ SELECT ROUND((EXP(SUM(LN(1 + r))) - 1) / (COVAR_SAMP(r, b) / VAR_SAMP(b)), {ROUN
 FROM joined
 """)
 
-    # ---- non-SQL-expressible (rows-only check) ----------------------------
+    # Autocorr penalty: DuckDB evaluates the reference's O(n) lag-power sum
+    # term-by-term via generate_series; the Spark side uses the closed-form
+    # geometric sums (expressions.geometric_sum_penalty) — same value.
+    _PENALTY_CTE = """,
+pairs AS (SELECT r AS a, LEAD(r) OVER (ORDER BY d) AS b FROM rets),
+acoef AS (SELECT ABS(CORR(a, b)) AS coef FROM pairs WHERE b IS NOT NULL),
+nn AS (SELECT COUNT(*) AS n FROM rets),
+xs AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS x FROM rets),
+penalty AS (
+    SELECT SQRT(1 + 2 * SUM((nn.n - xs.x) * POWER(acoef.coef, xs.x) / nn.n)) AS p
+    FROM acoef, nn, xs WHERE xs.x <= nn.n - 1
+)
+"""
     add("autocorr_penalty",
         lambda spark, sf_dir: _round_df(
             stats.autocorr_penalty(load_returns(spark, sf_dir)).select(F.col("r").alias("value"))
         ),
-        None)
+        f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND(p, {ROUND}) AS value FROM penalty")
+    # PSR needs the normal CDF, which DuckDB lacks → rows-only check.
     add("psr",
         lambda spark, sf_dir: _round_df(
             stats.probabilistic_sharpe_ratio(load_returns(spark, sf_dir))
@@ -415,7 +428,9 @@ FROM joined
         lambda spark, sf_dir: _round_df(
             stats.smart_sharpe(load_returns(spark, sf_dir)).select(F.col("r").alias("value"))
         ),
-        None)
+        f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND("
+        f"(SELECT AVG(r) / STDDEV_SAMP(r) * SQRT(252) FROM rets) / p, {ROUND}) AS value "
+        "FROM penalty")
     add("report_basic",
         lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
             load_returns(spark, sf_dir), display=False, mode="basic"
