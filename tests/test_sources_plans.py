@@ -1,0 +1,171 @@
+"""Tests for the sources (I/O) layer and the plan-audit guardrails."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from alphastats_spark import plans, stats
+from alphastats_spark.sources import (
+    long_to_wide,
+    prices_to_returns,
+    read_returns,
+    wide_to_long,
+    write_returns,
+)
+
+DATES = [dt.date(2023, 1, i) for i in range(1, 6)]
+
+
+@pytest.fixture
+def prices_df(spark):
+    prices = [100.0, 101.0, 99.0, 102.0, 102.0]
+    return spark.createDataFrame(list(zip(DATES, prices)), "date date, px double")
+
+
+# ---------------------------------------------------------------------------
+# sources
+
+
+def test_prices_to_returns_simple(prices_df):
+    rows = prices_to_returns(prices_df).orderBy("date").collect()
+    assert [r["date"] for r in rows] == DATES[1:]
+    expect = [101 / 100 - 1, 99 / 101 - 1, 102 / 99 - 1, 0.0]
+    got = [r["px"] for r in rows]
+    assert got == pytest.approx(expect, rel=1e-12)
+
+
+def test_prices_to_returns_log(prices_df):
+    import math
+
+    rows = prices_to_returns(prices_df, method="log").orderBy("date").collect()
+    expect = [math.log(101 / 100), math.log(99 / 101), math.log(102 / 99), 0.0]
+    assert [r["px"] for r in rows] == pytest.approx(expect, rel=1e-12)
+
+
+def test_prices_to_returns_matches_reference_pipeline(prices_df):
+    # sharpe over converted returns must equal sharpe over hand-built returns
+    rets = prices_to_returns(prices_df)
+    manual = [101 / 100 - 1, 99 / 101 - 1, 102 / 99 - 1, 0.0]
+    import pandas as pd
+
+    assert stats.sharpe(rets).first()["px"] == pytest.approx(
+        stats.sharpe(pd.Series(manual)), rel=1e-12
+    )
+
+
+def test_parquet_round_trip_nan_to_null(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(DATES[0], 0.01), (DATES[1], float("nan")), (DATES[2], -0.02)],
+        "date date, r double",
+    )
+    path = str(tmp_path / "rets")
+    write_returns(df, path)
+    back = read_returns(spark, path)
+    rows = back.orderBy("date").collect()
+    assert rows[1]["r"] is None  # NaN normalized to null on ingest
+    assert [r["date"] for r in rows] == DATES[:3]
+    # partitioned layout: __year directory exists
+    import os
+
+    assert any(p.startswith("__year=") for p in os.listdir(path))
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_returns(spark, str(tmp_path), format="csv")
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02])), "d date, r double")
+    path = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(path)
+    back = read_returns(spark, path, format="csv", schema="d date, r double")
+    assert back.orderBy("d").collect() == df.orderBy("d").collect()
+
+
+def test_long_wide_round_trip(spark):
+    wide = spark.createDataFrame(
+        list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02], [0.02, -0.01, 0.01, 0.03, -0.02])),
+        "date date, asset_a double, asset_b double",
+    )
+    long = wide_to_long(wide)
+    assert long.count() == 10
+    assert set(long.columns) == {"date", "asset", "r"}
+    back = long_to_wide(long, "asset", "r", assets=["asset_a", "asset_b"])
+    assert back.orderBy("date").collect() == wide.orderBy("date").collect()
+    # metric over the round-tripped frame matches the original
+    got, want = stats.comp(back).first(), stats.comp(wide).first()
+    for c in ("asset_a", "asset_b"):
+        assert got[c] == pytest.approx(want[c], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# plan audit
+
+
+def test_audit_clean_aggregate(spark, tmp_path):
+    df = spark.range(1000).withColumn("r", F.rand(seed=1))
+    assert plans.audit(df.agg(F.avg("r"))) == []
+
+
+def test_audit_flags_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(1000).withColumn("r", F.rand(seed=1))
+    bad = df.withColumn("cum", F.sum("r").over(Window.orderBy("id")))
+    kinds = {f.kind for f in plans.audit(bad)}
+    assert "single-partition-exchange" in kinds
+
+
+def test_audit_flags_row_udf(spark):
+    from pyspark.sql.types import DoubleType
+
+    plus_one = F.udf(lambda x: x + 1.0, DoubleType(), useArrow=False)
+    df = spark.range(100).select(plus_one(F.col("id").cast("double")).alias("v"))
+    kinds = {f.kind for f in plans.audit(df)}
+    assert "python-row-udf" in kinds
+
+
+def test_audit_flags_nested_loop_join(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    bad = a.join(b, a["id"] > b["id2"])
+    kinds = {f.kind for f in plans.audit(bad)}
+    assert "nested-loop-join" in kinds
+
+
+def test_pushdown_reaches_parquet_scan(spark, tmp_path):
+    path = str(tmp_path / "scan")
+    spark.createDataFrame(
+        list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02])), "d date, r double"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("r") > 0).select("r")
+    scans = plans.scan_info(df)
+    assert len(scans) == 1
+    assert "r:" in scans[0]["read_schema"] and "d:" not in scans[0]["read_schema"]
+    assert "GreaterThan" in scans[0]["pushed_filters"]
+    assert plans.audit(df) == []
+
+
+def test_metric_plan_is_scale_clean(spark):
+    # sharpe over a temporal frame: single distributed agg, no hazards
+    df = spark.createDataFrame(
+        list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02])), "d date, r double"
+    )
+    plans.audit(stats.sharpe(df))  # must not raise
+    from alphastats_spark.plans.audit import assert_scales
+
+    assert_scales(stats.sharpe(df))
+
+
+def test_drawdown_plan_single_partition_only_on_bucket_totals(spark):
+    # the only allowed SinglePartition exchange is the per-month offsets table
+    df = spark.createDataFrame(
+        list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02])), "d date, r double"
+    )
+    from alphastats_spark.plans.audit import assert_scales
+
+    assert_scales(stats.max_drawdown(df), allow=("single-partition-exchange",))
