@@ -1,0 +1,16 @@
+"""Structured Streaming surface: rolling metrics and stateful drawdowns.
+
+The reference is batch-only (SURVEY §2.7) — this module is part of the
+beyond-reference scale surface: the same metric expression builders
+(``alphastats_spark.expressions``) applied to event-time windows of a
+returns stream, plus a stateful cumulative-drawdown operator built on
+``applyInPandasWithState``.
+"""
+
+from alphastats_spark.streaming.metrics import (
+    STREAM_METRICS,
+    rolling_metrics,
+    streaming_drawdowns,
+)
+
+__all__ = ["STREAM_METRICS", "rolling_metrics", "streaming_drawdowns"]

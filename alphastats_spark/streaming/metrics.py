@@ -1,0 +1,189 @@
+"""Streaming metrics over returns streams.
+
+Two operators:
+
+* ``rolling_metrics`` — event-time windowed aggregation of the core metric
+  set. The metric expressions are the exact same Column builders the batch
+  API uses (``alphastats_spark.expressions``), so batch and streaming
+  results agree by construction; the set is restricted to metrics whose
+  aggregation state is bounded (sums/counts/moments — no exact percentiles,
+  which would buffer every row in the state store).
+* ``streaming_drawdowns`` — per-key cumulative wealth / peak / drawdown via
+  ``applyInPandasWithState``: state is four scalars per asset column
+  (Σlog|1+r|, negative-factor count, zero-factor count, running peak), the
+  streaming mirror of the log-space decomposition in
+  ``operators.ordered.add_drawdown_columns``. Rows are processed in
+  event-time order *within* each micro-batch; cross-batch order is the
+  stream's delivery order (use a watermark + ordered source for strict
+  correctness, as with any stateful cumulative operator).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from alphastats_spark import _utils
+from alphastats_spark import expressions as X
+from alphastats_spark.exceptions import NoTemporalColumnError
+
+# Streaming-safe subset: constant-size aggregation state per window.
+STREAM_METRICS: dict[str, Callable[[Column], Column]] = {
+    "comp": X.comp,
+    "sharpe": lambda c: X.mean_std_ratio(c, None, 252, True),
+    "sortino": X.sortino,
+    "volatility": X.volatility,
+    "win_rate": X.win_rate,
+    "avg_return": X.avg_return,
+    "profit_factor": X.profit_factor,
+    "omega": X.omega,
+    "exposure": X.exposure,
+    "value_at_risk": X.value_at_risk,
+    "n_obs": lambda c: F.count(c).cast("long"),
+}
+
+
+def rolling_metrics(
+    df: DataFrame,
+    window: str,
+    slide: str | None = None,
+    temporal: str | None = None,
+    cols: list[str] | None = None,
+    watermark: str | None = None,
+    metrics: dict[str, Callable[[Column], Column]] | None = None,
+    start_time: str | None = None,
+) -> DataFrame:
+    """Windowed metric aggregation; works identically on batch and
+    streaming frames (the batch path is how semantics are tested).
+
+    Output: one row per event-time window with ``{col}_{metric}`` columns.
+    With a ``watermark`` on a streaming frame, append-mode sinks emit each
+    window once it is closed.
+    """
+    temporal = temporal or _utils.get_temporal_column_name(df)
+    if temporal is None:
+        raise NoTemporalColumnError
+    cols = cols or _utils.numeric_column_names(df)
+    metrics = metrics or STREAM_METRICS
+
+    ts = F.col(temporal).cast("timestamp")
+    df = df.withColumn("__ts", ts)
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("__ts", watermark)
+
+    # Windows align to the Unix epoch by default; ``start_time`` shifts the
+    # grid (e.g. align 5-day windows to a Monday series start).
+    win = F.window(F.col("__ts"), window, slide or window, start_time)
+    aggs = [
+        fn(F.col(c)).alias(f"{c}_{name}") for c in cols for name, fn in metrics.items()
+    ]
+    out = df.groupBy(win.alias("__win")).agg(*aggs)
+    return out.select(
+        F.col("__win.start").alias("window_start"),
+        F.col("__win.end").alias("window_end"),
+        *[F.col(f"{c}_{name}") for c in cols for name in metrics],
+    )
+
+
+def streaming_drawdowns(
+    df: DataFrame,
+    key_col: str | None = None,
+    temporal: str | None = None,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-row cumulative drawdown over a stream (reference ``to_drawdowns``
+    semantics, ``alphastats/stats.py:388-416``, as an unbounded stream op).
+
+    Groups by ``key_col`` (or a single global key); each micro-batch is
+    sorted by event time and folded into four scalars of state per column,
+    so state size is O(assets), never O(rows).
+    """
+    temporal = temporal or _utils.get_temporal_column_name(df)
+    if temporal is None:
+        raise NoTemporalColumnError
+    cols = cols or [c for c in _utils.numeric_column_names(df) if c != key_col]
+
+    key_expr = (
+        F.col(key_col).cast("string").alias(key_col)
+        if key_col
+        else F.lit("__all__").alias("__key")
+    )
+    group_col = key_col or "__key"
+    temporal_type = dict(df.dtypes)[temporal]
+
+    out_fields = [T.StructField(group_col, T.StringType())]
+    out_fields.append(
+        T.StructField(
+            temporal,
+            T.DateType() if temporal_type == "date" else T.TimestampType(),
+        )
+    )
+    for c in cols:
+        out_fields.append(T.StructField(c, T.DoubleType()))
+        out_fields.append(T.StructField(f"{c}_dd", T.DoubleType()))
+    output_schema = T.StructType(out_fields)
+
+    state_fields = []
+    for c in cols:
+        state_fields += [
+            T.StructField(f"{c}_ls", T.DoubleType()),
+            T.StructField(f"{c}_neg", T.LongType()),
+            T.StructField(f"{c}_zero", T.LongType()),
+            T.StructField(f"{c}_peak", T.DoubleType()),
+        ]
+    state_schema = T.StructType(state_fields)
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0.0, 0, 0, -math.inf] * len(cols)
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(temporal, kind="mergesort").reset_index(drop=True)
+
+        out = {group_col: [key[0]] * len(batch), temporal: batch[temporal]}
+        for i, c in enumerate(cols):
+            ls, neg, zero, peak = st[4 * i : 4 * i + 4]
+            vals = batch[c].to_numpy()
+            dds = []
+            for v in vals:
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    dds.append(None)
+                    continue
+                factor = 1.0 + float(v)
+                if factor == 0.0:
+                    zero += 1
+                else:
+                    if factor < 0:
+                        neg += 1
+                    ls += math.log(abs(factor))
+                wealth = (
+                    0.0
+                    if zero > 0
+                    else math.exp(ls) * (-1.0 if neg % 2 else 1.0)
+                )
+                peak = max(peak, wealth)
+                ratio = wealth / peak - 1 if peak != 0 else math.nan
+                dds.append(min(ratio, 0.0) if not math.isnan(ratio) else math.nan)
+            st[4 * i : 4 * i + 4] = [ls, neg, zero, peak]
+            out[c] = batch[c]
+            out[f"{c}_dd"] = pd.Series(dds, dtype="float64")
+
+        state.update(tuple(st))
+        yield pd.DataFrame(out)
+
+    prepared = df.select(key_expr, F.col(temporal), *[F.col(c) for c in cols])
+    return prepared.groupBy(group_col).applyInPandasWithState(
+        fold,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,146 @@
+"""Streaming surface tests.
+
+Strategy: ``rolling_metrics`` shares its Column builders with the batch
+API, so the semantics test runs it in BATCH mode against hand-sliced
+windows; a separate test runs the same plan through a real micro-batch
+stream (file source → memory sink) and asserts stream == batch. The
+stateful drawdown operator is fed two micro-batches so state genuinely
+crosses a batch boundary, then compared to the batch ``to_drawdowns``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from alphastats_spark import stats
+from alphastats_spark.streaming import rolling_metrics, streaming_drawdowns
+
+RET_10 = [0.01, -0.02, 0.03, -0.01, 0.02, 0.005, -0.015, 0.025, -0.005, 0.01]
+DATES_10 = [dt.date(2023, 1, 2) + dt.timedelta(days=i) for i in range(10)]
+
+
+@pytest.fixture
+def returns_10(spark):
+    return spark.createDataFrame(list(zip(DATES_10, RET_10)), "d date, r double")
+
+
+def test_rolling_metrics_batch_semantics(returns_10):
+    # 5-day tumbling windows starting Monday 2023-01-02: [01-02,01-07), [01-07,01-12)
+    out = (
+        rolling_metrics(returns_10, "5 days", metrics=None, start_time="4 days")
+        .orderBy("window_start")
+        .collect()
+    )
+    assert len(out) == 2
+    first, second = out
+    assert first["window_start"] == dt.datetime(2023, 1, 2)
+    assert first["r_n_obs"] == 5 and second["r_n_obs"] == 5
+
+    comp_1 = 1.0
+    for r in RET_10[:5]:
+        comp_1 *= 1 + r
+    assert first["r_comp"] == pytest.approx(comp_1 - 1, rel=1e-12)
+
+    # sharpe of window 2 equals the batch metric on those 5 rows
+    want = stats.sharpe(pd.Series(RET_10[5:]))
+    assert second["r_sharpe"] == pytest.approx(want, rel=1e-12)
+
+
+def test_rolling_metrics_sliding(returns_10):
+    out = rolling_metrics(returns_10, "5 days", slide="1 day").orderBy("window_start").collect()
+    # every row lands in 5 sliding windows
+    assert sum(r["r_n_obs"] for r in out) == 50
+
+
+def test_rolling_metrics_stream_matches_batch(spark, tmp_path, returns_10):
+    src = str(tmp_path / "src")
+    returns_10.write.parquet(src)
+
+    stream = spark.readStream.schema("d date, r double").parquet(src)
+    sq = (
+        rolling_metrics(stream, "5 days", watermark="1 day", start_time="4 days")
+        .writeStream.format("memory")
+        .queryName("roll_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.sql("select * from roll_test").orderBy("window_start").collect()
+    want = rolling_metrics(returns_10, "5 days", start_time="4 days").orderBy("window_start").collect()
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        for c in g.asDict():
+            if isinstance(w[c], float):
+                assert g[c] == pytest.approx(w[c], rel=1e-9, nan_ok=True)
+            else:
+                assert g[c] == w[c]
+
+
+def test_streaming_drawdowns_two_batches(spark, tmp_path, returns_10):
+    src = str(tmp_path / "dd_src")
+    half1 = spark.createDataFrame(list(zip(DATES_10[:5], RET_10[:5])), "d date, r double")
+    half2 = spark.createDataFrame(list(zip(DATES_10[5:], RET_10[5:])), "d date, r double")
+    half1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes → file source keeps batch order
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("d date, r double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    sq = (
+        streaming_drawdowns(stream, temporal="d")
+        .writeStream.format("memory")
+        .queryName("dd_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    got = {r["d"]: r["r_dd"] for r in spark.sql("select * from dd_test").collect()}
+    want = {
+        r["d"]: r["r"] for r in stats.to_drawdowns(returns_10).orderBy("d").collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+
+def test_streaming_drawdowns_multi_key(spark, tmp_path):
+    # two assets interleaved in one stream, keyed by symbol
+    rows = []
+    for i, (date, r) in enumerate(zip(DATES_10, RET_10)):
+        rows.append(("A", date, r))
+        rows.append(("B", date, -r))
+    df = spark.createDataFrame(rows, "sym string, d date, r double")
+    src = str(tmp_path / "mk_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("sym string, d date, r double").parquet(src)
+    sq = (
+        streaming_drawdowns(stream, key_col="sym", temporal="d")
+        .writeStream.format("memory")
+        .queryName("mk_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.sql("select * from mk_test").collect()
+    assert len(got) == 20
+
+    for sym, sign in (("A", 1), ("B", -1)):
+        series = [sign * r for r in RET_10]
+        batch = spark.createDataFrame(list(zip(DATES_10, series)), "d date, r double")
+        want = {r["d"]: r["r"] for r in stats.to_drawdowns(batch).collect()}
+        for row in got:
+            if row["sym"] == sym:
+                assert row["r_dd"] == pytest.approx(want[row["d"]], rel=1e-9)
