@@ -437,8 +437,91 @@ penalty AS (
         ),
         None)
 
+    _add_streaming(add)
     _add_extensions(add)
     return q, o
+
+
+# ---------------------------------------------------------------------------
+# streaming surface (batch-checkable semantics)
+
+
+def _add_streaming(add) -> None:
+    """Streaming operators exposed through the correctness gate.
+
+    ``streaming_drawdowns`` genuinely runs through Structured Streaming
+    (file source → applyInPandasWithState → memory sink) and its per-row
+    output is SQL-expressible, so it gets a full DuckDB oracle — the
+    strongest check a stateful streaming op can have. ``rolling_metrics``
+    shares one code path between batch and streaming; the gate runs the
+    batch plan (identical expressions) against a bucketed-window oracle.
+    """
+
+    def _stream_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import streaming_drawdowns
+
+        src = tempfile.mkdtemp(prefix="as_stream_dd_")
+        load_returns(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("d date, r double").parquet(src)
+        name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+        sq = (
+            streaming_drawdowns(stream, temporal="d")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(600)
+        return _round_df(
+            spark.table(name).select(
+                F.col("d").cast("string").alias("d"), F.col("r_dd").alias("dd")
+            )
+        )
+
+    add(
+        "streaming_drawdowns",
+        _stream_dd,
+        f"{RETURNS_CTE}{DD_CTE}\nSELECT CAST(d AS VARCHAR) AS d, ROUND(dd, {ROUND}) AS dd FROM dds",
+    )
+
+    def _rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.streaming import rolling_metrics
+
+        out = rolling_metrics(
+            load_returns(spark, sf_dir),
+            "30 days",
+            metrics={
+                "comp": X.comp,
+                "volatility": X.volatility,
+                "n_obs": lambda c: F.count(c).cast("long"),
+            },
+        )
+        return _round_df(
+            out.select(
+                F.col("window_start").cast("date").cast("string").alias("ws"),
+                F.col("r_comp").alias("comp"),
+                F.col("r_volatility").alias("volatility"),
+                F.col("r_n_obs").alias("n_obs"),
+            )
+        )
+
+    add(
+        "rolling_metrics_30d",
+        _rolling,
+        f"""{RETURNS_CTE}
+SELECT CAST(ws_d AS VARCHAR) AS ws, comp, volatility, n_obs FROM (
+SELECT
+  DATE '1970-01-01'
+    + CAST(FLOOR(DATE_DIFF('day', DATE '1970-01-01', d) / 30) * 30 AS INTEGER) AS ws_d,
+  ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS comp,
+  ROUND(STDDEV_SAMP(r) * SQRT(252), {ROUND}) AS volatility,
+  COUNT(r) AS n_obs
+FROM rets GROUP BY 1) t""",
+    )
 
 
 # ---------------------------------------------------------------------------
