@@ -26,8 +26,14 @@ from alphastats_spark.operators import ordered
 
 def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, int]:
     """Longest run of r>0 (wins) or r<0 (losses); nulls and zeros break runs
-    (reference ``_consecutive_count``, ``stats.py:1249-1261``)."""
-    df = ordered.add_row_index(df, "__idx")
+    (reference ``_consecutive_count``, ``stats.py:1249-1261``).
+
+    The input is persisted for the duration of the call: each prefix pass
+    carries a broadcast-join branch that would otherwise recompute the
+    whole upstream lineage once per pass.
+    """
+    src = df.persist()
+    df = ordered.add_row_index(src, "__idx")
 
     brk_exprs = {}
     for c in cols:
@@ -49,6 +55,7 @@ def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, 
         ).otherwise(F.lit(0))
         aggs.append(F.coalesce(F.max(streak), F.lit(0)).alias(c))
     row = df.agg(*aggs).first()
+    src.unpersist()
     return {c: int(row[c]) for c in cols}
 
 
@@ -61,8 +68,13 @@ def drawdown_episode_stats(
     mirroring ``_drawdown_period_lengths`` / ``avg_drawdown`` (reference
     ``stats.py:1570-1642``): episode length is calendar days (end−start+1)
     when a temporal column exists, else the episode row count.
+
+    The input is persisted for the duration of the call — the drawdown +
+    island machinery is several prefix passes, each with a broadcast-join
+    branch that would otherwise recompute the upstream lineage.
     """
-    df = ordered.add_drawdown_columns(df, {f"__dd_{c}": c for c in cols})
+    src = df.persist()
+    df = ordered.add_drawdown_columns(src, {f"__dd_{c}": c for c in cols})
     df = ordered.add_prefix_columns(
         df,
         sums={
@@ -115,6 +127,7 @@ def drawdown_episode_stats(
         )
         .collect()
     )
+    src.unpersist()
     out = {c: {"longest_days": 0, "avg_days": 0.0, "avg_dd": 0.0} for c in cols}
     for r in rows:
         out[r["__asset"]] = {

@@ -84,6 +84,15 @@ def metrics(
     full = mode.lower() == "full"
     has_bench = benchmark_name is not None
 
+    # The report makes ~6 passes (meta, main agg, stage-2, calendar×3,
+    # islands), and every prefix-sum pass carries a broadcast-join branch
+    # that would otherwise recompute the whole ingest lineage (the branch
+    # count doubles per pass). Persisting the prepared frame makes every
+    # pass and branch read one cached copy. A returns frame is bounded by
+    # time-grain × assets — tiny relative to the raw inputs it was derived
+    # from — so MEMORY_AND_DISK is safe at any scale.
+    frame.persist()
+
     # ---- job A: date metadata (pre-fill null pattern) --------------------
     meta_aggs = []
     if temporal:
@@ -101,16 +110,10 @@ def metrics(
         max_ts = max_ts.date()
 
     # ---- fill nulls with 0 (report-only policy) --------------------------
-    # The report makes ~6 passes (main agg, stage-2, calendar×3, islands).
-    # Persisting the prepared frame stops each pass from re-running the
-    # whole ingest lineage. A returns frame is bounded by time-grain ×
-    # assets — even for decades of daily data it is tiny relative to the
-    # 100 TB raw inputs it was derived from, so MEMORY_AND_DISK is safe.
     filled = frame.select(
         *([F.col(temporal)] if temporal else []),
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in output_names],
     )
-    filled.persist()
 
     # ---- enrich with ordered machinery -----------------------------------
     rdf = ordered.with_order(filled, temporal)
@@ -360,7 +363,7 @@ def metrics(
             )
 
     rdf.unpersist()
-    filled.unpersist()
+    frame.unpersist()
     result_rows = [
         (label, {name: _format_value(values.get(name)) for name in output_names})
         for label, values in rows

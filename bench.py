@@ -73,12 +73,14 @@ def main() -> None:
         ).collect()
 
     def q_drawdowns():
-        rets = harness.load_returns(spark, sf_dir)
-        rets = ordered.with_order(rets, "d")
-        rets = ordered.add_drawdown_columns(rets, {"dd": "r"})
-        return rets.agg(
+        rets = harness.load_returns(spark, sf_dir).persist()
+        ddf = ordered.with_order(rets, "d")
+        ddf = ordered.add_drawdown_columns(ddf, {"dd": "r"})
+        out = ddf.agg(
             F.min("dd"), F.sqrt(F.sum(F.pow(F.col("dd"), 2)) / (F.count("r") - 1))
         ).collect()
+        rets.unpersist()
+        return out
 
     def q_episodes():
         rets = harness.load_returns(spark, sf_dir)
