@@ -214,7 +214,12 @@ def embedding_near_dup_pairs(
     random-hyperplane signs (see similarity.lsh_buckets) before this
     pairwise pass.
     """
-    vecs = df.select(
+    vecs = _prepared_vectors(df, id_col, vec_col)
+    return _pairwise_cosine(vecs, id_col, threshold)
+
+
+def _prepared_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         F.sqrt(
@@ -223,15 +228,25 @@ def embedding_near_dup_pairs(
             )
         ).alias("norm"),
     )
+
+
+def _pairwise_cosine(
+    vecs: DataFrame, id_col: str, threshold: float, join_extra: list[str] | None = None
+) -> DataFrame:
+    """All-pairs cosine over ``vecs``; equi-join keys in ``join_extra`` (if
+    any) turn the quadratic nested-loop compare into a per-bucket hash join."""
     a = vecs.alias("a")
     b = vecs.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for key in join_extra or []:
+        cond = cond & (F.col(f"a.{key}") == F.col(f"b.{key}"))
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, cond)
         .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 7))
         .where(F.col("cosine") >= threshold)
         .select(
@@ -240,3 +255,42 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup detection.
+
+    Random-hyperplane LSH: each of ``n_tables`` independent plane sets maps
+    every vector to a sign-bit bucket; candidate pairs are generated by a
+    per-table *equi-join on the bucket id* (hash join — the shuffle key is
+    the bucket, so the quadratic compare runs only within buckets of
+    expected size n/2^planes). Tables are unioned and deduped before the
+    exact cosine filter, so output pairs are exact-scored; only recall is
+    approximate (a pair at cosine θ collides per table with
+    P = (1 − arccos(θ)/π)^planes, missed by all tables with (1−P)^tables).
+    """
+    from alphastats_spark.functions import similarity
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    vecs = _prepared_vectors(df, id_col, vec_col)
+
+    tables = []
+    for t in range(n_tables):
+        planes = similarity.hyperplanes(dim, n_planes, seed + t)
+        bucketed = vecs.withColumn("lsh_bucket", similarity.bucket_expr(F.col("v"), planes))
+        tables.append(_pairwise_cosine(bucketed, id_col, threshold, join_extra=["lsh_bucket"]))
+
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.dropDuplicates(["id_a", "id_b"])

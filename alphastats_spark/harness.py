@@ -695,6 +695,14 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), {ROUND}) >= 0.4""")
 
+    # LSH-bucketed near-dup (the 100 TB path): pair recall is approximate,
+    # so the gate checks rows-only; scored values are exact cosine.
+    add("emb_near_dups_lsh",
+        lambda spark, sf_dir: dedup.embedding_near_dup_pairs_lsh(
+            _embs(spark, sf_dir), threshold=0.4, n_planes=6, n_tables=8
+        ),
+        None)
+
     # ---- similarity search -------------------------------------------------
     def _ann_query(spark, sf_dir):
         emb = _embs(spark, sf_dir)

@@ -91,6 +91,48 @@ class TestDedup:
         pairs = dedup.embedding_near_dup_pairs(df, threshold=0.9).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
 
+    def test_embedding_near_dups_lsh_subset_of_exact(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        # 10 clusters of 3 near-identical vectors + noise singletons
+        for cluster in range(10):
+            base = [rng.gauss(0, 1) for _ in range(8)]
+            for j in range(3):
+                rows.append(
+                    (cluster * 3 + j, [x + rng.gauss(0, 0.01) for x in base])
+                )
+        for i in range(30, 50):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(8)]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.embedding_near_dup_pairs(df, threshold=0.9).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.embedding_near_dup_pairs_lsh(
+                df, threshold=0.9, n_planes=4, n_tables=6
+            ).collect()
+        }
+        # LSH pairs are a subset of exact pairs with identical scores
+        assert set(approx) <= set(exact)
+        for k, v in approx.items():
+            assert v == exact[k]
+        # with 6 tables × 4 planes, recall on tight clusters is near-total
+        assert len(approx) >= 0.8 * len(exact) > 0
+
+    def test_embedding_lsh_plan_has_no_nested_loop(self, spark):
+        from alphastats_spark import plans
+
+        rows = [(i, [float(i), 1.0, 0.5]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = dedup.embedding_near_dup_pairs_lsh(df, threshold=0.5, dim=3)
+        kinds = {f.kind for f in plans.audit(out)}
+        assert "nested-loop-join" not in kinds
+
 
 def dedup_hamming(spark, a: int, b: int) -> int:
     return (
