@@ -399,6 +399,26 @@ SELECT ROUND((EXP(SUM(LN(1 + r))) - 1) / (COVAR_SAMP(r, b) / VAR_SAMP(b)), {ROUN
 FROM joined
 """)
 
+    # Multi-asset broadcast: the reference's core structural idiom — one
+    # metric call fans out over every numeric column in a single agg pass.
+    def _multi_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
+        wide = (
+            load_returns(spark, sf_dir)
+            .join(load_benchmark(spark, sf_dir), "d", "inner")
+            .select("d", F.col("r").alias("asset_a"), F.col("b").alias("asset_b"))
+        )
+        return _round_df(stats.sharpe(wide))
+
+    add("multi_asset_sharpe", _multi_asset, f"""{RETURNS_CTE}{BENCH_CTE},
+wide AS (
+    SELECT rets.d, rets.r AS asset_a, bres.b AS asset_b
+    FROM rets JOIN bres ON rets.d = bres.d
+)
+SELECT
+  ROUND(AVG(asset_a) / STDDEV_SAMP(asset_a) * SQRT(252), {ROUND}) AS asset_a,
+  ROUND(AVG(asset_b) / STDDEV_SAMP(asset_b) * SQRT(252), {ROUND}) AS asset_b
+FROM wide""")
+
     # Autocorr penalty: DuckDB evaluates the reference's O(n) lag-power sum
     # term-by-term via generate_series; the Spark side uses the closed-form
     # geometric sums (expressions.geometric_sum_penalty) — same value.
