@@ -294,3 +294,67 @@ def embedding_near_dup_pairs_lsh(
     for t in tables[1:]:
         out = out.unionByName(t)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    The 100 TB dedup endgame: candidate pairs (from LSH bands, SimHash or
+    embedding buckets) define a graph; each component is one duplicate
+    cluster and ``cluster_id`` (the component's min id) picks the canonical
+    representative.
+
+    Distributed min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors. Each iteration is one
+    shuffle (edges ⋈ labels, groupBy); the driver loop stops at fixpoint —
+    iterations needed = graph diameter, which for near-dup graphs is tiny.
+    Frames are persisted per-iteration and checkpoint-free: the lineage is
+    re-rooted by localCheckpoint every few rounds so plans don't grow
+    unboundedly on adversarial graphs.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("cluster_id", F.col("id")).persist()
+
+    for it in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        if it % 5 == 4:  # re-root lineage so plans stay bounded
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select("id", "cluster_id")

@@ -702,6 +702,37 @@ WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), {ROUND}) >= 0.5""")
         lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir)),
         _simhash_sql())
 
+    # Connected components over the exact-Jaccard pair graph: iterative
+    # min-label propagation on Spark vs a recursive-CTE transitive closure
+    # in DuckDB — a full value oracle for an iterative distributed algorithm.
+    add("dedup_clusters",
+        lambda spark, sf_dir: dedup.duplicate_clusters(
+            dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+        ),
+        _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), {ROUND}) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src""")
+
     add("emb_near_dups",
         lambda spark, sf_dir: dedup.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4),
         f"""

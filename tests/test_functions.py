@@ -124,6 +124,19 @@ class TestDedup:
         # with 6 tables × 4 planes, recall on tight clusters is near-total
         assert len(approx) >= 0.8 * len(exact) > 0
 
+    def test_duplicate_clusters_components(self, spark):
+        # chain 1-2-3-4-5 (needs multiple propagation rounds), pair (7,8),
+        # and a star 10-{11,12}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (10, 11), (10, 12)],
+            "id_a bigint, id_b bigint",
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
     def test_embedding_lsh_plan_has_no_nested_loop(self, spark):
         from alphastats_spark import plans
 
