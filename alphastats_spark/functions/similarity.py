@@ -114,3 +114,92 @@ def lsh_topk(
         F.round(cosine_similarity(F.col(vec_col), query), 7).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: coarse k-means quantizer + probe-limited search
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train the coarse quantizer: Lloyd's k-means on a bounded driver-side
+    sample (seeded → deterministic). At 100 TB the sample stays bounded —
+    the full data never reaches the driver; training cost is O(sample).
+    """
+    import numpy as np
+
+    sample = np.asarray(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()], dtype="float64"
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.round(6).tolist()
+
+
+def _centroid_id_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared distances to literal centroids (JVM-side)."""
+    v = _as_double(vec)
+    best_id = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        cent = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, cent, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
+            best_d = F.least(d, best_d)
+    return best_id
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the inverted list id).
+    Persist/bucket the output by ``ivf_list`` so probes prune partitions."""
+    return df.withColumn("ivf_list", _centroid_id_expr(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    indexed: bool = False,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the ``nprobe`` inverted
+    lists nearest the query. Pass ``indexed=True`` when ``df`` already has
+    ``ivf_list`` (the production shape: index once, probe per query)."""
+    import numpy as np
+
+    q = np.asarray(query, dtype="float64")
+    cents = np.asarray(centroids, dtype="float64")
+    order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort()
+    probe = [int(i) for i in order[:nprobe]]
+
+    base = df if indexed else ivf_index(df, centroids, vec_col)
+    scored = base.where(F.col("ivf_list").isin(probe)).select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), query), 7).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

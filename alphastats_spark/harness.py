@@ -778,6 +778,14 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
 
     add("ann_lsh_topk", _ann_lsh, None)  # approximate — rows-only check
 
+    def _ann_ivf(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        cents = similarity.ivf_centroids(emb, n_centroids=16, seed=42)
+        return similarity.ivf_topk(emb, qvec, cents, k=20, nprobe=4)
+
+    add("ann_ivf_topk", _ann_ivf, None)  # approximate — rows-only check
+
     # ---- multimodal plumbing (fake decoder; rows-only) ---------------------
     def _media(spark, sf_dir):
         media = _docs(spark, sf_dir).select(

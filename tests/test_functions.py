@@ -189,6 +189,31 @@ class TestSimilarity:
         b2 = {r["vec_id"]: r["lsh_bucket"] for r in similarity.lsh_buckets(vectors).collect()}
         assert b1 == b2
 
+    def test_ivf_full_probe_equals_bruteforce(self, spark, vectors):
+        q = [float(x) for x in vectors.where("vec_id = 0").first()["embedding"]]
+        cents = similarity.ivf_centroids(vectors, n_centroids=4, seed=11)
+        exact = similarity.cosine_topk(vectors, q, k=5).collect()
+        ivf = similarity.ivf_topk(vectors, q, cents, k=5, nprobe=4).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in ivf] == [
+            (r["vec_id"], r["cosine"]) for r in exact
+        ]
+
+    def test_ivf_probe_one_finds_cluster(self, spark, vectors):
+        q = [float(x) for x in vectors.where("vec_id = 0").first()["embedding"]]
+        cents = similarity.ivf_centroids(vectors, n_centroids=4, seed=11)
+        top = similarity.ivf_topk(vectors, q, cents, k=5, nprobe=1).collect()
+        ids = {r["vec_id"] for r in top}
+        # the query's own inverted list holds the near-identical copies
+        assert 0 in ids and len(ids & {1, 2, 3, 4}) >= 3
+
+    def test_ivf_index_then_probe(self, spark, vectors):
+        q = [float(x) for x in vectors.where("vec_id = 0").first()["embedding"]]
+        cents = similarity.ivf_centroids(vectors, n_centroids=4, seed=11)
+        indexed = similarity.ivf_index(vectors, cents)
+        via_index = similarity.ivf_topk(indexed, q, cents, k=5, nprobe=4, indexed=True).collect()
+        direct = similarity.ivf_topk(vectors, q, cents, k=5, nprobe=4).collect()
+        assert via_index == direct
+
 
 class TestMultimodal:
     @pytest.fixture
