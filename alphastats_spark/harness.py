@@ -827,6 +827,42 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_id""")
 
+    # Native session windows (streaming-shared code path). Boundary differs
+    # from the lag-based sessionization above: session_window starts a NEW
+    # session at gap >= 30min (half-open interval), the lag variant at >.
+    def _session_windows(spark, sf_dir):
+        from alphastats_spark.streaming import session_metrics
+
+        # events ts arrives as raw int64 nanos (see _events) — convert to a
+        # real timestamp (µs, matching DuckDB's nanos→µs truncation)
+        ev = _events(spark, sf_dir).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        out = session_metrics(ev, gap="30 minutes")
+        return out.select(
+            "user_id",
+            F.col("session_start").cast("string").alias("session_start"),
+            "n_events",
+            "duration_s",
+        )
+
+    add("event_session_windows", _session_windows, """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS session_start, COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id""")
+
     add("event_hourly_counts",
         lambda spark, sf_dir: _events(spark, sf_dir)
         .groupBy(

@@ -10,7 +10,13 @@ returns stream, plus a stateful cumulative-drawdown operator built on
 from alphastats_spark.streaming.metrics import (
     STREAM_METRICS,
     rolling_metrics,
+    session_metrics,
     streaming_drawdowns,
 )
 
-__all__ = ["STREAM_METRICS", "rolling_metrics", "streaming_drawdowns"]
+__all__ = [
+    "STREAM_METRICS",
+    "rolling_metrics",
+    "session_metrics",
+    "streaming_drawdowns",
+]

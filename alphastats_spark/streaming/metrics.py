@@ -187,3 +187,40 @@ def streaming_drawdowns(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_metrics(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    temporal: str = "ts",
+    watermark: str | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation via native ``F.session_window`` —
+    identical code path for batch frames and streams (append mode closes a
+    session once the watermark passes its end).
+
+    Boundary semantics: an event extends the session only if it arrives
+    strictly *within* ``gap`` of the previous one — an event at exactly the
+    gap starts a new session (Spark session-window contract).
+    """
+    ts = F.col(temporal).cast("timestamp")
+    df = df.withColumn("__ts", ts)
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("__ts", watermark)
+    if aggs is None:
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("__ts")) - F.unix_timestamp(F.min("__ts"))).alias(
+                "duration_s"
+            ),
+        ]
+    out = df.groupBy(F.col(key_col), F.session_window(F.col("__ts"), gap).alias("__sw")).agg(
+        *aggs
+    )
+    return out.select(
+        F.col(key_col),
+        F.col("__sw.start").alias("session_start"),
+        *[F.col(c) for c in out.columns if c not in (key_col, "__sw")],
+    )

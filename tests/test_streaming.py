@@ -144,3 +144,60 @@ def test_streaming_drawdowns_multi_key(spark, tmp_path):
         for row in got:
             if row["sym"] == sym:
                 assert row["r_dd"] == pytest.approx(want[row["d"]], rel=1e-9)
+
+
+def test_session_metrics_batch(spark):
+    from alphastats_spark.streaming import session_metrics
+
+    base = dt.datetime(2023, 1, 2, 9, 0, 0)
+    rows = [
+        # user A: 3 events within gaps, then a 31-min hole → 2 sessions
+        ("A", base),
+        ("A", base + dt.timedelta(minutes=10)),
+        ("A", base + dt.timedelta(minutes=20)),
+        ("A", base + dt.timedelta(minutes=51)),
+        # user B: single event
+        ("B", base),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = session_metrics(df, gap="30 minutes").orderBy("user_id", "session_start").collect()
+    assert [(r["user_id"], r["n_events"], r["duration_s"]) for r in out] == [
+        ("A", 3, 1200),
+        ("A", 1, 0),
+        ("B", 1, 0),
+    ]
+
+
+def test_session_metrics_stream_matches_batch(spark, tmp_path):
+    from alphastats_spark.streaming import session_metrics
+
+    base = dt.datetime(2023, 1, 2, 9, 0, 0)
+    rows = []
+    for u in ("A", "B", "C"):
+        for i in range(20):
+            # bursts of 4 events, 40-min holes between bursts
+            rows.append((u, base + dt.timedelta(minutes=(i // 4) * 70 + (i % 4) * 10)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+    sq = (
+        session_metrics(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_s"])
+        for r in spark.sql("select * from sess_test").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["duration_s"])
+        for r in session_metrics(df, gap="30 minutes").collect()
+    )
+    assert got == want
+    assert len(want) == 15  # 3 users × 5 bursts
