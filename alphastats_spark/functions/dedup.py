@@ -358,3 +358,48 @@ def duplicate_clusters(
 
     edges.unpersist()
     return labels.select("id", "cluster_id")
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """The canonical MinHash-LSH dedup pipeline: band candidates → exact
+    n-gram Jaccard verification *restricted to candidate pairs*.
+
+    This is the 100 TB shape: the exact similarity join runs on the
+    LSH-bounded candidate set (|candidates| ≪ n²) instead of every pair
+    sharing a shingle. Output matches ``ngram_jaccard_pairs`` on the
+    candidate subset: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, rows_per_band).select(
+        "id_a", "id_b"
+    )
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    common = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 7),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

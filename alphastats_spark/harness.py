@@ -682,6 +682,38 @@ SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_bands
 FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 GROUP BY 1, 2""")
 
+    # LSH candidates → exact Jaccard verification restricted to candidates
+    # (the 100 TB pipeline shape; the all-pairs exact join below is the
+    # verification-scale baseline)
+    add("dedup_lsh_verified",
+        lambda spark, sf_dir: dedup.lsh_verified_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ),
+        _SHINGLE_CTE + f""",
+sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, b.sig
+  FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
+
     add("dedup_ngram_jaccard",
         lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5),
         _SHINGLE_CTE + f""",

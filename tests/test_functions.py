@@ -124,6 +124,21 @@ class TestDedup:
         # with 6 tables × 4 planes, recall on tight clusters is near-total
         assert len(approx) >= 0.8 * len(exact) > 0
 
+    def test_lsh_verified_subset_of_exact_jaccard(self, spark, docs):
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        }
+        verified = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.lsh_verified_pairs(docs, threshold=0.2).collect()
+        }
+        assert set(verified) <= set(exact)
+        for k, v in verified.items():
+            assert v == exact[k]
+        # the identical pair always band-collides
+        assert (0, 2) in verified and verified[(0, 2)] == 1.0
+
     def test_duplicate_clusters_components(self, spark):
         # chain 1-2-3-4-5 (needs multiple propagation rounds), pair (7,8),
         # and a star 10-{11,12}
