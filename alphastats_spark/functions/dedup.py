@@ -162,17 +162,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     Jaccard rounded to 7dp BEFORE thresholding so the cutoff cannot flip on
     cross-engine float noise.
+
+    ``max_shingle_df`` is the skew guard for the self-join: a shingle
+    appearing in D documents produces D² join rows, and boilerplate
+    shingles (headers, licenses) make D huge at corpus scale. Capping the
+    shingle document frequency drops those hot join keys from the *common*
+    count only — pair similarity becomes a slight underestimate, which is
+    the standard trade at 100 TB. Default ``None`` = exact (oracle parity).
     """
     sh = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(dfreq.where(F.col("__df") <= max_shingle_df), "shingle")
+            .drop("__df")
+        )
     left = sh.alias("l")
     right = sh.alias("r")
     common = (

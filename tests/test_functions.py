@@ -264,3 +264,30 @@ class TestMultimodal:
         frames = multimodal.sample_frames_stub(media.where("media_id = 2"), every_ms=1000).collect()
         assert len(frames) == 4  # 4500ms / 1000ms
         assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_jaccard_shingle_df_cap(spark):
+    # a boilerplate shingle shared by ALL docs is dropped by the cap;
+    # genuinely similar docs still pair up
+    rows = [
+        (0, "common header line alpha beta gamma delta"),
+        (1, "common header line alpha beta gamma epsilon"),
+        (2, "common header line totally different content here"),
+        (3, "common header line nothing shared with others zzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_shingle_df=3
+        ).collect()
+    }
+    # capped similarities never exceed exact ones
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
+    # the near-identical pair survives the cap
+    assert (0, 1) in capped
