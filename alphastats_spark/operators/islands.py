@@ -60,7 +60,10 @@ def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, 
 
 
 def drawdown_episode_stats(
-    df: DataFrame, cols: list[str], temporal_name: str | None
+    df: DataFrame,
+    cols: list[str],
+    temporal_name: str | None,
+    dd_cols: dict[str, str] | None = None,
 ) -> dict[str, dict[str, float]]:
     """Per-column drawdown-episode aggregates in one distributed pass.
 
@@ -69,16 +72,25 @@ def drawdown_episode_stats(
     ``stats.py:1570-1642``): episode length is calendar days (end−start+1)
     when a temporal column exists, else the episode row count.
 
+    ``dd_cols`` maps source column → an ALREADY COMPUTED drawdown column on
+    ``df`` (e.g. the report frame carries them) — passing it skips the
+    whole drawdown prefix machinery.
+
     The input is persisted for the duration of the call — the drawdown +
     island machinery is several prefix passes, each with a broadcast-join
     branch that would otherwise recompute the upstream lineage.
     """
-    src = df.persist()
-    df = ordered.add_drawdown_columns(src, {f"__dd_{c}": c for c in cols})
+    was_cached = df.is_cached
+    src = df if was_cached else df.persist()
+    if dd_cols is None:
+        df = ordered.add_drawdown_columns(src, {f"__dd_{c}": c for c in cols})
+        dd_cols = {c: f"__dd_{c}" for c in cols}
+    else:
+        df = src
     df = ordered.add_prefix_columns(
         df,
         sums={
-            f"__isl_{c}": F.when(F.col(f"__dd_{c}") < 0, F.lit(0)).otherwise(F.lit(1))
+            f"__isl_{c}": F.when(F.col(dd_cols[c]) < 0, F.lit(0)).otherwise(F.lit(1))
             for c in cols
         },
     )
@@ -97,7 +109,7 @@ def drawdown_episode_stats(
     # recompute the whole drawdown plan N times.
     df = df.withColumn("__pos", pos)
     stack_args = ", ".join(
-        f"'{c}', `__isl_{c}`, cast(`__dd_{c}` as double)" for c in cols
+        f"'{c}', `__isl_{c}`, cast(`{dd_cols[c]}` as double)" for c in cols
     )
     long_df = df.selectExpr(
         "__pos", f"stack({len(cols)}, {stack_args}) as (__asset, __island, __dd)"
@@ -127,7 +139,8 @@ def drawdown_episode_stats(
         )
         .collect()
     )
-    src.unpersist()
+    if not was_cached:
+        src.unpersist()
     out = {c: {"longest_days": 0, "avg_days": 0.0, "avg_dd": 0.0} for c in cols}
     for r in rows:
         out[r["__asset"]] = {

@@ -171,9 +171,14 @@ def metrics(
             cal["year"] = _calendar_agg(filled, temporal, output_names, "year", rf)
 
     # ---- islands pass: drawdown episodes (row-count lengths — the report
-    # feeds series without dates, reference reports.py:397-403) ------------
+    # feeds series without dates, reference reports.py:397-403). The report
+    # frame already carries the __dd_* columns — reuse them instead of
+    # re-running the drawdown prefix machinery ------------------------------
     episodes = islands.drawdown_episode_stats(
-        ordered.with_order(filled, temporal), list(output_names), temporal_name=None
+        rdf,
+        list(output_names),
+        temporal_name=None,
+        dd_cols={c: f"__dd_{c}" for c in output_names},
     )
 
     # ---- assemble ----------------------------------------------------------
