@@ -6,10 +6,12 @@ on the Spark DataFrame/Catalyst stack, designed for 100 TB-scale inputs.
 
 Public surface mirrors the reference's export list
 (``alphastats/__init__.py:1-4``): the ``stats`` module and
-``reports.metrics``.
+``reports.metrics`` — plus the beyond-reference scale surface:
+``sources`` (I/O), ``streaming``, ``plans`` (plan audit), ``functions``
+(dedup / similarity / text / multimodal) and the ``operators`` primitives.
 """
 
-from alphastats_spark import exceptions, reports, stats
+from alphastats_spark import exceptions, functions, plans, reports, sources, stats, streaming
 from alphastats_spark.exceptions import (
     AlphaStatsError,
     AmbiguousBenchmarkReturnsError,
@@ -22,6 +24,10 @@ __all__ = [
     "stats",
     "reports",
     "exceptions",
+    "sources",
+    "streaming",
+    "plans",
+    "functions",
     "AlphaStatsError",
     "AmbiguousBenchmarkReturnsError",
     "MultipleTemporalColumnsError",
