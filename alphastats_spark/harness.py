@@ -370,6 +370,19 @@ FROM rets, mx WHERE d >= md - INTERVAL 12 MONTH
 SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value
 FROM rets, mx WHERE d >= md - INTERVAL 36 MONTH
 """)
+    add("five_year", _metric_query(stats.five_year), RETURNS_CTE + f"""
+, mx AS (SELECT MAX(d) AS md FROM rets)
+SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value
+FROM rets, mx WHERE d >= md - INTERVAL 60 MONTH
+""")
+    add("ten_year", _metric_query(stats.ten_year), RETURNS_CTE + f"""
+, mx AS (SELECT MAX(d) AS md FROM rets)
+SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value
+FROM rets, mx WHERE d >= md - INTERVAL 120 MONTH
+""")
+    add("all_time", _metric_query(stats.all_time), RETURNS_CTE + f"""
+SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value FROM rets
+""")
 
     # ---- benchmark-relative ----------------------------------------------
     asof_cte = RETURNS_CTE + BENCH_CTE + """
@@ -454,6 +467,16 @@ penalty AS (
     add("report_basic",
         lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
             load_returns(spark, sf_dir), display=False, mode="basic"
+        ),
+        None)
+    # full report incl. benchmark column: exercises the as-of join +
+    # benchmark-relative rows end-to-end (string table → rows-only check)
+    add("report_full_bench",
+        lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
+            load_returns(spark, sf_dir),
+            benchmark=load_benchmark(spark, sf_dir),
+            display=False,
+            mode="full",
         ),
         None)
 
