@@ -191,3 +191,25 @@ def test_kurtosis_matches_pandas(spark, xs):
     s = pd.Series(xs, dtype="float64")
     got = stats.kurtosis(s)
     _close(got, float(s.kurt()))
+
+
+def test_drawdowns_negative_wealth_factors(spark):
+    # losses beyond -100% flip the cumulative-wealth sign; a factor of
+    # exactly 0 collapses wealth permanently. Locks the sign/zero tracking
+    # in operators.ordered.add_drawdown_columns against the plain
+    # cumprod/cummax reference semantics.
+    import datetime as dt
+
+    xs = [0.5, -1.5, 0.2, -1.0, 0.3, 0.1]
+    dates = [dt.date(2020, 1, 1) + dt.timedelta(days=i) for i in range(len(xs))]
+    df = spark.createDataFrame(list(zip(dates, xs)), "d date, r double")
+    got = [r["r"] for r in stats.to_drawdowns(df).orderBy("d").collect()]
+
+    want, cum, peak = [], 1.0, -math.inf
+    for v in xs:
+        cum *= 1 + v
+        peak = max(peak, cum)
+        ratio = cum / peak - 1 if peak != 0 else math.nan
+        want.append(min(ratio, 0.0) if not math.isnan(ratio) else math.nan)
+    for g, w in zip(got, want):
+        _close(g, w)
