@@ -70,6 +70,16 @@ def minhash_signature_cols(k: int = MINHASH_K) -> list:
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
+    """Per-document K min-hashes via explode + groupBy.
+
+    Measured note: the shuffle-free alternative (``array_min`` over
+    ``transform`` on the shingle array) is ~10× SLOWER despite avoiding the
+    shuffle — higher-order array functions run interpreted outside
+    whole-stage codegen and re-evaluate the shingle pipeline per hash
+    column, while explode + hash-aggregate stays fully codegen'd. The
+    shuffle carries (id, shingle) pairs with map-side combine and is the
+    faster plan at every scale tested.
+    """
     exploded = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
     )
