@@ -705,6 +705,39 @@ SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_bands
 FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 GROUP BY 1, 2""")
 
+    # Streaming LSH dedup: same band semantics as dedup_lsh_candidates but
+    # through Structured Streaming band-signature state — distinct pairs
+    # must match the batch bands exactly, so it gets the full oracle.
+    def _stream_dedup(spark, sf_dir):
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import streaming_dedup_candidates
+
+        src = tempfile.mkdtemp(prefix="as_stream_dedup_")
+        _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        sq = (
+            streaming_dedup_candidates(stream, max_ids_per_sig=1_000_000)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(600)
+        return spark.table(name).select("id_a", "id_b").distinct()
+
+    add("dedup_streaming_candidates", _stream_dedup, _SHINGLE_CTE + f""",
+sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, b.sig
+  FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""")
+
     # LSH candidates → exact Jaccard verification restricted to candidates
     # (the 100 TB pipeline shape; the all-pairs exact join below is the
     # verification-scale baseline)

@@ -11,6 +11,7 @@ from alphastats_spark.streaming.metrics import (
     STREAM_METRICS,
     rolling_metrics,
     session_metrics,
+    streaming_dedup_candidates,
     streaming_drawdowns,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "STREAM_METRICS",
     "rolling_metrics",
     "session_metrics",
+    "streaming_dedup_candidates",
     "streaming_drawdowns",
 ]

@@ -224,3 +224,89 @@ def session_metrics(
         F.col("__sw.start").alias("session_start"),
         *[F.col(c) for c in out.columns if c not in (key_col, "__sw")],
     )
+
+
+def streaming_dedup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    max_ids_per_sig: int = 32,
+) -> DataFrame:
+    """Cross-batch near-duplicate candidates over a document stream.
+
+    MinHash band signatures are computed PER ROW (``array_min`` over the
+    shingle array — no shuffle, which matters because a streaming query
+    admits only one stateful operator and this op spends it on the band
+    state). Each (band, signature) key keeps the ids seen so far in group
+    state; a new arrival emits one candidate pair per stored id. State per
+    key is capped at ``max_ids_per_sig`` ids — hot boilerplate signatures
+    stop emitting rather than growing state unboundedly (the same skew
+    trade as the batch hot-shingle cap).
+
+    Output: (id_a, id_b, band) with id_a < id_b; pairs can repeat across
+    bands/batches — dedupe downstream (e.g. in the sink or a batch pass).
+    """
+    from alphastats_spark.functions.dedup import shingles
+
+    sh = shingles(F.col(text_col))
+
+    def mh(j: int) -> Column:
+        prefix = f"seed{j}:"
+        # unary lambda — F.transform would pass the array index to a 2-arg one
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+    n_bands = k // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[mh(b * rows_per_band + r) for r in range(rows_per_band)]).alias(
+                "sig"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    banded = (
+        df.where(F.size(sh) > 0)
+        .select(F.col(id_col).cast("long").alias("__id"), F.explode(F.array(*band_structs)).alias("b"))
+        .select(
+            F.concat_ws("#", F.col("b.band").cast("string"), F.col("b.sig")).alias("__key"),
+            F.col("b.band").alias("__band"),
+            F.col("__id"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("ids", T.ArrayType(T.LongType()))])
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        stored: list[int] = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        new_ids = sorted(int(x) for x in batch["__id"].unique())
+        band = int(batch["__band"].iloc[0]) if len(batch) else 0
+        pairs = []
+        for nid in new_ids:
+            if nid in stored:
+                continue
+            for sid in stored:
+                pairs.append((min(sid, nid), max(sid, nid), band))
+            if len(stored) < max_ids_per_sig:
+                stored.append(nid)
+        state.update(([int(x) for x in stored],))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band"])
+
+    return banded.groupBy("__key").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

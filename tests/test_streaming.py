@@ -201,3 +201,51 @@ def test_session_metrics_stream_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(want) == 15  # 3 users × 5 bursts
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    from alphastats_spark.streaming import streaming_dedup_candidates
+
+    batch1 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about spark engines and data"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (7, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 0
+            (9, "nothing like anything else in this tiny corpus at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "dedup_src")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    sq = (
+        streaming_dedup_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("select * from dedup_stream").collect()
+    }
+    # the exact duplicate arriving in batch 2 pairs with the batch-1 doc
+    # via state that crossed the micro-batch boundary
+    assert (0, 7) in pairs
+    # unrelated docs never collide on a full band
+    assert (3, 9) not in pairs and (0, 3) not in pairs
