@@ -412,6 +412,43 @@ SELECT ROUND((EXP(SUM(LN(1 + r))) - 1) / (COVAR_SAMP(r, b) / VAR_SAMP(b)), {ROUN
 FROM joined
 """)
 
+    # Per-row trailing rolling metrics (overlap-replication window, no
+    # global funnel) vs DuckDB's RANGE-interval window.
+    def _trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.operators.rolling import trailing_metrics
+
+        out = trailing_metrics(
+            load_returns(spark, sf_dir),
+            days=30,
+            metrics={
+                "mean": lambda c, w: F.avg(c).over(w),
+                "volatility": lambda c, w: F.when(
+                    F.count(c).over(w) >= 2,
+                    F.stddev_samp(c).over(w) * F.lit(252.0**0.5),
+                ),
+                "n_obs": lambda c, w: F.count(c).over(w).cast("long"),
+            },
+        )
+        # drop n<2 rows: a null float crosses DuckDB's pandas fetch as NaN,
+        # which the value-hash comparison can't distinguish from a real NaN
+        return _round_df(
+            out.where(F.col("r_n_obs") >= 2).select(
+                F.col("d").cast("string").alias("d"),
+                F.col("r_mean"),
+                F.col("r_volatility"),
+                F.col("r_n_obs"),
+            )
+        )
+
+    add("rolling_trailing_30d", _trailing, f"""{RETURNS_CTE}
+SELECT CAST(d AS VARCHAR) AS d,
+  ROUND(AVG(r) OVER w, {ROUND}) AS r_mean,
+  ROUND(STDDEV_SAMP(r) OVER w * SQRT(252), {ROUND}) AS r_volatility,
+  COUNT(r) OVER w AS r_n_obs
+FROM rets
+WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(r) OVER w >= 2""")
+
     # Multi-asset broadcast: the reference's core structural idiom — one
     # metric call fans out over every numeric column in a single agg pass.
     def _multi_asset(spark: SparkSession, sf_dir: str) -> DataFrame:

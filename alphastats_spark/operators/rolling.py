@@ -1,0 +1,98 @@
+"""Per-row trailing (rolling) window metrics, distributed.
+
+A rolling N-day metric is ``RANGE BETWEEN N-1 PRECEDING AND CURRENT ROW``
+over event time. The naive Spark plan (``Window.orderBy(ts)`` with no
+partition) funnels every row through one task; this module uses **overlap
+replication**: bucket rows into fixed N-day spans (so any trailing window
+crosses at most one bucket boundary), ship a ghost copy of each row to the
+next bucket, run the range window *within* buckets — fully parallel — and
+drop the ghosts on output. Cost: 2× rows through one shuffle, no global
+funnel, exact results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from alphastats_spark import _utils
+from alphastats_spark.exceptions import NoTemporalColumnError
+
+# builders: name -> fn(value_col, window). Every AGGREGATE inside must get
+# its own .over(w) — a composite like avg/stddev cannot take one shared
+# .over() call.
+ROLLING_METRICS: dict[str, Callable[[Column, Window], Column]] = {
+    "mean": lambda c, w: F.avg(c).over(w),
+    "sum": lambda c, w: F.sum(c).over(w),
+    "n_obs": lambda c, w: F.count(c).over(w).cast("long"),
+    # windowed stddev_samp yields NaN (not null) on a 1-row frame — define
+    # n<2 → null so rolling and aggregate volatility semantics agree
+    "volatility": lambda c, w: F.when(
+        F.count(c).over(w) >= 2, F.stddev_samp(c).over(w) * F.lit(252.0**0.5)
+    ),
+    "sharpe": lambda c, w: F.when(
+        F.count(c).over(w) >= 2,
+        F.avg(c).over(w) / F.stddev_samp(c).over(w) * F.lit(252.0**0.5),
+    ),
+    "min": lambda c, w: F.min(c).over(w),
+    "max": lambda c, w: F.max(c).over(w),
+}
+
+
+def trailing_metrics(
+    df: DataFrame,
+    days: int,
+    temporal: str | None = None,
+    cols: list[str] | None = None,
+    metrics: dict[str, Callable[[Column, Window], Column]] | None = None,
+) -> DataFrame:
+    """Per-row trailing ``days``-day metrics for every numeric column.
+
+    Output keeps the input rows (temporal + value columns) plus
+    ``{col}_{metric}`` columns computed over the inclusive trailing window
+    ``[t - days + 1, t]`` in calendar days.
+    """
+    if days < 1:
+        raise ValueError("days must be >= 1")
+    temporal = temporal or _utils.get_temporal_column_name(df)
+    if temporal is None:
+        raise NoTemporalColumnError
+    cols = cols or _utils.numeric_column_names(df)
+    metrics = metrics or ROLLING_METRICS
+
+    ts = F.col(temporal)
+    dtype = dict(df.dtypes)[temporal]
+    day = (
+        F.datediff(ts, F.lit("1970-01-01"))
+        if dtype == "date"
+        else F.floor(F.unix_timestamp(ts) / 86400)
+    ).cast("long")
+
+    base = df.select(
+        ts.alias(temporal),
+        *[F.col(c) for c in cols],
+    ).withColumn("__day", day)
+    # fixed N-day buckets: a trailing N-day window reaches into at most the
+    # previous bucket, so one ghost copy per row suffices
+    native = base.withColumn("__bkt", F.floor(F.col("__day") / days)).withColumn(
+        "__ghost", F.lit(False)
+    )
+    ghost = base.withColumn("__bkt", F.floor(F.col("__day") / days) + 1).withColumn(
+        "__ghost", F.lit(True)
+    )
+    unioned = native.unionByName(ghost)
+
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__day"))
+        .rangeBetween(-(days - 1), 0)
+    )
+    out_cols = [
+        fn(F.col(c), w).alias(f"{c}_{name}")
+        for c in cols
+        for name, fn in metrics.items()
+    ]
+    out = unioned.select("*", *out_cols).where(~F.col("__ghost"))
+    return out.drop("__day", "__bkt", "__ghost")

@@ -169,3 +169,59 @@ def test_drawdown_plan_single_partition_only_on_bucket_totals(spark):
     from alphastats_spark.plans.audit import assert_scales
 
     assert_scales(stats.max_drawdown(df), allow=("single-partition-exchange",))
+
+
+# ---------------------------------------------------------------------------
+# rolling (trailing-window) metrics
+
+
+def test_trailing_metrics_match_naive_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from alphastats_spark.operators.rolling import trailing_metrics
+
+    rng = random.Random(3)
+    # 120 days with gaps (weekends missing) across several 30-day buckets
+    rows = []
+    for i in range(120):
+        if i % 7 in (5, 6):
+            continue
+        rows.append((dt.date(2023, 1, 1) + dt.timedelta(days=i), rng.gauss(0.001, 0.02)))
+    df = spark.createDataFrame(rows, "d date, r double")
+
+    got = {
+        r["d"]: (r["r_mean"], r["r_volatility"], r["r_n_obs"])
+        for r in trailing_metrics(df, days=30, metrics=None).collect()
+    }
+
+    day = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(day).rangeBetween(-29, 0)
+    naive = df.select(
+        "d",
+        F.avg("r").over(w).alias("m"),
+        (F.stddev_samp("r").over(w) * F.lit(252.0**0.5)).alias("v"),
+        F.count("r").over(w).cast("long").alias("n"),
+    )
+    want = {r["d"]: (r["m"], r["v"], r["n"]) for r in naive.collect()}
+    assert set(got) == set(want)
+    for d in want:
+        for g, w_ in zip(got[d], want[d]):
+            if g is None or w_ is None:
+                assert g is None and w_ is None, d
+            else:
+                assert g == pytest.approx(w_, rel=1e-12), d
+
+
+def test_trailing_metrics_plan_is_partitioned(spark):
+    from alphastats_spark import plans
+    from alphastats_spark.operators.rolling import trailing_metrics
+
+    df = spark.createDataFrame(
+        list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02])), "d date, r double"
+    )
+    out = trailing_metrics(df, days=30)
+    kinds = {f.kind for f in plans.audit(out)}
+    # the rolling window partitions by bucket — no global funnel
+    assert "single-partition-exchange" not in kinds
