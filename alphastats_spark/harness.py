@@ -153,6 +153,8 @@ def build_registry():
         _scalar_sql("AVG(r - 0.0001) / STDDEV_SAMP(r - 0.0001) * SQRT(252)"))
     add("sortino", _metric_query(stats.sortino),
         _scalar_sql("AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252)"))
+    add("adjusted_sortino", _metric_query(stats.adjusted_sortino),
+        _scalar_sql("AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) / SQRT(2)"))
     add("volatility", _metric_query(stats.volatility),
         _scalar_sql("STDDEV_SAMP(r) * SQRT(252)"))
     add("exposure", _metric_query(stats.exposure),
@@ -340,6 +342,38 @@ SELECT ROUND(SUM(CASE WHEN mr > 0 THEN 1 ELSE 0 END) * 1.0
 SELECT ROUND(SUM(CASE WHEN qr > 0 THEN 1 ELSE 0 END) * 1.0
            / SUM(CASE WHEN qr <> 0 THEN 1 ELSE 0 END), {ROUND}) AS value FROM qtr
 """)
+    add("expected_daily", _metric_query(stats.expected_daily),
+        _scalar_sql("POW(EXP(SUM(LN(1 + r))), 1.0 / COUNT(r)) - 1"))
+    add("expected_yearly", _metric_query(stats.expected_yearly), RETURNS_CTE + f"""
+, yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
+SELECT ROUND(POW(EXP(SUM(LN(1 + yr))), 1.0 / COUNT(yr)) - 1, {ROUND}) AS value FROM yearly
+""")
+    add("best_day", _metric_query(stats.best_day), _scalar_sql("MAX(r)"))
+    add("worst_day", _metric_query(stats.worst_day), _scalar_sql("MIN(r)"))
+    add("best_year", _metric_query(stats.best_year), RETURNS_CTE + f"""
+, yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
+SELECT ROUND(MAX(yr), {ROUND}) AS value FROM yearly
+""")
+    add("worst_month", _metric_query(stats.worst_month), RETURNS_CTE + f"""
+, monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d))
+SELECT ROUND(MIN(mr), {ROUND}) AS value FROM monthly
+""")
+    add("avg_up_month", _metric_query(stats.avg_up_month), RETURNS_CTE + f"""
+, monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d))
+SELECT ROUND(AVG(CASE WHEN mr > 0 THEN mr END), {ROUND}) AS value FROM monthly
+""")
+    add("avg_down_month", _metric_query(stats.avg_down_month), RETURNS_CTE + f"""
+, monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d))
+SELECT ROUND(AVG(CASE WHEN mr < 0 THEN mr END), {ROUND}) AS value FROM monthly
+""")
+    add("win_days", _metric_query(stats.win_days), _scalar_sql(
+        "SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0 / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END)"
+    ))
+    add("win_year", _metric_query(stats.win_year), RETURNS_CTE + f"""
+, yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
+SELECT ROUND(SUM(CASE WHEN yr > 0 THEN 1 ELSE 0 END) * 1.0
+           / SUM(CASE WHEN yr <> 0 THEN 1 ELSE 0 END), {ROUND}) AS value FROM yearly
+""")
     add("mtd", _metric_query(stats.mtd), RETURNS_CTE + f"""
 , mx AS (SELECT MAX(d) AS md FROM rets)
 SELECT ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS value
@@ -501,6 +535,21 @@ penalty AS (
         f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND("
         f"(SELECT AVG(r) / STDDEV_SAMP(r) * SQRT(252) FROM rets) / p, {ROUND}) AS value "
         "FROM penalty")
+    add("smart_sortino",
+        lambda spark, sf_dir: _round_df(
+            stats.smart_sortino(load_returns(spark, sf_dir)).select(F.col("r").alias("value"))
+        ),
+        f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND("
+        f"(SELECT AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) FROM rets) / p, "
+        f"{ROUND}) AS value FROM penalty")
+    add("smart_adjusted_sortino",
+        lambda spark, sf_dir: _round_df(
+            stats.smart_adjusted_sortino(load_returns(spark, sf_dir))
+            .select(F.col("r").alias("value"))
+        ),
+        f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND("
+        f"(SELECT AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) FROM rets) / p "
+        f"/ SQRT(2), {ROUND}) AS value FROM penalty")
     add("report_basic",
         lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
             load_returns(spark, sf_dir), display=False, mode="basic"
