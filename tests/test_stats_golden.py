@@ -360,3 +360,25 @@ class TestErrors:
         )
         with pytest.raises(AmbiguousBenchmarkReturnsError):
             stats.greeks(simple_returns_df, bench)
+
+
+class TestAliases:
+    def test_reference_aliases_point_at_targets(self, spark):
+        """The reference export list's aliases (SURVEY §2.8) must be the
+        same callables as their targets (psr delegates — the reference
+        re-declares its defaults, reference ``stats.py:326``)."""
+        import pandas as pd
+
+        from alphastats_spark import stats as s
+
+        assert s.geometric_mean is s.expected_return
+        series = pd.Series([0.01, -0.02, 0.03, 0.015, -0.005])
+        assert s.psr(series) == s.probabilistic_sharpe_ratio(series)
+        assert s.ror is s.risk_of_ruin
+        assert s.var is s.value_at_risk
+        assert s.cvar is s.conditional_value_at_risk
+        assert s.expected_shortfall is s.conditional_value_at_risk
+        assert s.gain_to_pain_ratio_monthly is s.gain_to_pain_ratio_1m
+        assert s.sortino_sqrt2 is s.adjusted_sortino
+        assert s.smart_sortino_sqrt2 is s.smart_adjusted_sortino
+        assert s.r2 is s.r_squared
