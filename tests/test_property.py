@@ -32,6 +32,20 @@ series_strategy = st.lists(ret_value, min_size=3, max_size=40).filter(
     lambda xs: sum(v is not None for v in xs) >= 3
 )
 
+
+def _meaningful_spread(xs):
+    """Exclude near-constant series whose variance sits at double-precision
+    noise (spread < 1e-12 of magnitude): mean/std ratios there are garbage
+    digits in ANY algorithm, so there is no correct answer to compare."""
+    import statistics
+
+    vals = [v for v in xs if v is not None]
+    scale = max(1.0, max(abs(v) for v in vals))
+    return len(set(vals)) == 1 or statistics.pstdev(vals) >= 1e-12 * scale
+
+
+ratio_series = series_strategy.filter(_meaningful_spread)
+
 SETTINGS = settings(
     max_examples=25,
     deadline=None,
@@ -64,8 +78,13 @@ def py_sharpe(vals, periods=252):
     mean = sum(vals) / n
     if n < 2:
         return math.nan
-    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
-    sd = math.sqrt(var)
+    if len(set(vals)) == 1:
+        # exactly-constant series: sd is exactly 0 (the naive Σ(v−mean)²
+        # would pick up a 1-ulp mean error that Spark's stable moments don't)
+        mean, sd = vals[0], 0.0
+    else:
+        var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+        sd = math.sqrt(var)
     if sd == 0:
         return math.inf if mean > 0 else (-math.inf if mean < 0 else math.nan)
     return mean / sd * math.sqrt(periods)
@@ -107,7 +126,7 @@ def test_comp_random(spark, xs):
 
 
 @SETTINGS
-@given(xs=series_strategy)
+@given(xs=ratio_series)
 def test_sharpe_random(spark, xs):
     import pandas as pd
 
@@ -116,7 +135,7 @@ def test_sharpe_random(spark, xs):
 
 
 @SETTINGS
-@given(xs=series_strategy)
+@given(xs=ratio_series)
 def test_sortino_random(spark, xs):
     import pandas as pd
 
