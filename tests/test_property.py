@@ -49,6 +49,9 @@ ratio_series = series_strategy.filter(_meaningful_spread)
 SETTINGS = settings(
     max_examples=25,
     deadline=None,
+    # deterministic examples: an unseeded draw could fail the CI gate on a
+    # fresh degenerate input unrelated to the change under test
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
