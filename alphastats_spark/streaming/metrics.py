@@ -58,18 +58,21 @@ def rolling_metrics(
     watermark: str | None = None,
     metrics: dict[str, Callable[[Column], Column]] | None = None,
     start_time: str | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Windowed metric aggregation; works identically on batch and
     streaming frames (the batch path is how semantics are tested).
 
-    Output: one row per event-time window with ``{col}_{metric}`` columns.
-    With a ``watermark`` on a streaming frame, append-mode sinks emit each
-    window once it is closed.
+    Output: one row per event-time window (× key when ``key_cols`` is
+    given — the multi-asset long-frame shape) with ``{col}_{metric}``
+    columns. With a ``watermark`` on a streaming frame, append-mode sinks
+    emit each window once it is closed.
     """
     temporal = temporal or _utils.get_temporal_column_name(df)
     if temporal is None:
         raise NoTemporalColumnError
-    cols = cols or _utils.numeric_column_names(df)
+    key_cols = key_cols or []
+    cols = cols or [c for c in _utils.numeric_column_names(df) if c not in key_cols]
     metrics = metrics or STREAM_METRICS
 
     ts = F.col(temporal).cast("timestamp")
@@ -83,10 +86,11 @@ def rolling_metrics(
     aggs = [
         fn(F.col(c)).alias(f"{c}_{name}") for c in cols for name, fn in metrics.items()
     ]
-    out = df.groupBy(win.alias("__win")).agg(*aggs)
+    out = df.groupBy(win.alias("__win"), *[F.col(k) for k in key_cols]).agg(*aggs)
     return out.select(
         F.col("__win.start").alias("window_start"),
         F.col("__win.end").alias("window_end"),
+        *[F.col(k) for k in key_cols],
         *[F.col(f"{c}_{name}") for c in cols for name in metrics],
     )
 

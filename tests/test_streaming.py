@@ -249,3 +249,27 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     assert (0, 7) in pairs
     # unrelated docs never collide on a full band
     assert (3, 9) not in pairs and (0, 3) not in pairs
+
+
+def test_rolling_metrics_keyed(spark):
+    # multi-asset long frame: per-key windows match per-asset single runs
+    rows = []
+    for sym, sign in (("A", 1), ("B", -1)):
+        for d, r in zip(DATES_10, RET_10):
+            rows.append((sym, d, sign * r))
+    df = spark.createDataFrame(rows, "sym string, d date, r double")
+    out = rolling_metrics(
+        df, "5 days", start_time="4 days", key_cols=["sym"]
+    ).collect()
+    assert len(out) == 4  # 2 windows × 2 keys
+    by = {(r["sym"], r["window_start"]): r for r in out}
+
+    for sym, sign in (("A", 1), ("B", -1)):
+        single = spark.createDataFrame(
+            [(d, sign * r) for d, r in zip(DATES_10, RET_10)], "d date, r double"
+        )
+        want = rolling_metrics(single, "5 days", start_time="4 days").collect()
+        for w in want:
+            g = by[(sym, w["window_start"])]
+            assert g["r_comp"] == pytest.approx(w["r_comp"], rel=1e-12)
+            assert g["r_n_obs"] == w["r_n_obs"]
