@@ -310,9 +310,13 @@ eps AS (
     # ---- calendar & trailing windows -------------------------------------
     add("monthly_returns",
         lambda spark, sf_dir: _round_df(
-            stats._simple_returns(load_returns(spark, sf_dir), "month", True)[0]
-            .select(F.col("__g_year").cast("bigint").alias("y"),
-                    F.col("__g_sub").cast("bigint").alias("m"),
+            stats._simple_returns(
+                load_returns(spark, sf_dir), "month", True, keep_order=True
+            )[0]
+            # __g_ord = min(d) within the (year, month) group, so its
+            # year/month ARE the group keys
+            .select(F.year("__g_ord").cast("bigint").alias("y"),
+                    F.month("__g_ord").cast("bigint").alias("m"),
                     F.col("r").alias("monthly_return"))
         ),
         RETURNS_CTE + f"""

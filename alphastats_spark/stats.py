@@ -469,7 +469,9 @@ def consecutive_losses(returns, aggregate: str | None = None, compounded: bool =
 
 def _streaks(returns, aggregate: str | None, compounded: bool, winning: bool):
     df, scalar_mode = to_returns_df(returns)
-    base, order_cols = _simple_returns(df, aggregate, compounded, keep_temporal=True)
+    base, order_cols = _simple_returns(
+        df, aggregate, compounded, keep_temporal=True, keep_order=True
+    )
     cols = numeric_column_names(base)
     base = _with_order_for(base, order_cols)
     values = islands.longest_streaks(base, cols, winning=winning)
@@ -755,18 +757,27 @@ def treynor_ratio(returns, benchmark, rf: float = 0.0):
 # ---------------------------------------------------------------------------
 # calendar aggregation & trailing windows (reference stats.py §2.5)
 
-_GROUP_ORDER_COLS = ("__g_year", "__g_sub")
+_GROUP_ORDER_COL = "__g_ord"
 
 
 def _simple_returns(
-    df: DataFrame, aggregate: str | None, compounded: bool, keep_temporal: bool = False
+    df: DataFrame,
+    aggregate: str | None,
+    compounded: bool,
+    keep_temporal: bool = False,
+    keep_order: bool = False,
 ) -> tuple[DataFrame, list[str]]:
     """Calendar re-bucketing (reference ``_simple_returns``, ``stats.py:736-774``).
 
     Rows are re-aggregated per (year, week|month|quarter) with compounded or
-    summed returns. Ordering is restored by sorting on the group keys
-    (replacing Polars ``maintain_order=True``) — the returned order columns
-    let order-dependent consumers (streaks) re-establish it.
+    summed returns. The output contains ONLY the numeric return columns
+    (matching the reference's trailing ``.select(return_col_names)``) unless
+    ``keep_order=True``, which additionally emits ``__g_ord`` — the group's
+    first timestamp, i.e. first-appearance order for a date-sorted input
+    (replacing Polars ``maintain_order=True``; min-of-temporal rather than
+    the (year, sub) tuple so ISO weeks 52/53 spanning a year boundary keep
+    their first-appearance position). Order-dependent consumers (streaks)
+    use it to re-establish row order.
     """
     cols = numeric_column_names(df)
     if aggregate is None or "day" in aggregate.lower():
@@ -794,16 +805,16 @@ def _simple_returns(
     per_col = [
         (X.comp(F.col(c)) if compounded else F.sum(F.col(c))).alias(c) for c in cols
     ]
-    out = df.groupBy(*groups).agg(*per_col)
-    return out.select(*_GROUP_ORDER_COLS, *cols), list(_GROUP_ORDER_COLS)
+    out = df.groupBy(*groups).agg(
+        F.min(ts).alias(_GROUP_ORDER_COL), *per_col
+    )
+    if keep_order:
+        return out.select(_GROUP_ORDER_COL, *cols), [_GROUP_ORDER_COL]
+    return out.select(*cols), []
 
 
 def _with_order_for(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Attach ORDER/BUCKET columns for a (possibly calendar-aggregated) frame."""
-    if order_cols == list(_GROUP_ORDER_COLS):
-        return df.withColumn(
-            ordered.ORDER_COL, F.struct(*[F.col(c) for c in order_cols])
-        ).withColumn(ordered.BUCKET_COL, F.col(order_cols[0]).cast("long"))
     temporal = order_cols[0] if order_cols else None
     return ordered.with_order(df, temporal)
 

@@ -382,3 +382,49 @@ class TestAliases:
         assert s.sortino_sqrt2 is s.adjusted_sortino
         assert s.smart_sortino_sqrt2 is s.smart_adjusted_sortino
         assert s.r2 is s.r_squared
+
+
+class TestCalendarAggregation:
+    def test_aggregated_metric_schema_is_clean(self, spark):
+        """Calendar-aggregated metrics must emit ONLY the return columns —
+        the reference's _simple_returns ends with .select(return_col_names)
+        (reference ``stats.py:772-774``), so e.g. best(df, aggregate='month')
+        is a 1-row × 1-col frame, and row[0] is a return, not a group year."""
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [
+                (dt.date(2021, 1, 4), 0.01),
+                (dt.date(2021, 1, 5), -0.02),
+                (dt.date(2021, 2, 1), 0.03),
+                (dt.date(2021, 3, 1), 0.005),
+            ],
+            "d date, r double",
+        )
+        out = stats.best(df, aggregate="month")
+        assert out.columns == ["r"]
+        assert abs(out.first()[0]) < 1.0  # a return, not a year
+        assert stats.gain_to_pain_ratio_1m(df).columns == ["r"]
+        assert stats.expected_monthly(df).columns == ["r"]
+
+    def test_weekly_first_appearance_order(self, spark):
+        """Week-aggregated streaks must follow first-appearance order:
+        early-January rows belonging to ISO week 52/53 of the prior year
+        sort by their first date, not by the (calendar-year, 53) tuple
+        (reference maintain_order=True, ``stats.py:749-761``)."""
+        import datetime as dt
+
+        # 2022-01-01 is ISO week 52 (of 2021); with calendar-year grouping it
+        # gets key (2022, 52), which a (year, week)-tuple sort would place
+        # AFTER (2022, 1)... breaking the win streak. First-appearance order
+        # keeps it first: weeks = [+, +, -] -> longest win streak 2.
+        df = spark.createDataFrame(
+            [
+                (dt.date(2022, 1, 1), 0.01),   # ISO week 52 -> group (2022, 52)
+                (dt.date(2022, 1, 4), 0.02),   # ISO week 1  -> group (2022, 1)
+                (dt.date(2022, 1, 11), -0.02), # ISO week 2  -> group (2022, 2)
+            ],
+            "d date, r double",
+        )
+        res = stats.consecutive_wins(df, aggregate="week")
+        assert res.first()[0] == 2
