@@ -208,37 +208,47 @@ def gain_to_pain_ratio(c: Column, rf: float = 0.0) -> Column:
     return fdiv(F.sum(r), downside)
 
 
-def common_sense_ratio(c: Column) -> Column:
-    """Profit factor × tail ratio (reference ``stats.py:1059-1071``).
-
-    Exact linear-interpolation percentile for parity (not approx_percentile);
-    see ``tail_ratio`` for the scale note.
-    """
-    return profit_factor(c) * tail_ratio(c)
-
-
-def tail_ratio(c: Column, cutoff: float = 0.95) -> Column:
-    """|q_cutoff| / |q_{1−cutoff}| (reference ``stats.py:1082-1092``).
+def percentile(c: Column, q: float, exact: bool = True, accuracy: int = 10000) -> Column:
+    """Percentile aggregate: exact by default for reference parity, approx
+    on request for extreme scale.
 
     ``F.percentile`` is exact (sort-based linear interpolation, matching
-    Polars ``interpolation="linear"``). At extreme scale flip to
-    ``F.approx_percentile`` via ``stats.tail_ratio(..., exact=False)``.
+    Polars ``interpolation="linear"``, reference ``stats.py:1068-1090``) but
+    buffers the group server-side; ``exact=False`` switches to
+    ``F.approx_percentile`` (KLL-sketch, bounded memory, mergeable partial
+    aggregation) — the difference between feasible and not at 100 TB.
     """
-    hi = F.abs(F.percentile(c, F.lit(float(cutoff))))
-    lo = F.abs(F.percentile(c, F.lit(float(1 - cutoff))))
+    if exact:
+        return F.percentile(c, F.lit(float(q)))
+    return F.approx_percentile(c, F.lit(float(q)), F.lit(int(accuracy)))
+
+
+def common_sense_ratio(c: Column, exact: bool = True) -> Column:
+    """Profit factor × tail ratio (reference ``stats.py:1059-1071``).
+
+    Exact linear-interpolation percentile by default for parity; see
+    ``percentile`` for the ``exact=False`` scale path.
+    """
+    return profit_factor(c) * tail_ratio(c, exact=exact)
+
+
+def tail_ratio(c: Column, cutoff: float = 0.95, exact: bool = True) -> Column:
+    """|q_cutoff| / |q_{1−cutoff}| (reference ``stats.py:1082-1092``)."""
+    hi = F.abs(percentile(c, cutoff, exact))
+    lo = F.abs(percentile(c, 1 - cutoff, exact))
     return fdiv(hi, lo)
 
 
-def outlier_win_ratio(c: Column, quantile: float = 0.99) -> Column:
+def outlier_win_ratio(c: Column, quantile: float = 0.99, exact: bool = True) -> Column:
     """q99 / mean(r≥0) (reference ``stats.py:1105-1114``)."""
     positive_mean = F.mean(when_pl(c >= 0, c, None))
-    return fdiv(F.percentile(c, F.lit(float(quantile))), positive_mean)
+    return fdiv(percentile(c, quantile, exact), positive_mean)
 
 
-def outlier_loss_ratio(c: Column, quantile: float = 0.01) -> Column:
+def outlier_loss_ratio(c: Column, quantile: float = 0.01, exact: bool = True) -> Column:
     """q01 / mean(r<0) (reference ``stats.py:1127-1136``)."""
     negative_mean = F.mean(when_pl(c < 0, c, None))
-    return fdiv(F.percentile(c, F.lit(float(quantile))), negative_mean)
+    return fdiv(percentile(c, quantile, exact), negative_mean)
 
 
 def kelly_criterion(c: Column) -> Column:

@@ -227,33 +227,50 @@ def gain_to_pain_ratio_1m(returns, rf: float = 0.0):
 gain_to_pain_ratio_monthly = gain_to_pain_ratio_1m
 
 
-def common_sense_ratio(returns):
-    """Profit factor × tail ratio (reference ``stats.py:1059-1071``)."""
-    df, scalar_mode = to_returns_df(returns)
-    return _agg_result(df, numeric_column_names(df), X.common_sense_ratio, scalar_mode)
+def common_sense_ratio(returns, exact: bool = True):
+    """Profit factor × tail ratio (reference ``stats.py:1059-1071``).
 
-
-def tail_ratio(returns, cutoff: float = 0.95):
-    """|q_cutoff| / |q_{1−cutoff}| (reference ``stats.py:1082-1092``)."""
+    ``exact=False`` switches the embedded percentiles to approx_percentile
+    (bounded-memory sketch) for extreme scale; default is the reference's
+    exact linear interpolation.
+    """
     df, scalar_mode = to_returns_df(returns)
     return _agg_result(
-        df, numeric_column_names(df), lambda c: X.tail_ratio(c, cutoff), scalar_mode
+        df, numeric_column_names(df), lambda c: X.common_sense_ratio(c, exact), scalar_mode
     )
 
 
-def outlier_win_ratio(returns, quantile: float = 0.99):
+def tail_ratio(returns, cutoff: float = 0.95, exact: bool = True):
+    """|q_cutoff| / |q_{1−cutoff}| (reference ``stats.py:1082-1092``).
+
+    ``exact=False`` uses approx_percentile (mergeable KLL sketch) instead of
+    the exact sort-based percentile — required at 100 TB scale.
+    """
+    df, scalar_mode = to_returns_df(returns)
+    return _agg_result(
+        df, numeric_column_names(df), lambda c: X.tail_ratio(c, cutoff, exact), scalar_mode
+    )
+
+
+def outlier_win_ratio(returns, quantile: float = 0.99, exact: bool = True):
     """q99 / mean(r≥0) (reference ``stats.py:1105-1114``)."""
     df, scalar_mode = to_returns_df(returns)
     return _agg_result(
-        df, numeric_column_names(df), lambda c: X.outlier_win_ratio(c, quantile), scalar_mode
+        df,
+        numeric_column_names(df),
+        lambda c: X.outlier_win_ratio(c, quantile, exact),
+        scalar_mode,
     )
 
 
-def outlier_loss_ratio(returns, quantile: float = 0.01):
+def outlier_loss_ratio(returns, quantile: float = 0.01, exact: bool = True):
     """q01 / mean(r<0) (reference ``stats.py:1127-1136``)."""
     df, scalar_mode = to_returns_df(returns)
     return _agg_result(
-        df, numeric_column_names(df), lambda c: X.outlier_loss_ratio(c, quantile), scalar_mode
+        df,
+        numeric_column_names(df),
+        lambda c: X.outlier_loss_ratio(c, quantile, exact),
+        scalar_mode,
     )
 
 

@@ -428,3 +428,33 @@ class TestCalendarAggregation:
         )
         res = stats.consecutive_wins(df, aggregate="week")
         assert res.first()[0] == 2
+
+
+class TestApproxPercentilePath:
+    def test_exact_default_matches_and_approx_close(self, spark, simple_returns_series):
+        """exact=True (default) is the parity path; exact=False flips to
+        approx_percentile and must agree closely on a small series (the
+        sketch is exact for tiny inputs at default accuracy)."""
+        exact_v = stats.tail_ratio(simple_returns_series)
+        approx_v = stats.tail_ratio(simple_returns_series, exact=False)
+        assert approx_v == pytest.approx(exact_v, rel=0.15)
+
+        for fn in (stats.common_sense_ratio, stats.outlier_win_ratio, stats.outlier_loss_ratio):
+            assert fn(simple_returns_series, exact=False) == pytest.approx(
+                fn(simple_returns_series), rel=0.25
+            )
+
+    def test_approx_plan_has_no_exact_percentile(self, spark):
+        """The approx path must not contain the exact sort-based percentile
+        aggregate in its physical plan."""
+        df = spark.range(1000).select((F_col_rand()).alias("r"))
+        plan_exact = stats.tail_ratio(df)._jdf.queryExecution().executedPlan().toString()
+        plan_approx = stats.tail_ratio(df, exact=False)._jdf.queryExecution().executedPlan().toString()
+        assert "approx_percentile" not in plan_exact
+        assert "approx_percentile" in plan_approx
+
+
+def F_col_rand():
+    from pyspark.sql import functions as F
+
+    return F.rand(seed=7) - 0.5
