@@ -621,6 +621,65 @@ def _add_streaming(add) -> None:
         f"{RETURNS_CTE}{DD_CTE}\nSELECT CAST(d AS VARCHAR) AS d, ROUND(dd, {ROUND}) AS dd FROM dds",
     )
 
+    # Keyed variant — the 100 TB shape: state and work partition across
+    # asset keys, so no single state group funnels the whole stream. The
+    # keyless query above matches the reference's single-series semantics
+    # and is documented small-scale-only.
+    def _stream_dd_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import streaming_drawdowns
+
+        long_df = (
+            load_returns(spark, sf_dir).select(F.lit("a").alias("asset"), "d", "r")
+            .unionByName(
+                load_benchmark(spark, sf_dir).select(
+                    F.lit("b").alias("asset"), "d", F.col("b").alias("r")
+                )
+            )
+        )
+        src = tempfile.mkdtemp(prefix="as_stream_ddk_")
+        long_df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("asset string, d date, r double").parquet(src)
+        name = f"stream_ddk_{uuid.uuid4().hex[:8]}"
+        sq = (
+            streaming_drawdowns(stream, key_col="asset", temporal="d")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(600)
+        return _round_df(
+            spark.table(name).select(
+                "asset", F.col("d").cast("string").alias("d"), F.col("r_dd").alias("dd")
+            )
+        )
+
+    add(
+        "streaming_drawdowns_keyed",
+        _stream_dd_keyed,
+        f"""{RETURNS_CTE}{BENCH_CTE},
+long_f AS (
+  SELECT 'a' AS asset, d, r FROM rets
+  UNION ALL
+  SELECT 'b' AS asset, d, b AS r FROM bres
+),
+kwealth AS (
+  SELECT asset, d, r,
+         EXP(SUM(LN(1 + r)) OVER (PARTITION BY asset ORDER BY d)) AS w
+  FROM long_f
+),
+kdds AS (
+  SELECT asset, d,
+         LEAST(w / MAX(w) OVER (PARTITION BY asset ORDER BY d) - 1, 0) AS dd
+  FROM kwealth
+)
+SELECT asset, CAST(d AS VARCHAR) AS d, ROUND(dd, {ROUND}) AS dd FROM kdds""",
+    )
+
     def _rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         from alphastats_spark.streaming import rolling_metrics
 

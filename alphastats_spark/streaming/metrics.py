@@ -144,6 +144,8 @@ def streaming_drawdowns(
     state_schema = T.StructType(state_fields)
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
         if state.exists:
             st = list(state.get)
         else:
@@ -154,29 +156,38 @@ def streaming_drawdowns(
 
         out = {group_col: [key[0]] * len(batch), temporal: batch[temporal]}
         for i, c in enumerate(cols):
+            # Vectorized log-space fold: cumsum + maximum.accumulate over the
+            # whole Arrow batch (the per-row Python loop was the one
+            # Python-per-row hot spot left in the streaming path). Null rows
+            # contribute nothing to any prefix and emit NaN drawdowns —
+            # identical semantics to the batch operator's null-skipping
+            # prefix sums (operators/ordered.py add_drawdown_columns).
             ls, neg, zero, peak = st[4 * i : 4 * i + 4]
-            vals = batch[c].to_numpy()
-            dds = []
-            for v in vals:
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    dds.append(None)
-                    continue
-                factor = 1.0 + float(v)
-                if factor == 0.0:
-                    zero += 1
-                else:
-                    if factor < 0:
-                        neg += 1
-                    ls += math.log(abs(factor))
-                wealth = (
-                    0.0
-                    if zero > 0
-                    else math.exp(ls) * (-1.0 if neg % 2 else 1.0)
-                )
-                peak = max(peak, wealth)
-                ratio = wealth / peak - 1 if peak != 0 else math.nan
-                dds.append(min(ratio, 0.0) if not math.isnan(ratio) else math.nan)
-            st[4 * i : 4 * i + 4] = [ls, neg, zero, peak]
+            vals = batch[c].to_numpy(dtype="float64", na_value=np.nan)
+            isnan = np.isnan(vals)
+            factor = 1.0 + vals
+            is_zero = ~isnan & (factor == 0.0)
+            is_neg = ~isnan & (factor < 0.0)
+            safe = np.where(isnan | is_zero, 1.0, factor)
+            ls_cum = ls + np.cumsum(np.log(np.abs(safe)))
+            neg_cum = neg + np.cumsum(is_neg.astype(np.int64))
+            zero_cum = zero + np.cumsum(is_zero.astype(np.int64))
+            sign = np.where(neg_cum % 2 == 1, -1.0, 1.0)
+            wealth = np.where(zero_cum > 0, 0.0, np.exp(ls_cum) * sign)
+            # null rows must not advance the running peak
+            peak_cum = np.maximum.accumulate(
+                np.concatenate(([peak], np.where(isnan, -np.inf, wealth)))
+            )[1:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(peak_cum != 0.0, wealth / peak_cum - 1.0, np.nan)
+            dds = np.where(isnan, np.nan, np.minimum(ratio, 0.0))
+            if len(vals):
+                st[4 * i : 4 * i + 4] = [
+                    float(ls_cum[-1]),
+                    int(neg_cum[-1]),
+                    int(zero_cum[-1]),
+                    float(peak_cum[-1]),
+                ]
             out[c] = batch[c]
             out[f"{c}_dd"] = pd.Series(dds, dtype="float64")
 
@@ -299,10 +310,15 @@ def streaming_dedup_candidates(
         for nid in new_ids:
             if nid in stored:
                 continue
+            # At the cap this signature is hot boilerplate: stop BOTH
+            # storage and pair emission (emitting against a frozen stored
+            # set would otherwise keep producing O(cap) pairs per arrival
+            # forever — unbounded output for a skewed key).
+            if len(stored) >= max_ids_per_sig:
+                break
             for sid in stored:
                 pairs.append((min(sid, nid), max(sid, nid), band))
-            if len(stored) < max_ids_per_sig:
-                stored.append(nid)
+            stored.append(nid)
         state.update(([int(x) for x in stored],))
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band"])

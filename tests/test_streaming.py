@@ -273,3 +273,34 @@ def test_rolling_metrics_keyed(spark):
             g = by[(sym, w["window_start"])]
             assert g["r_comp"] == pytest.approx(w["r_comp"], rel=1e-12)
             assert g["r_n_obs"] == w["r_n_obs"]
+
+
+def test_streaming_dedup_cap_stops_emission(spark, tmp_path):
+    """At max_ids_per_sig the signature is hot boilerplate: both storage AND
+    pair emission stop, so a skewed key's output is bounded by O(cap^2),
+    not O(cap x arrivals)."""
+    from alphastats_spark.streaming import streaming_dedup_candidates
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "dedup_cap_src")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    sq = (
+        streaming_dedup_candidates(stream, max_ids_per_sig=3)
+        .writeStream.format("memory")
+        .queryName("dedup_cap_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("select distinct id_a, id_b from dedup_cap_stream").collect()
+    }
+    # only the first 3 ids per signature participate: C(3,2) pairs, never
+    # any pair involving ids 3..5
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
