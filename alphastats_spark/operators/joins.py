@@ -19,7 +19,7 @@ positional horizontal concat when no temporal column exists
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alphastats_spark.operators import ordered
@@ -69,13 +69,21 @@ def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     """Align two frames by row position (reference horizontal concat,
     ``stats.py:451``; reports ``reports.py:373``).
 
-    Row position is derived from input order via a global row_number — this
-    funnels through one task and is intentionally reserved for the
-    reference's small keyless-benchmark case. Frames with a temporal column
+    Row position is derived from input order — ``monotonically_increasing_id``
+    ordered within each input partition plus a per-partition offset computed
+    by the two-phase prefix machinery (``ordered.add_row_index``). No global
+    single-partition window anywhere: the prefix runs parallel across
+    partitions and the offset table is one row per input partition.
+    Positional semantics are only meaningful for order-stable frames (the
+    reference's keyless benchmark series); frames with a temporal column
     take the ``asof_join`` path instead.
     """
-    w = Window.orderBy(F.monotonically_increasing_id())
-    l_idx = left.withColumn("__idx", F.row_number().over(w))
-    r_idx = right.withColumn("__idx", F.row_number().over(w))
-    joined = l_idx.join(r_idx, on="__idx", how="full").drop("__idx")
-    return joined
+
+    def _indexed(df: DataFrame) -> DataFrame:
+        out = ordered.with_order(df, None)
+        out = ordered.add_row_index(out, "__idx")
+        return out.drop(ordered.ORDER_COL, ordered.BUCKET_COL)
+
+    l_idx = _indexed(left)
+    r_idx = _indexed(right)
+    return l_idx.join(r_idx, on="__idx", how="full").drop("__idx")

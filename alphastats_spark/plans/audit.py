@@ -71,10 +71,15 @@ def audit(df: DataFrame) -> list[Finding]:
     for m in re.finditer(r"Exchange SinglePartition[^\n]*", simple):
         # A SinglePartition exchange fed by a partial aggregate is the normal
         # partial→final global-agg pattern: one pre-aggregated row per input
-        # partition crosses the wire. Only raw-row funnels (e.g. a global
-        # Window sort) are scale hazards.
-        below = simple[m.end() : m.end() + 300]
+        # partition crosses the wire. Likewise an aggregate keyed on the
+        # ordered-machinery bucket column (__as_bucket): the rows crossing are
+        # the per-bucket offset table — one row per calendar month / input
+        # partition, the documented two-phase prefix decomposition. Only
+        # raw-row funnels (e.g. a global Window sort) are scale hazards.
+        below = simple[m.end() : m.end() + 600]
         if re.search(r"HashAggregate\(.*partial_", below):
+            continue
+        if re.search(r"HashAggregate\(keys=\[__as_bucket", below):
             continue
         findings.append(Finding("single-partition-exchange", m.group(0)[:160]))
     for m in re.finditer(r"BatchEvalPython[^\n]*", simple):

@@ -225,3 +225,23 @@ def test_trailing_metrics_plan_is_partitioned(spark):
     kinds = {f.kind for f in plans.audit(out)}
     # the rolling window partitions by bucket — no global funnel
     assert "single-partition-exchange" not in kinds
+
+
+def test_positional_join_no_single_partition_funnel(spark):
+    """positional_join must index both sides with the parallel two-phase
+    prefix (per-partition window + tiny offset broadcast), not a global
+    single-partition row_number."""
+    from alphastats_spark.operators.joins import positional_join
+    from alphastats_spark.plans.audit import audit as plan_audit
+
+    left = spark.range(0, 10_000, 1, 8).selectExpr("cast(id as double) as a")
+    right = spark.range(0, 10_000, 1, 8).selectExpr("cast(id as double) as b")
+    joined = positional_join(left, right)
+    findings = [
+        f for f in plan_audit(joined) if f.kind == "single-partition-exchange"
+    ]
+    assert not findings, findings
+    # positional semantics preserved: row i of left meets row i of right
+    row = joined.where("a = 42.0").first()
+    assert row["b"] == 42.0
+    assert joined.count() == 10_000
