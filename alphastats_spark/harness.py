@@ -570,6 +570,112 @@ penalty AS (
         ),
         None)
 
+    # Numeric report: the pre-formatting scalar table, value-hash checked
+    # cell by cell (the string reports above can only be rows-checked —
+    # 2-decimal formatting destroys comparability). PSR is filtered out
+    # solely because DuckDB has no normal-CDF function.
+    def _report_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.reports import metrics
+
+        out = metrics(load_returns(spark, sf_dir), display=False, mode="basic", numeric=True)
+        return _round_df(out.where(F.col("Metric") != "Prob. Sharpe Ratio"))
+
+    report_eps_cte = """,
+repf AS (SELECT d, dd, CASE WHEN dd < 0 THEN 0 ELSE 1 END AS brk FROM dds),
+repi AS (SELECT d, dd, brk, SUM(brk) OVER (ORDER BY d) AS isl FROM repf),
+repeps AS (
+  SELECT isl, MIN(dd) AS min_dd, COUNT(*) AS len
+  FROM repi WHERE brk = 0 GROUP BY isl
+)
+"""
+    add("report_numeric", _report_numeric, RETURNS_CTE + DD_CTE + report_eps_cte + f""",
+mx AS (SELECT MAX(d) AS md FROM rets),
+monthly AS (SELECT SUM(r) AS mr FROM rets GROUP BY YEAR(d), MONTH(d)),
+sc AS (
+  SELECT
+    (SELECT SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(r) FROM rets) AS tim,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets) AS cum,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets) AS cagr_v,
+    (SELECT AVG(r) / STDDEV_SAMP(r) * SQRT(252) FROM rets) AS sharpe_v,
+    (SELECT AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) FROM rets) AS sortino_v,
+    (SELECT SUM(GREATEST(r, 0)) / SUM(GREATEST(-r, 0)) FROM rets) AS omega_v,
+    (SELECT MIN(dd) FROM dds) AS maxdd,
+    (SELECT COALESCE(MAX(len), 0) FROM repeps) AS ldd,
+    (SELECT SUM(r) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM rets) AS g2p,
+    (SELECT SUM(mr) / ABS(SUM(CASE WHEN mr < 0 THEN mr ELSE 0 END)) FROM monthly) AS g2p1m,
+    (SELECT AVG(CASE WHEN r > 0 THEN r END) / ABS(AVG(CASE WHEN r < 0 THEN r END)) FROM rets) AS payoff,
+    (SELECT SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM rets) AS pf,
+    (SELECT ABS(QUANTILE_CONT(r, 0.95)) / ABS(QUANTILE_CONT(r, 0.05)) FROM rets) AS tail,
+    (SELECT (SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)))
+          * (ABS(QUANTILE_CONT(r, 0.95)) / ABS(QUANTILE_CONT(r, 0.05))) FROM rets) AS csr,
+    (SELECT (SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)))
+          * ((SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END))
+             / (ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) / SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END)))
+          * (SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0 / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END))
+     FROM rets) AS cpc,
+    (SELECT QUANTILE_CONT(r, 0.99) / AVG(CASE WHEN r >= 0 THEN r END) FROM rets) AS outw,
+    (SELECT QUANTILE_CONT(r, 0.01) / AVG(CASE WHEN r < 0 THEN r END) FROM rets) AS outl,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx
+      WHERE YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md)) AS w_mtd,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx WHERE d >= md - INTERVAL 3 MONTH) AS w_3m,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx WHERE d >= md - INTERVAL 6 MONTH) AS w_6m,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx WHERE YEAR(d) = YEAR(md)) AS w_ytd,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx WHERE d >= md - INTERVAL 12 MONTH) AS w_1y,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets, mx
+      WHERE d >= md - INTERVAL 36 MONTH) AS w_3y,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets, mx
+      WHERE d >= md - INTERVAL 60 MONTH) AS w_5y,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets, mx
+      WHERE d >= md - INTERVAL 120 MONTH) AS w_10y,
+    (SELECT COALESCE(AVG(min_dd), 0) FROM repeps) AS avg_dd,
+    (SELECT COALESCE(AVG(len), 0) FROM repeps) AS avg_dd_days,
+    (SELECT ABS(SUM(r)) FROM rets) / ABS((SELECT MIN(dd) FROM dds)) AS recov,
+    (SELECT SQRT(SUM(dd * dd) / (COUNT(dd) - 1)) FROM dds) AS ulcer,
+    (SELECT AVG(dd) + ({_Z95!r}) * STDDEV_SAMP(dd) FROM dds) AS ddvar,
+    (SELECT STDDEV_SAMP(r) FROM rets) AS rstd,
+    (SELECT SUM(r) FROM rets) AS rsum
+),
+sc2 AS (
+  SELECT sc.*,
+    COALESCE((SELECT AVG(dd) FROM dds WHERE dd < sc.ddvar), sc.ddvar) AS ddcvar
+  FROM sc
+)
+SELECT Metric, ROUND(Strategy, {ROUND}) AS Strategy FROM (
+  SELECT 'Risk-Free Rate' AS Metric, 0.0 AS Strategy, 1 AS ord FROM sc2
+  UNION ALL SELECT 'Time in Market', tim, 2 FROM sc2
+  UNION ALL SELECT 'Cumulative Return', cum, 3 FROM sc2
+  UNION ALL SELECT 'CAGR﹪', cagr_v, 4 FROM sc2
+  UNION ALL SELECT 'Sharpe', sharpe_v, 5 FROM sc2
+  UNION ALL SELECT 'Sortino', sortino_v, 6 FROM sc2
+  UNION ALL SELECT 'Sortino/√2', sortino_v / SQRT(2), 7 FROM sc2
+  UNION ALL SELECT 'Omega', omega_v, 8 FROM sc2
+  UNION ALL SELECT 'Max Drawdown', maxdd, 9 FROM sc2
+  UNION ALL SELECT 'Longest DD Days', ldd, 10 FROM sc2
+  UNION ALL SELECT 'Gain/Pain Ratio', g2p, 11 FROM sc2
+  UNION ALL SELECT 'Gain/Pain (1M)', g2p1m, 12 FROM sc2
+  UNION ALL SELECT 'Payoff Ratio', payoff, 13 FROM sc2
+  UNION ALL SELECT 'Profit Factor', pf, 14 FROM sc2
+  UNION ALL SELECT 'Common Sense Ratio', csr, 15 FROM sc2
+  UNION ALL SELECT 'CPC Index', cpc, 16 FROM sc2
+  UNION ALL SELECT 'Tail Ratio', tail, 17 FROM sc2
+  UNION ALL SELECT 'Outlier Win Ratio', outw, 18 FROM sc2
+  UNION ALL SELECT 'Outlier Loss Ratio', outl, 19 FROM sc2
+  UNION ALL SELECT 'MTD', w_mtd, 20 FROM sc2
+  UNION ALL SELECT '3M', w_3m, 21 FROM sc2
+  UNION ALL SELECT '6M', w_6m, 22 FROM sc2
+  UNION ALL SELECT 'YTD', w_ytd, 23 FROM sc2
+  UNION ALL SELECT '1Y', w_1y, 24 FROM sc2
+  UNION ALL SELECT '3Y (ann.)', w_3y, 25 FROM sc2
+  UNION ALL SELECT '5Y (ann.)', w_5y, 26 FROM sc2
+  UNION ALL SELECT '10Y (ann.)', w_10y, 27 FROM sc2
+  UNION ALL SELECT 'All-time (ann.)', cagr_v, 28 FROM sc2
+  UNION ALL SELECT 'Avg. Drawdown', avg_dd, 29 FROM sc2
+  UNION ALL SELECT 'Avg. Drawdown Days', avg_dd_days, 30 FROM sc2
+  UNION ALL SELECT 'Recovery Factor', recov, 31 FROM sc2
+  UNION ALL SELECT 'Ulcer Index', ulcer, 32 FROM sc2
+  UNION ALL SELECT 'Serenity Index', rsum / (ulcer * (-ddcvar / rstd)), 33 FROM sc2
+) t ORDER BY ord""")
+
     _add_streaming(add)
     _add_extensions(add)
     return q, o

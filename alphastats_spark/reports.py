@@ -68,9 +68,19 @@ def metrics(
     periods_per_year: int = 252,
     prepare_returns: bool = True,
     match_dates: bool = True,
+    numeric: bool = False,
     **kwargs: Any,
 ):
-    """Build the QuantStats-style performance report (reference ``reports.py:22-290``)."""
+    """Build the QuantStats-style performance report (reference ``reports.py:22-290``).
+
+    ``numeric=True`` (with ``display=False``) returns the pre-formatting
+    scalar table instead of the legacy string table: one ``Metric`` string
+    column plus one ``double`` column per strategy, keeping only rows whose
+    cells are numbers (date rows and benchmark ``"-"`` placeholders are
+    dropped). This is the value-checkable surface — formatting applies
+    2-decimal rounding and renders non-finite as ``"-"``, which destroys
+    hash comparability.
+    """
     del prepare_returns
 
     frame, output_names, benchmark_name, temporal = _prepare_frame(
@@ -369,6 +379,8 @@ def metrics(
 
     rdf.unpersist()
     frame.unpersist()
+    if numeric:
+        return _build_numeric_df(rows, output_names)
     result_rows = [
         (label, {name: _format_value(values.get(name)) for name in output_names})
         for label, values in rows
@@ -664,6 +676,26 @@ def _format_value(value) -> str:
             rounded = 0
         return str(rounded)
     return str(value)
+
+
+def _build_numeric_df(rows, output_names) -> DataFrame:
+    """Pre-formatting scalar table: rows whose every cell is a number."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    data = []
+    for label, values in rows:
+        cells = []
+        for name in output_names:
+            v = values.get(name)
+            if isinstance(v, (str, bool)) or v is None:
+                cells = None
+                break
+            cells.append(float(v))
+        if cells is not None:
+            data.append((label, *cells))
+    schema = ", ".join(["`Metric` string"] + [f"`{n}` double" for n in output_names])
+    return spark.createDataFrame(data, schema)
 
 
 def _build_output_df(rows, output_names) -> DataFrame:

@@ -185,3 +185,24 @@ class TestReportBasic:
         labels, _ = report_dict(daily_df, sep=True)
         assert "" in labels
         assert [l for l in labels if l] == LEGACY_BASIC
+
+
+class TestNumericReport:
+    def test_numeric_basic_rows_and_values(self, spark):
+        """numeric=True returns the pre-formatting scalar table: every
+        LEGACY_BASIC row except the (string) date rows, values unformatted
+        doubles matching the raw stats API."""
+        from alphastats_spark import stats
+
+        df = spark.createDataFrame(list(zip(DATES, DAILY)), "d date, r double")
+        out = reports.metrics(df, display=False, mode="basic", numeric=True)
+        assert out.schema["Metric"].dataType.typeName() == "string"
+        assert out.schema["Strategy"].dataType.typeName() == "double"
+        rows = {r["Metric"]: r["Strategy"] for r in out.collect()}
+        expected_rows = [m for m in LEGACY_BASIC if m not in ("Start Period", "End Period")]
+        assert [r["Metric"] for r in out.collect()] == expected_rows
+        assert rows["Sharpe"] == pytest.approx(stats.sharpe(DAILY), rel=1e-12)
+        assert rows["Cumulative Return"] == pytest.approx(stats.comp(DAILY), rel=1e-12)
+        assert rows["Max Drawdown"] == pytest.approx(stats.max_drawdown(DAILY), rel=1e-12)
+        # unformatted: more precision than the 2-decimal string table
+        assert rows["Sharpe"] != round(rows["Sharpe"], 2)
