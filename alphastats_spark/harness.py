@@ -346,80 +346,95 @@ SELECT ROUND(SUM(CASE WHEN mr > 0 THEN 1 ELSE 0 END) * 1.0
 SELECT ROUND(SUM(CASE WHEN qr > 0 THEN 1 ELSE 0 END) * 1.0
            / SUM(CASE WHEN qr <> 0 THEN 1 ELSE 0 END), {ROUND}) AS value FROM qtr
 """)
-    add("expected_daily", _metric_query(stats.expected_daily),
-        _scalar_sql("POW(EXP(SUM(LN(1 + r))), 1.0 / COUNT(r)) - 1"))
-    add("expected_yearly", _metric_query(stats.expected_yearly), RETURNS_CTE + f"""
-, yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
-SELECT ROUND(POW(EXP(SUM(LN(1 + yr))), 1.0 / COUNT(yr)) - 1, {ROUND}) AS value FROM yearly
+    # Weekly calendar path (reference stats.py:749-761, aliases "w"/"eow"):
+    # group key emitted as the group's first date (first-appearance order).
+    add("weekly_returns",
+        lambda spark, sf_dir: _round_df(
+            stats._simple_returns(
+                load_returns(spark, sf_dir), "week", True, keep_order=True
+            )[0]
+            .select(
+                F.col("__g_ord").cast("string").alias("ws"),
+                F.col("r").alias("weekly_return"),
+            )
+        ),
+        RETURNS_CTE + f"""
+SELECT CAST(MIN(d) AS VARCHAR) AS ws,
+       ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS weekly_return
+FROM rets GROUP BY YEAR(d), WEEKOFYEAR(d)
 """)
-    add("best_day", _metric_query(stats.best_day), _scalar_sql("MAX(r)"))
-    add("worst_day", _metric_query(stats.worst_day), _scalar_sql("MIN(r)"))
-    add("best_year", _metric_query(stats.best_year), RETURNS_CTE + f"""
-, yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
-SELECT ROUND(MAX(yr), {ROUND}) AS value FROM yearly
+
+    # Merged gate queries: one multi-column row exercising every calendar /
+    # trailing wrapper individually (each column is its own stats.* call),
+    # so all wrappers fit inside the driver's correctness window without
+    # burning one query slot per scalar. best_day≡best, worst_day≡worst,
+    # win_days≡win_rate and expected_daily≡expected_return are exact
+    # duplicates of already-gated queries and are not re-registered.
+    def _merged_scalars(parts):
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            rets = load_returns(spark, sf_dir)
+            out = None
+            for name, fn in parts.items():
+                one = fn(rets).select(F.col("r").alias(name))
+                out = one if out is None else out.crossJoin(one)
+            return _round_df(out)
+
+        return q
+
+    add("calendar_summary",
+        _merged_scalars({
+            "expected_yearly": stats.expected_yearly,
+            "best_year": stats.best_year,
+            "worst_month": stats.worst_month,
+            "avg_up_month": stats.avg_up_month,
+            "avg_down_month": stats.avg_down_month,
+            "win_year": stats.win_year,
+        }),
+        RETURNS_CTE + f""",
+monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d)),
+yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
+SELECT
+  ROUND((SELECT POW(EXP(SUM(LN(1 + yr))), 1.0 / COUNT(yr)) - 1 FROM yearly), {ROUND}) AS expected_yearly,
+  ROUND((SELECT MAX(yr) FROM yearly), {ROUND}) AS best_year,
+  ROUND((SELECT MIN(mr) FROM monthly), {ROUND}) AS worst_month,
+  ROUND((SELECT AVG(CASE WHEN mr > 0 THEN mr END) FROM monthly), {ROUND}) AS avg_up_month,
+  ROUND((SELECT AVG(CASE WHEN mr < 0 THEN mr END) FROM monthly), {ROUND}) AS avg_down_month,
+  ROUND((SELECT SUM(CASE WHEN yr > 0 THEN 1 ELSE 0 END) * 1.0
+              / SUM(CASE WHEN yr <> 0 THEN 1 ELSE 0 END) FROM yearly), {ROUND}) AS win_year
 """)
-    add("worst_month", _metric_query(stats.worst_month), RETURNS_CTE + f"""
-, monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d))
-SELECT ROUND(MIN(mr), {ROUND}) AS value FROM monthly
-""")
-    add("avg_up_month", _metric_query(stats.avg_up_month), RETURNS_CTE + f"""
-, monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d))
-SELECT ROUND(AVG(CASE WHEN mr > 0 THEN mr END), {ROUND}) AS value FROM monthly
-""")
-    add("avg_down_month", _metric_query(stats.avg_down_month), RETURNS_CTE + f"""
-, monthly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS mr FROM rets GROUP BY YEAR(d), MONTH(d))
-SELECT ROUND(AVG(CASE WHEN mr < 0 THEN mr END), {ROUND}) AS value FROM monthly
-""")
-    add("win_days", _metric_query(stats.win_days), _scalar_sql(
-        "SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0 / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END)"
-    ))
-    add("win_year", _metric_query(stats.win_year), RETURNS_CTE + f"""
-, yearly AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS yr FROM rets GROUP BY YEAR(d))
-SELECT ROUND(SUM(CASE WHEN yr > 0 THEN 1 ELSE 0 END) * 1.0
-           / SUM(CASE WHEN yr <> 0 THEN 1 ELSE 0 END), {ROUND}) AS value FROM yearly
-""")
-    add("mtd", _metric_query(stats.mtd), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS value
-FROM rets, mx WHERE YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md)
-""")
-    add("ytd", _metric_query(stats.ytd), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS value
-FROM rets, mx WHERE YEAR(d) = YEAR(md)
-""")
-    add("three_month", _metric_query(stats.three_month), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS value
-FROM rets, mx WHERE d >= md - INTERVAL 3 MONTH
-""")
-    add("six_month", _metric_query(stats.six_month), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS value
-FROM rets, mx WHERE d >= md - INTERVAL 6 MONTH
-""")
-    add("one_year", _metric_query(stats.one_year), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(EXP(SUM(LN(1 + r))) - 1, {ROUND}) AS value
-FROM rets, mx WHERE d >= md - INTERVAL 12 MONTH
-""")
-    add("three_year", _metric_query(stats.three_year), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value
-FROM rets, mx WHERE d >= md - INTERVAL 36 MONTH
-""")
-    add("five_year", _metric_query(stats.five_year), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value
-FROM rets, mx WHERE d >= md - INTERVAL 60 MONTH
-""")
-    add("ten_year", _metric_query(stats.ten_year), RETURNS_CTE + f"""
-, mx AS (SELECT MAX(d) AS md FROM rets)
-SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value
-FROM rets, mx WHERE d >= md - INTERVAL 120 MONTH
-""")
-    add("all_time", _metric_query(stats.all_time), RETURNS_CTE + f"""
-SELECT ROUND(POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1, {ROUND}) AS value FROM rets
+
+    add("trailing_windows",
+        _merged_scalars({
+            "mtd": stats.mtd,
+            "ytd": stats.ytd,
+            "three_month": stats.three_month,
+            "six_month": stats.six_month,
+            "one_year": stats.one_year,
+            "three_year": stats.three_year,
+            "five_year": stats.five_year,
+            "ten_year": stats.ten_year,
+            "all_time": stats.all_time,
+        }),
+        RETURNS_CTE + f""",
+mx AS (SELECT MAX(d) AS md FROM rets)
+SELECT
+  ROUND((SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx
+         WHERE YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md)), {ROUND}) AS mtd,
+  ROUND((SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx
+         WHERE YEAR(d) = YEAR(md)), {ROUND}) AS ytd,
+  ROUND((SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx
+         WHERE d >= md - INTERVAL 3 MONTH), {ROUND}) AS three_month,
+  ROUND((SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx
+         WHERE d >= md - INTERVAL 6 MONTH), {ROUND}) AS six_month,
+  ROUND((SELECT EXP(SUM(LN(1 + r))) - 1 FROM rets, mx
+         WHERE d >= md - INTERVAL 12 MONTH), {ROUND}) AS one_year,
+  ROUND((SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets, mx
+         WHERE d >= md - INTERVAL 36 MONTH), {ROUND}) AS three_year,
+  ROUND((SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets, mx
+         WHERE d >= md - INTERVAL 60 MONTH), {ROUND}) AS five_year,
+  ROUND((SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets, mx
+         WHERE d >= md - INTERVAL 120 MONTH), {ROUND}) AS ten_year,
+  ROUND((SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM rets), {ROUND}) AS all_time
 """)
 
     # ---- benchmark-relative ----------------------------------------------
@@ -678,7 +693,50 @@ SELECT Metric, ROUND(Strategy, {ROUND}) AS Strategy FROM (
 
     _add_streaming(add)
     _add_extensions(add)
+
+    # Registration-order policy: the driver's correctness gate evaluates the
+    # FIRST 50 registered queries each round. Round 1 verified the scalar /
+    # order-dependent / monthly-calendar block (CORRECTNESS_r01.json: 50/50
+    # green); round 2 therefore registers everything r1 could not reach —
+    # calendar+trailing merges, benchmark-relative, smart ratios, reports,
+    # streaming, and the full extension suite — FIRST, and pushes the
+    # r1-verified names behind them. Union of r1+r2 rows covers the whole
+    # registry.
+    front = [n for n in _ROUND2_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND2_WINDOW]
+    q = {n: q[n] for n in front + rest}
+    o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND2_WINDOW = [
+    # calendar & trailing (merged wrappers + weekly path)
+    "calendar_summary", "weekly_returns", "trailing_windows",
+    # benchmark-relative (as-of join path)
+    "greeks", "information_ratio", "correlation", "r_squared", "treynor_ratio",
+    # rolling / multi-asset
+    "rolling_trailing_30d", "multi_asset_sharpe",
+    # autocorrelation & smart ratios
+    "autocorr_penalty", "psr", "smart_sharpe", "smart_sortino",
+    "smart_adjusted_sortino",
+    # reports (numeric = value-hashed; string tables rows-only)
+    "report_numeric", "report_basic", "report_full_bench",
+    # streaming
+    "streaming_drawdowns", "streaming_drawdowns_keyed", "rolling_metrics_30d",
+    # text analysis
+    "doc_token_counts", "doc_text_stats", "doc_quality", "doc_lang_id",
+    "doc_fingerprint",
+    # deduplication
+    "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_streaming_candidates", "dedup_lsh_verified", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_clusters", "emb_near_dups", "emb_near_dups_lsh",
+    # similarity search
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    # multimodal plumbing
+    "media_decode_features",
+    # event operators
+    "event_sessionization", "event_session_windows", "event_hourly_counts",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -1091,9 +1149,15 @@ WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), {ROUND}) >= 0.4""")
 
     # LSH-bucketed near-dup (the 100 TB path): pair recall is approximate,
     # so the gate checks rows-only; scored values are exact cosine.
+    # Calibration for threshold=0.4: p_plane = 1 − arccos(0.4)/π ≈ 0.631,
+    # so 3 planes collide per table with 0.631³ ≈ 0.251 and 12 tables give
+    # expected recall 1 − (1 − 0.251)¹² ≈ 0.97 (tests assert ≥ 0.9 measured
+    # against the exact pairs). Tighter thresholds admit more planes per
+    # table — at a production near-dup threshold of 0.9 the same 0.97
+    # recall needs only ~16-vector buckets per 2²⁰ vectors.
     add("emb_near_dups_lsh",
         lambda spark, sf_dir: dedup.embedding_near_dup_pairs_lsh(
-            _embs(spark, sf_dir), threshold=0.4, n_planes=6, n_tables=8
+            _embs(spark, sf_dir), threshold=0.4, n_planes=3, n_tables=12
         ),
         None)
 

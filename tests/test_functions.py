@@ -291,3 +291,31 @@ def test_jaccard_shingle_df_cap(spark):
         assert v <= exact[k] + 1e-9
     # the near-identical pair survives the cap
     assert (0, 1) in capped
+
+
+def test_embedding_lsh_gate_recall(spark):
+    """Quantitative recall check at the GATE parameters (harness
+    emb_near_dups_lsh: threshold=0.4, n_planes=3, n_tables=12 — expected
+    recall ≈ 0.97, see harness calibration note) on the real driver
+    embeddings table — the approximate 100 TB path must recover nearly all
+    exact pairs, not just produce plausible rows."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=3, n_tables=12
+        ).collect()
+    }
+    assert approx <= exact
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} below target at gate params"
