@@ -732,8 +732,8 @@ _ROUND2_WINDOW = [
     "dedup_simhash", "dedup_clusters", "emb_near_dups", "emb_near_dups_lsh",
     # similarity search
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    # multimodal plumbing
-    "media_decode_features",
+    # multimodal plumbing (fake kernel rows-only; real kernel value-hashed)
+    "media_decode_features", "media_decode_real",
     # event operators
     "event_sessionization", "event_session_windows", "event_hourly_counts",
 ]
@@ -1211,6 +1211,46 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
         )
 
     add("media_decode_features", _media, None)
+
+    # REAL decode path with a value oracle: each document's printable-ASCII
+    # prefix becomes an 8×8 PGM (P5) payload; the decoded mean-gray feature
+    # × 255 × 64 is exactly the pixel-byte sum, which DuckDB recomputes
+    # from the text — an integer check that is immune to the float32
+    # feature-vector quantization.
+    def _media_real(spark, sf_dir):
+        clean = F.rpad(
+            F.regexp_replace(F.substring(F.col("text"), 1, 256), r"[^\x20-\x7e]", ""),
+            64,
+            " ",
+        )
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.encode(F.lit("P5\n8 8\n255\n"), "utf-8"), F.encode(clean, "utf-8")
+            ).alias("content"),
+            F.struct(
+                F.lit("image/x-portable-graymap").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        feats = multimodal.decode_features(media, decoder="real")
+        return feats.select(
+            "media_id",
+            F.round(F.element_at("features", 1) * 255 * 64).cast("bigint").alias("byte_sum"),
+        )
+
+    add("media_decode_real", _media_real, """
+WITH padded AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 256), '[^ -~]', '', 'g'), 64, ' ') AS p
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum
+FROM padded""")
 
     # ---- event-stream operators (batch form of the streaming layer) -------
     # epoch-based math throughout so neither engine's session timezone nor

@@ -252,9 +252,18 @@ class TestMultimodal:
         b = {r["media_id"]: r["features"] for r in multimodal.decode_features(media).collect()}
         assert a == b
 
-    def test_real_decoder_stubbed(self, media):
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_features(media, decoder="real")
+    def test_real_decoder_rejects_undecodable(self, spark, media):
+        # the fixture payloads are not actually PNG/MP4 bytes: the real
+        # decoder must surface that (raise by default, null with on_error)
+        with pytest.raises(Exception, match="PNG|mime"):
+            multimodal.decode_features(media, decoder="real").collect()
+        out = {
+            r["media_id"]: r["features"]
+            for r in multimodal.decode_features(
+                media, decoder="real", on_error="null"
+            ).collect()
+        }
+        assert out == {0: None, 1: None, 2: None}
 
     def test_resize_rewrites_meta(self, spark, media):
         out = multimodal.resize_stub(media, 224, 224).select("meta.width", "meta.height").collect()
@@ -319,3 +328,196 @@ def test_embedding_lsh_gate_recall(spark):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.9, f"LSH recall {recall:.2f} below target at gate params"
+
+
+class TestRealCodecs:
+    """Dependency-free decode kernels: stdlib+numpy WAV/BMP/PPM/PNG."""
+
+    @staticmethod
+    def _wav_bytes(freq=440.0, sr=8000, seconds=0.5, amp=0.5):
+        import io
+        import wave
+
+        import numpy as np
+
+        t = np.arange(int(sr * seconds)) / sr
+        samples = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    @staticmethod
+    def _bmp_bytes(img):
+        """Minimal 24-bit bottom-up BMP writer (test-local oracle encoder)."""
+        import struct
+
+        import numpy as np
+
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        body = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = img[y, :, ::-1].astype(np.uint8).tobytes()  # RGB->BGR
+            body += row + b"\x00" * (stride - len(row))
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        return header + info + body
+
+    def test_wav_roundtrip_features(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        payload = self._wav_bytes(freq=440.0, sr=8000, seconds=0.5, amp=0.5)
+        samples, sr = codecs.decode_wav(payload)
+        assert sr == 8000 and samples.shape == (4000, 1)
+        assert abs(float(np.sqrt((samples**2).mean())) - 0.5 / 2**0.5) < 1e-3
+        feats = codecs.audio_features(samples, sr)
+        assert len(feats) == 16
+        assert abs(feats[0] - 0.5) < 1e-9          # duration
+        assert abs(feats[1] - 0.3536) < 1e-3       # rms
+        # dominant energy lands in the log band containing 440 Hz
+        edges = np.geomspace(20.0, 4000.0, 13)
+        band = int(np.searchsorted(edges, 440.0) - 1)
+        assert feats[4 + band] > 0.9
+
+    def test_bmp_decode(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+        decoded = codecs.decode_bmp(self._bmp_bytes(img))
+        assert (decoded == img).all()
+
+    def test_ppm_roundtrip(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, (6, 4, 3), dtype=np.uint8)
+        assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+        gray = rng.randint(0, 256, (6, 4), dtype=np.uint8)
+        assert (codecs.decode_ppm(codecs.encode_ppm(gray)) == gray).all()
+
+    def test_png_roundtrip_filter0(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        rng = np.random.RandomState(5)
+        for shape in [(8, 5, 3), (8, 5, 4), (8, 5)]:
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            decoded = codecs.decode_png(codecs.encode_png(img))
+            assert (decoded == img).all(), shape
+
+    def test_png_all_filters(self):
+        """Decode rows filtered with Sub/Up/Average/Paeth by applying the
+        forward filter manually and checking the decoder inverts it."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        rng = np.random.RandomState(6)
+        img = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+        h, w, ch = img.shape
+        rows = img.reshape(h, w * ch).astype(np.int32)
+        raw = b""
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            cur = rows[y]
+            prev = rows[y - 1] if y > 0 else np.zeros_like(cur)
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                filt = (cur - left) % 256
+            elif ftype == 2:
+                filt = (cur - prev) % 256
+            elif ftype == 3:
+                left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+                filt = (cur - (left + prev) // 2) % 256
+            else:
+                filt = np.zeros_like(cur)
+                for x in range(w * ch):
+                    a = int(cur[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = (int(cur[x]) - pred) % 256
+            raw += bytes([ftype]) + filt.astype(np.uint8).tobytes()
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert (codecs.decode_png(payload) == img).all()
+
+    def test_resize_nearest(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        up = codecs.resize_nearest(img, 8, 8)
+        assert up.shape == (8, 8)
+        assert (codecs.resize_nearest(up, 4, 4) == img).all()
+
+    def test_spark_real_decode_mixed_mimes(self, spark):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs, multimodal
+
+        rng = np.random.RandomState(8)
+        img = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+        rows = [
+            (0, bytearray(self._wav_bytes()), ("audio/wav", None, None, 500)),
+            (1, bytearray(codecs.encode_png(img)), ("image/png", 4, 4, None)),
+            (2, bytearray(codecs.encode_ppm(img)), ("image/x-portable-pixmap", 4, 4, None)),
+            (3, bytearray(b"garbage"), ("application/octet-stream", None, None, None)),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = {
+            r["media_id"]: r["features"]
+            for r in multimodal.decode_features(df, decoder="real", on_error="null").collect()
+        }
+        assert out[3] is None  # unsupported mime -> null row, job survives
+        assert len(out[0]) == 16 and abs(out[0][0] - 0.5) < 1e-6  # wav duration
+        # png and ppm carry the same pixels -> identical image features
+        assert out[1] == pytest.approx(out[2])
+        import math
+
+        expected_mean = float(img[:, :, 0].mean()) / 255.0
+        assert math.isclose(out[1][0], expected_mean, rel_tol=1e-5)
+
+    def test_spark_resize_images(self, spark):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs, multimodal
+
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(0, bytearray(codecs.encode_png(img)), ("image/png", 8, 8, None))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        row = multimodal.resize_images(df, 4, 4).first()
+        assert row["meta"]["width"] == 4 and row["meta"]["mime"] == "image/x-portable-pixmap"
+        decoded = codecs.decode_ppm(bytes(row["content"]))
+        assert (decoded == codecs.resize_nearest(img, 4, 4)).all()
