@@ -235,3 +235,79 @@ def test_drawdowns_negative_wealth_factors(spark):
         want.append(min(ratio, 0.0) if not math.isnan(ratio) else math.nan)
     for g, w in zip(got, want):
         _close(g, w)
+
+
+# ---------------------------------------------------------------------------
+# codec roundtrips (pure functions — no Spark session, so examples are cheap)
+
+import numpy as np
+from hypothesis import strategies as hst
+from hypothesis.extra.numpy import arrays as np_arrays
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    np_arrays(
+        np.uint8,
+        hst.tuples(
+            hst.integers(min_value=1, max_value=12),
+            hst.integers(min_value=1, max_value=12),
+            hst.sampled_from([3]),
+        ),
+    )
+)
+def test_ppm_roundtrip_property(img):
+    from alphastats_spark.functions import codecs
+
+    assert (codecs.decode_ppm(codecs.encode_ppm(img)) == img).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    np_arrays(
+        np.uint8,
+        hst.tuples(
+            hst.integers(min_value=1, max_value=10),
+            hst.integers(min_value=1, max_value=10),
+        ),
+    ),
+    hst.sampled_from([1, 3, 4]),
+)
+def test_png_roundtrip_property(gray, channels):
+    from alphastats_spark.functions import codecs
+
+    img = gray if channels == 1 else np.repeat(gray[:, :, None], channels, axis=2)
+    if channels > 1:
+        # de-correlate channels so the test isn't all-equal lanes
+        for c in range(channels):
+            img[:, :, c] = (img[:, :, c].astype(np.int32) * (c + 1)) % 256
+    decoded = codecs.decode_png(codecs.encode_png(img))
+    assert decoded.shape == img.shape
+    assert (decoded == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hst.integers(min_value=1, max_value=2000),
+    hst.sampled_from([1, 2]),
+    hst.sampled_from([8000, 44100]),
+)
+def test_wav_roundtrip_property(n_frames, n_channels, sr):
+    import io
+    import wave
+
+    from alphastats_spark.functions import codecs
+
+    rng = np.random.RandomState(n_frames)
+    samples = rng.randint(-32768, 32768, (n_frames, n_channels)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    decoded, got_sr = codecs.decode_wav(buf.getvalue())
+    assert got_sr == sr and decoded.shape == (n_frames, n_channels)
+    assert np.allclose(decoded, samples.astype(np.float64) / 32768.0, atol=1e-9)
+    feats = codecs.audio_features(decoded, got_sr)
+    assert len(feats) == 16 and all(math.isfinite(f) for f in feats)

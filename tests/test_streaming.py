@@ -304,3 +304,52 @@ def test_streaming_dedup_cap_stops_emission(spark, tmp_path):
     # only the first 3 ids per signature participate: C(3,2) pairs, never
     # any pair involving ids 3..5
     assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_streaming_drawdowns_extreme_factors(spark, tmp_path):
+    """The vectorized fold must reproduce the batch operator's semantics on
+    the hard cases: a -100% return (wealth collapses to 0 forever), a
+    return below -100% (negative wealth, sign tracking), and nulls (no
+    state advance, NaN drawdown out)."""
+    import datetime as dt
+    import math
+
+    from alphastats_spark.streaming import streaming_drawdowns
+
+    rows = [
+        (dt.date(2023, 1, 1), 0.10),
+        (dt.date(2023, 1, 2), None),     # null: state frozen, NaN out
+        (dt.date(2023, 1, 3), -2.0),     # factor -1: wealth goes negative
+        (dt.date(2023, 1, 4), 0.50),
+        (dt.date(2023, 1, 5), -1.0),     # factor 0: wealth 0 forever
+        (dt.date(2023, 1, 6), 0.30),
+    ]
+    df = spark.createDataFrame(rows, "d date, r double")
+    src = str(tmp_path / "dd_extreme")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("d date, r double").parquet(src)
+    sq = (
+        streaming_drawdowns(stream, temporal="d")
+        .writeStream.format("memory")
+        .queryName("dd_extreme")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    got = {
+        r["d"]: r["r_dd"]
+        for r in spark.sql("select d, r_dd from dd_extreme").collect()
+    }
+
+    # batch reference on the same series
+    from alphastats_spark import stats
+
+    batch = {r["d"]: r["r"] for r in stats.to_drawdowns(df).collect()}
+    assert set(got) == set(batch)
+    for d in got:
+        g, b = got[d], batch[d]
+        if b is None or (isinstance(b, float) and math.isnan(b)):
+            assert g is None or math.isnan(g), (d, g, b)
+        else:
+            assert g == pytest.approx(b, rel=1e-12), (d, g, b)
