@@ -133,6 +133,105 @@ def lang_id(text: Column) -> Column:
     return F.when(best_score > 0, result).otherwise(F.lit("unknown"))
 
 
+# ---------------------------------------------------------------------------
+# corpus-level statistics (TF-IDF, n-gram counts) and PII redaction
+
+# RE2-compatible patterns (no lookarounds/backrefs) so Spark's Java regex
+# and DuckDB produce identical replacements for the oracle.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / URLs / phone-number-shaped spans with typed tokens —
+    the standard pre-training scrub pass. Pure ``regexp_replace`` chain:
+    JVM-side, codegen-friendly, trivially pushed into the scan projection."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def term_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Long (doc, term, tf) table over normalized whitespace tokens.
+
+    One explode + one groupBy (map-side combinable) — the canonical corpus
+    statistics shape; everything downstream (TF-IDF, doc frequency) hangs
+    off this one shuffle keyed by (doc, term).
+    """
+    toks = F.explode(tokens(normalize(F.col(text_col)))).alias("term")
+    return (
+        df.select(F.col(id_col), toks)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf_topk(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    idf = ln((1 + N) / (1 + df)) + 1 (sklearn's smooth_idf, never
+    negative/zero); score = tf · idf. Plan shape: the (doc, term) tf table
+    shuffles once; doc frequency is a second map-combinable groupBy over it;
+    N is a one-scalar metadata job re-injected as a literal (constant-folds,
+    like the trailing-window max-date); ranking is a window partitioned BY
+    DOCUMENT — parallel across docs, no global sort. Ties break by term for
+    determinism.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(doc_freq), "term").withColumn(
+        "tf_idf",
+        F.col("tf")
+        * (F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.col("df"))) + 1.0),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", F.col("tf_idf"), "rank")
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word n-gram counts (contamination / memorization scans).
+
+    explode(n-grams) → groupBy(ngram) — one shuffle with map-side partial
+    counts; ``min_count`` prunes the heavy tail before it leaves the
+    aggregation.
+    """
+    toks = tokens(normalize(F.col(text_col)))
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats bundle in one projection (single codegen stage)."""
     t = F.col(text_col)

@@ -723,9 +723,10 @@ _ROUND2_WINDOW = [
     "report_numeric", "report_basic", "report_full_bench",
     # streaming
     "streaming_drawdowns", "streaming_drawdowns_keyed", "rolling_metrics_30d",
-    # text analysis
+    # text analysis & corpus statistics
     "doc_token_counts", "doc_text_stats", "doc_quality", "doc_lang_id",
-    "doc_fingerprint",
+    "doc_fingerprint", "doc_tfidf_topk", "corpus_ngram_counts",
+    "doc_redact_pii",
     # deduplication
     "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_candidates",
     "dedup_streaming_candidates", "dedup_lsh_verified", "dedup_ngram_jaccard",
@@ -987,6 +988,64 @@ FROM parts""")
             "doc_id", text.fingerprint(F.col("text")).alias("fingerprint")
         ),
         f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents")
+
+    # ---- corpus statistics & scrubbing ------------------------------------
+    add("doc_tfidf_topk",
+        lambda spark, sf_dir: _round_df(text.tf_idf_topk(_docs(spark, sf_dir), k=5)),
+        f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS dfv FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (LN((1.0 + nn.n) / (1.0 + dfreq.dfv)) + 1.0) AS tf_idf
+  FROM tf JOIN dfreq USING (term), nn
+)
+SELECT doc_id, term, tf, ROUND(tf_idf, {ROUND}) AS tf_idf, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS INTEGER) AS rank
+  FROM scored
+) t WHERE rank <= 5""")
+
+    add("corpus_ngram_counts",
+        lambda spark, sf_dir: text.ngram_counts(_docs(spark, sf_dir), n=2, min_count=2),
+        f"""
+WITH norm AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (
+  SELECT unnest(list_transform(
+      range(1, greatest(len(toks) - 1, 0) + 1),
+      i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+  FROM norm
+)
+SELECT ngram, COUNT(*) AS n_occurrences FROM g
+GROUP BY 1 HAVING COUNT(*) >= 2""")
+
+    def _redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # inject deterministic PII spans so the scrub patterns actually fire
+        injected = F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call +1 555-010-7788 now"),
+        )
+        return _docs(spark, sf_dir).select(
+            "doc_id", text.redact_pii(injected).alias("redacted")
+        )
+
+    add("doc_redact_pii", _redact, r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact user' || doc_id || '@example.com via https://ex.org/d/'
+         || doc_id || ' or call +1 555-010-7788 now',
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^\s]+', '<URL>', 'g'),
+    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents""")
 
     # ---- deduplication ----------------------------------------------------
     add("dedup_exact",

@@ -521,3 +521,68 @@ class TestRealCodecs:
         assert row["meta"]["width"] == 4 and row["meta"]["mime"] == "image/x-portable-pixmap"
         decoded = codecs.decode_ppm(bytes(row["content"]))
         assert (decoded == codecs.resize_nearest(img, 4, 4)).all()
+
+
+class TestCorpusStats:
+    def test_term_frequencies(self, spark, docs):
+        tf = {
+            (r["doc_id"], r["term"]): r["tf"]
+            for r in text.term_frequencies(docs).collect()
+        }
+        assert tf[(0, "the")] == 2  # "the quick ... the lazy"
+        assert tf[(0, "fox")] == 1
+        assert (5, "") not in tf  # empty doc contributes nothing
+
+    def test_tfidf_topk_ranks_distinctive_terms(self, spark, docs):
+        import math
+
+        out = text.tf_idf_topk(docs, k=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # ranks are 1..k, scores non-increasing within a doc
+        for doc_id, rows in by_doc.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r["tf_idf"] for r in rows]
+            assert all(a >= b for a, b in zip(scores, scores[1:]))
+        # doc 3's top terms are its unique words, not corpus-common ones
+        # every doc-3 word is unique to it (tf=1, df=1 → equal scores), so
+        # the term-asc tiebreak yields the first three alphabetically
+        top3 = [r["term"] for r in sorted(by_doc[3], key=lambda r: r["rank"])]
+        assert top3 == ["about", "and", "completely"]
+        # smoothed idf formula: unique term in 7-doc corpus
+        n_docs = 7
+        expected = 1.0 * (math.log((1 + n_docs) / (1 + 1)) + 1)
+        uniq = [r for r in by_doc[3] if r["term"] == "spark"]
+        if uniq:
+            assert uniq[0]["tf_idf"] == pytest.approx(expected, rel=1e-12)
+
+    def test_ngram_counts(self, spark, docs):
+        counts = {
+            r["ngram"]: r["n_occurrences"]
+            for r in text.ngram_counts(docs, n=2, min_count=2).collect()
+        }
+        # docs 0/1/2 share "the quick", "quick brown", ...
+        assert counts["the quick"] == 3
+        assert counts["lazy dog"] == 2  # docs 0 and 2 (doc 1 has "lazy cat")
+        assert all(v >= 2 for v in counts.values())
+
+    def test_redact_pii(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "mail me at jane.doe+x@corp.example.org today"),
+                (1, "see https://ex.org/a?b=1#f and http://plain.net"),
+                (2, "call +1 (555) 010-7788 or 555-010-9999 now"),
+                (3, "no pii here, just 42 and v1.2"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r["red"]
+            for r in df.select("doc_id", text.redact_pii(F.col("text")).alias("red")).collect()
+        }
+        assert out[0] == "mail me at <EMAIL> today"
+        assert out[1] == "see <URL> and <URL>"
+        assert out[2] == "call <PHONE> or <PHONE> now"
+        assert out[3] == "no pii here, just 42 and v1.2"

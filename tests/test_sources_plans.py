@@ -245,3 +245,26 @@ def test_positional_join_no_single_partition_funnel(spark):
     row = joined.where("a = 42.0").first()
     assert row["b"] == 42.0
     assert joined.count() == 10_000
+
+
+def test_corpus_stats_plans_scale(spark):
+    """TF-IDF and n-gram plans: no global funnel, doc-frequency and N join
+    as broadcasts, ranking window partitioned by document."""
+    from alphastats_spark.functions import text
+    from alphastats_spark.plans.audit import audit as plan_audit
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    for out in (text.tf_idf_topk(docs, k=3), text.ngram_counts(docs, n=2)):
+        findings = [
+            f
+            for f in plan_audit(out)
+            if f.kind in ("single-partition-exchange", "python-row-udf", "nested-loop-join")
+        ]
+        assert not findings, findings
+    from alphastats_spark.plans.audit import explain_string
+
+    plan = explain_string(text.tf_idf_topk(docs, k=3), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
