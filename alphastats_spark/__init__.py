@@ -11,7 +11,17 @@ Public surface mirrors the reference's export list
 (dedup / similarity / text / multimodal) and the ``operators`` primitives.
 """
 
-from alphastats_spark import exceptions, functions, plans, reports, sources, stats, streaming
+from alphastats_spark import (
+    exceptions,
+    functions,
+    plans,
+    reports,
+    session,
+    sources,
+    stats,
+    streaming,
+)
+from alphastats_spark.session import build_session
 from alphastats_spark.exceptions import (
     AlphaStatsError,
     AmbiguousBenchmarkReturnsError,
@@ -24,6 +34,8 @@ __all__ = [
     "stats",
     "reports",
     "exceptions",
+    "session",
+    "build_session",
     "sources",
     "streaming",
     "plans",
