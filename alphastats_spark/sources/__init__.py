@@ -12,12 +12,14 @@ from alphastats_spark.sources.readers import (
     prices_to_returns,
     read_returns,
     wide_to_long,
+    write_bucketed_table,
     write_returns,
 )
 
 __all__ = [
     "read_returns",
     "write_returns",
+    "write_bucketed_table",
     "prices_to_returns",
     "long_to_wide",
     "wide_to_long",

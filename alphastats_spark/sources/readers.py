@@ -71,6 +71,35 @@ def write_returns(
     writer.save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-partitioned-on-disk) table.
+
+    THE shuffle-elimination tool for repeated joins/aggregations on the same
+    key at 100 TB: two tables bucketed on the join key with the same bucket
+    count join with NO exchange on either side (Spark recognizes the
+    co-partitioning: ``scan → sort → merge-join``), and a ``groupBy`` on the
+    bucket key skips its shuffle entirely. Use for the hot keys of a
+    training-data pipeline — ``doc_id`` for dedup-verify joins, ``vec_id``
+    for ANN re-ranking, the date column for returns frames.
+
+    ``num_buckets`` is a layout-time commitment: pick ~(table size /
+    target partition size) at the LARGEST anticipated scale — too few
+    buckets caps downstream parallelism.
+    """
+    writer = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
 def prices_to_returns(prices: DataFrame, method: str = "simple") -> DataFrame:
     """Convert a wide price frame to a returns frame.
 

@@ -268,3 +268,33 @@ def test_corpus_stats_plans_scale(spark):
 
     plan = explain_string(text.tf_idf_topk(docs, k=3), "simple")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with no Exchange on either side (co-located scan -> sort-merge)."""
+    from alphastats_spark.plans.audit import explain_string
+    from alphastats_spark.sources import write_bucketed_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt_test LOCATION '{tmp_path}/wh'")
+    try:
+        docs = spark.range(0, 10_000, 1, 8).selectExpr(
+            "id as doc_id", "cast(id % 97 as double) as score"
+        )
+        meta = spark.range(0, 10_000, 1, 8).selectExpr(
+            "id as doc_id", "concat('lang_', id % 5) as lang"
+        )
+        write_bucketed_table(docs, "bkt_test.docs", ["doc_id"], 8, sort_cols=["doc_id"])
+        write_bucketed_table(meta, "bkt_test.meta", ["doc_id"], 8, sort_cols=["doc_id"])
+
+        joined = (
+            spark.table("bkt_test.docs")
+            .hint("merge")  # force SMJ so the exchange question is observable
+            .join(spark.table("bkt_test.meta"), "doc_id")
+        )
+        plan = explain_string(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
