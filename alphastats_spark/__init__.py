@@ -14,6 +14,7 @@ Public surface mirrors the reference's export list
 from alphastats_spark import (
     exceptions,
     functions,
+    long_frame,
     plans,
     reports,
     session,
@@ -33,6 +34,7 @@ from alphastats_spark.exceptions import (
 __all__ = [
     "stats",
     "reports",
+    "long_frame",
     "exceptions",
     "session",
     "build_session",

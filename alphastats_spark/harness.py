@@ -522,6 +522,93 @@ SELECT
   ROUND(AVG(asset_b) / STDDEV_SAMP(asset_b) * SQRT(252), {ROUND}) AS asset_b
 FROM wide""")
 
+    # Long-frame (keyed) metrics — the million-asset path: one agg grouped
+    # by key, keyed drawdown prefix machinery, plan size O(1) in key count.
+    def _multi_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.long_frame import metrics_by_key
+
+        long_df = (
+            load_returns(spark, sf_dir).select(F.lit("a").alias("asset"), "d", "r")
+            .unionByName(
+                load_benchmark(spark, sf_dir).select(
+                    F.lit("b").alias("asset"), "d", F.col("b").alias("r")
+                )
+            )
+        )
+        out = metrics_by_key(long_df)
+        return _round_df(
+            out.select(
+                "asset", "comp", "cagr", "sharpe", "sortino", "volatility",
+                "win_rate", "max_drawdown", "ulcer_index", "cvar",
+                "longest_drawdown_days", "avg_drawdown",
+            )
+        )
+
+    add("multi_asset_metrics_long", _multi_long, RETURNS_CTE + BENCH_CTE + f""",
+long_f AS (
+  SELECT 'a' AS asset, d, r FROM rets
+  UNION ALL SELECT 'b' AS asset, d, b AS r FROM bres
+),
+kwealth AS (
+  SELECT asset, d, r, EXP(SUM(LN(1 + r)) OVER (PARTITION BY asset ORDER BY d)) AS w
+  FROM long_f
+),
+kdd AS (
+  SELECT asset, d, r,
+         LEAST(w / MAX(w) OVER (PARTITION BY asset ORDER BY d) - 1, 0) AS dd
+  FROM kwealth
+),
+vart AS (
+  SELECT asset, AVG(r) + ({_Z95!r}) * STDDEV_SAMP(r) AS var_t
+  FROM long_f GROUP BY asset
+),
+cv AS (
+  SELECT l.asset,
+         COALESCE(AVG(CASE WHEN l.r < v.var_t THEN l.r END), MIN(v.var_t)) AS cvar
+  FROM long_f l JOIN vart v USING (asset) GROUP BY l.asset
+),
+eps1 AS (
+  SELECT asset, d, dd, CASE WHEN dd < 0 THEN 0 ELSE 1 END AS brk,
+         SUM(CASE WHEN dd < 0 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY asset ORDER BY d) AS isl
+  FROM kdd
+),
+eps AS (
+  SELECT asset, isl, MIN(dd) AS mdd,
+         DATEDIFF('day', MIN(d), MAX(d)) + 1 AS len
+  FROM eps1 WHERE brk = 0 GROUP BY asset, isl
+),
+epsagg AS (
+  SELECT asset, MAX(len) AS ldd, AVG(mdd) AS avg_dd FROM eps GROUP BY asset
+),
+kmain AS (
+  SELECT asset,
+    EXP(SUM(LN(1 + r))) - 1 AS comp,
+    POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 AS cagr,
+    AVG(r) / STDDEV_SAMP(r) * SQRT(252) AS sharpe,
+    AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) AS sortino,
+    STDDEV_SAMP(r) * SQRT(252) AS volatility,
+    SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0
+      / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END) AS win_rate
+  FROM long_f GROUP BY asset
+),
+ddagg AS (
+  SELECT asset, MIN(dd) AS max_drawdown,
+         SQRT(SUM(dd * dd) / (COUNT(dd) - 1)) AS ulcer_index
+  FROM kdd GROUP BY asset
+)
+SELECT m.asset,
+  ROUND(comp, {ROUND}) AS comp, ROUND(cagr, {ROUND}) AS cagr,
+  ROUND(sharpe, {ROUND}) AS sharpe, ROUND(sortino, {ROUND}) AS sortino,
+  ROUND(volatility, {ROUND}) AS volatility, ROUND(win_rate, {ROUND}) AS win_rate,
+  ROUND(max_drawdown, {ROUND}) AS max_drawdown,
+  ROUND(ulcer_index, {ROUND}) AS ulcer_index,
+  ROUND(cvar, {ROUND}) AS cvar,
+  ldd AS longest_drawdown_days,
+  ROUND(avg_dd, {ROUND}) AS avg_drawdown
+FROM kmain m
+JOIN ddagg USING (asset) JOIN cv USING (asset) JOIN epsagg USING (asset)""")
+
     # Autocorr penalty: DuckDB evaluates the reference's O(n) lag-power sum
     # term-by-term via generate_series; the Spark side uses the closed-form
     # geometric sums (expressions.geometric_sum_penalty) — same value.
@@ -714,8 +801,8 @@ _ROUND2_WINDOW = [
     "calendar_summary", "weekly_returns", "trailing_windows",
     # benchmark-relative (as-of join path)
     "greeks", "information_ratio", "correlation", "r_squared", "treynor_ratio",
-    # rolling / multi-asset
-    "rolling_trailing_30d", "multi_asset_sharpe",
+    # rolling / multi-asset (wide broadcast + keyed long-frame paths)
+    "rolling_trailing_30d", "multi_asset_sharpe", "multi_asset_metrics_long",
     # autocorrelation & smart ratios
     "autocorr_penalty", "psr", "smart_sharpe", "smart_sortino",
     "smart_adjusted_sortino",

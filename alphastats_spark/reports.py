@@ -125,33 +125,52 @@ def metrics(
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in output_names],
     )
 
-    # ---- enrich with ordered machinery -----------------------------------
-    rdf = ordered.with_order(filled, temporal)
-    rdf = ordered.add_drawdown_columns(rdf, {f"__dd_{c}": c for c in output_names})
-    if full:
-        rdf = ordered.add_row_index(rdf, "__idx")
-        brk = {}
-        for c in output_names:
-            brk[f"__lbw_{c}"] = F.when(F.col(c) > 0, F.lit(None)).otherwise(F.col("__idx"))
-            brk[f"__lbl_{c}"] = F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
-        rdf = ordered.add_prefix_columns(rdf, maxes=brk)
-        rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in output_names})
-    rdf.persist()
-
-    # ---- main aggregation pass -------------------------------------------
+    # ---- enrichment + aggregation, chunked over asset-column groups ------
+    # A single pass over a WIDE frame explodes Janino codegen superlinearly
+    # (~35 aggregate expressions per column incl. exact-percentile object
+    # aggregates, plus 4 window/prefix expressions per column in the
+    # drawdown machinery): measured driver OOM at 30 columns on a 4 GB
+    # heap, and minutes of compile time just below that. Processing groups
+    # of ``agg_chunk_columns`` (default 8) bounds every generated method,
+    # at the cost of ceil(cols/chunk) scans of the CACHED base frame —
+    # versus the reference's O(rows × cols) collects. The benchmark column
+    # rides along in every group so benchmark-relative aggregates stay
+    # single-pass.
     windows = _window_bounds(max_ts) if temporal else None
-    aggs: list = []
-    for c in output_names:
-        aggs.extend(_column_aggs(c, rf, compounded, periods_per_year, full, windows))
-        if full and has_bench and c != benchmark_name:
-            aggs.extend(_bench_aggs(c, benchmark_name))
-    main = rdf.agg(*aggs).first()
+    chunk = max(1, int(kwargs.get("agg_chunk_columns", 8)))
+    main: dict[str, Any] = {}
+    stage2: dict[str, Any] = {}
+    episodes: dict[str, dict[str, float]] = {}
 
-    # ---- dependent pass: CVaR + serenity (serenity is in basic mode too) --
-    stage2 = {}
-    if True:
+    for start in range(0, len(output_names), chunk):
+        group = list(output_names[start : start + chunk])
+        sel = ([F.col(temporal)] if temporal else []) + [F.col(c) for c in group]
+        if full and has_bench and benchmark_name not in group:
+            sel.append(F.col(benchmark_name))
+        gframe = filled.select(*sel)
+
+        rdf = ordered.with_order(gframe, temporal)
+        rdf = ordered.add_drawdown_columns(rdf, {f"__dd_{c}": c for c in group})
+        if full:
+            rdf = ordered.add_row_index(rdf, "__idx")
+            brk = {}
+            for c in group:
+                brk[f"__lbw_{c}"] = F.when(F.col(c) > 0, F.lit(None)).otherwise(F.col("__idx"))
+                brk[f"__lbl_{c}"] = F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
+            rdf = ordered.add_prefix_columns(rdf, maxes=brk)
+            rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in group})
+        rdf.persist()
+
+        aggs: list = []
+        for c in group:
+            aggs.extend(_column_aggs(c, rf, compounded, periods_per_year, full, windows))
+            if full and has_bench and c != benchmark_name:
+                aggs.extend(_bench_aggs(c, benchmark_name))
+        main.update(rdf.agg(*aggs).first().asDict())
+
+        # dependent pass: CVaR + serenity (serenity is in basic mode too)
         s2_aggs = []
-        for c in output_names:
+        for c in group:
             ddvar = main[f"ddvar_{c}"]
             if ddvar is not None and not math.isnan(ddvar):
                 dd = F.col(f"__dd_{c}")
@@ -170,26 +189,26 @@ def metrics(
                         ).alias(f"cvar_{c}")
                     )
         if s2_aggs:
-            stage2 = rdf.agg(*s2_aggs).first().asDict()
+            stage2.update(rdf.agg(*s2_aggs).first().asDict())
 
-    # ---- calendar passes ---------------------------------------------------
+        # islands pass: drawdown episodes (row-count lengths — the report
+        # feeds series without dates, reference reports.py:397-403). The
+        # group frame already carries the __dd_* columns — reuse them.
+        episodes.update(
+            islands.drawdown_episode_stats(
+                rdf, group, temporal_name=None,
+                dd_cols={c: f"__dd_{c}" for c in group},
+            )
+        )
+        rdf.unpersist()
+
+    # ---- calendar passes (simple per-column exprs — no chunking needed) ---
     cal: dict[str, Any] = {}
     if temporal:
         cal["month"] = _calendar_agg(filled, temporal, output_names, "month", rf)
         if full:
             cal["quarter"] = _calendar_agg(filled, temporal, output_names, "quarter", rf)
             cal["year"] = _calendar_agg(filled, temporal, output_names, "year", rf)
-
-    # ---- islands pass: drawdown episodes (row-count lengths — the report
-    # feeds series without dates, reference reports.py:397-403). The report
-    # frame already carries the __dd_* columns — reuse them instead of
-    # re-running the drawdown prefix machinery ------------------------------
-    episodes = islands.drawdown_episode_stats(
-        rdf,
-        list(output_names),
-        temporal_name=None,
-        dd_cols={c: f"__dd_{c}" for c in output_names},
-    )
 
     # ---- assemble ----------------------------------------------------------
     rows: list[tuple[str, dict[str, Any]]] = []
@@ -377,7 +396,6 @@ def metrics(
                 bench_row(lambda c: (g("comp", c) - rf) / g("beta", c) * pct if g("beta", c) else math.nan),
             )
 
-    rdf.unpersist()
     frame.unpersist()
     if numeric:
         return _build_numeric_df(rows, output_names)

@@ -1,0 +1,107 @@
+"""Long-frame (keyed) metrics: per-key parity with the wide-frame API.
+
+The long path must produce, for every key, exactly what the wide-frame
+``stats.*`` functions produce on that key's series — same expressions,
+different (O(1)-plan) execution shape.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from alphastats_spark import stats
+from alphastats_spark.long_frame import metrics_by_key
+
+
+@pytest.fixture(scope="module")
+def long_and_wide(spark):
+    rng = np.random.RandomState(2)
+    dates = [dt.date(2021, 1, 1) + dt.timedelta(days=i) for i in range(300)]
+    rows, series = [], {}
+    for k, scale in (("a", 0.01), ("b", 0.02), ("c", 0.005)):
+        vals = rng.normal(0.0005, scale, len(dates))
+        vals[5] = 0.0  # exercise the non-zero filters
+        series[k] = [float(v) for v in vals]
+        rows += [(k, d, float(v)) for d, v in zip(dates, vals)]
+    long_df = spark.createDataFrame(rows, "asset string, d date, r double")
+    wides = {
+        k: spark.createDataFrame(list(zip(dates, series[k])), "d date, r double")
+        for k in series
+    }
+    return long_df, wides
+
+
+PARITY_FNS = {
+    "comp": stats.comp,
+    "cagr": stats.cagr,
+    "sharpe": stats.sharpe,
+    "sortino": stats.sortino,
+    "volatility": stats.volatility,
+    "win_rate": stats.win_rate,
+    "payoff_ratio": stats.payoff_ratio,
+    "profit_factor": stats.profit_factor,
+    "tail_ratio": stats.tail_ratio,
+    "kelly_criterion": stats.kelly_criterion,
+    "value_at_risk": stats.value_at_risk,
+    "cvar": stats.cvar,
+    "max_drawdown": stats.max_drawdown,
+    "ulcer_index": stats.ulcer_index,
+    "recovery_factor": stats.recovery_factor,
+    "longest_drawdown_days": stats.longest_drawdown_days,
+    "avg_drawdown_days": stats.avg_drawdown_days,
+    "avg_drawdown": stats.avg_drawdown,
+}
+
+
+def test_metrics_by_key_matches_wide_api(spark, long_and_wide):
+    long_df, wides = long_and_wide
+    out = {r["asset"]: r.asDict() for r in metrics_by_key(long_df).collect()}
+    assert set(out) == set(wides)
+    for key, wide in wides.items():
+        for name, fn in PARITY_FNS.items():
+            want = fn(wide).first()["r"]
+            got = out[key][name]
+            if want is None or (isinstance(want, float) and math.isnan(want)):
+                assert got is None or math.isnan(got), (key, name, got, want)
+            else:
+                assert got == pytest.approx(want, rel=1e-9), (key, name)
+
+
+def test_metrics_by_key_plan_scales(spark, long_and_wide):
+    """No raw-row single-partition exchange, no Python UDF, no nested-loop
+    join — the keyed machinery must stay parallel across keys."""
+    from alphastats_spark.plans.audit import audit as plan_audit
+
+    long_df, _ = long_and_wide
+    findings = [
+        f
+        for f in plan_audit(metrics_by_key(long_df))
+        if f.kind in ("single-partition-exchange", "python-row-udf", "nested-loop-join")
+    ]
+    assert not findings, findings
+
+
+def test_keyed_drawdowns_match_keyless(spark, long_and_wide):
+    """Per-key drawdown series from the keyed prefix machinery equals the
+    keyless machinery run on each key's series alone."""
+    from alphastats_spark.operators import keyed
+
+    long_df, wides = long_and_wide
+    enriched = keyed.with_order_keyed(long_df, "d", ["asset"])
+    enriched = keyed.add_drawdown_columns_keyed(enriched, ["asset"], {"dd": "r"})
+    got = {
+        (r["asset"], r["d"]): r["dd"]
+        for r in enriched.select("asset", "d", "dd").collect()
+    }
+    for key, wide in wides.items():
+        want_rows = stats.to_drawdowns(wide).collect()
+        for r in want_rows:
+            assert got[(key, r["d"])] == pytest.approx(r["r"], rel=1e-12, abs=1e-15), (
+                key,
+                r["d"],
+            )
