@@ -285,6 +285,27 @@ def recovery_factor_parts(c: Column, rf: float = 0.0) -> Column:
     return F.abs(F.sum(c) - F.lit(float(rf)))
 
 
+def geometric_sum_penalty_col(coef: Column, n: Column) -> Column:
+    """Column form of :func:`geometric_sum_penalty` — the same closed-form
+    geometric sums as Spark expressions, so a PER-KEY penalty computes
+    inside the plan (a million keys never touch the driver).
+
+    ``coef`` is the |lag-1 autocorrelation| aggregate for the key, ``n``
+    its non-null count.
+    """
+    n = n.cast("double")
+    m = n - 1
+    c_ = F.abs(coef)
+    cm = F.pow(c_, m)
+    s1 = c_ * (1 - cm) / (1 - c_)
+    s2 = c_ * (1 - (m + 1) * cm + m * cm * c_) / F.pow(1 - c_, 2)
+    corr = F.when(c_ == 1.0, m - (m * (m + 1) / 2) / n).otherwise(s1 - s2 / n)
+    return (
+        F.when((n < 2) | coef.isNull() | F.isnan(coef), NAN())
+        .otherwise(F.sqrt(1 + 2 * corr))
+    )
+
+
 def geometric_sum_penalty(coef: float, n: int) -> float:
     """Driver-side autocorrelation penalty (reference ``stats.py:1292-1315``).
 

@@ -609,6 +609,96 @@ SELECT m.asset,
 FROM kmain m
 JOIN ddagg USING (asset) JOIN cv USING (asset) JOIN epsagg USING (asset)""")
 
+    # Keyed smart ratios: the autocorrelation penalty as IN-PLAN Column
+    # math (closed-form geometric sums) vs DuckDB's explicit per-key
+    # lag-power summation — strongest check the closed form can get.
+    def _multi_smart(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.long_frame import smart_ratios_by_key
+
+        long_df = (
+            load_returns(spark, sf_dir).select(F.lit("a").alias("asset"), "d", "r")
+            .unionByName(
+                load_benchmark(spark, sf_dir).select(
+                    F.lit("b").alias("asset"), "d", F.col("b").alias("r")
+                )
+            )
+        )
+        return _round_df(smart_ratios_by_key(long_df))
+
+    add("multi_asset_smart_long", _multi_smart, RETURNS_CTE + BENCH_CTE + f""",
+long_f AS (
+  SELECT 'a' AS asset, d, r FROM rets
+  UNION ALL SELECT 'b' AS asset, d, b AS r FROM bres
+),
+kpairs AS (
+  SELECT asset, r AS a, LEAD(r) OVER (PARTITION BY asset ORDER BY d) AS b
+  FROM long_f
+),
+kacoef AS (
+  SELECT asset, ABS(CORR(a, b)) AS coef FROM kpairs WHERE b IS NOT NULL GROUP BY asset
+),
+knn AS (SELECT asset, COUNT(*) AS n FROM long_f GROUP BY asset),
+kxs AS (
+  SELECT asset, ROW_NUMBER() OVER (PARTITION BY asset ORDER BY d) AS x FROM long_f
+),
+kpenalty AS (
+  SELECT kxs.asset,
+         SQRT(1 + 2 * SUM((knn.n - kxs.x) * POWER(kacoef.coef, kxs.x) / knn.n)) AS p
+  FROM kxs JOIN knn USING (asset) JOIN kacoef USING (asset)
+  WHERE kxs.x <= knn.n - 1 GROUP BY kxs.asset
+),
+kratios AS (
+  SELECT asset, COUNT(r) AS n_obs,
+         AVG(r) / STDDEV_SAMP(r) * SQRT(252) AS sharpe,
+         AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) AS sortino
+  FROM long_f GROUP BY asset
+)
+SELECT k.asset, n_obs,
+  ROUND(c.coef, {ROUND}) AS autocorr,
+  ROUND(p.p, {ROUND}) AS autocorr_penalty,
+  ROUND(sharpe, {ROUND}) AS sharpe,
+  ROUND(sortino, {ROUND}) AS sortino,
+  ROUND(sharpe / p.p, {ROUND}) AS smart_sharpe,
+  ROUND(sortino / p.p, {ROUND}) AS smart_sortino,
+  ROUND(sortino / p.p / SQRT(2), {ROUND}) AS smart_adjusted_sortino
+FROM kratios k JOIN kpenalty p USING (asset) JOIN kacoef c USING (asset)""")
+
+    # Keyed benchmark-relative metrics: every key as-of joined to ONE
+    # benchmark series via the distinct-dates resolution (cardinality =
+    # calendar grain, independent of key count).
+    def _multi_greeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.long_frame import benchmark_metrics_by_key
+
+        long_df = (
+            load_returns(spark, sf_dir).select(F.lit("a").alias("asset"), "d", "r")
+            .unionByName(
+                load_benchmark(spark, sf_dir).select(
+                    F.lit("b").alias("asset"), "d", F.col("b").alias("r")
+                )
+            )
+        )
+        return _round_df(
+            benchmark_metrics_by_key(long_df, load_benchmark(spark, sf_dir))
+        )
+
+    add("multi_asset_greeks_long", _multi_greeks, RETURNS_CTE + BENCH_CTE + f""",
+long_f AS (
+  SELECT 'a' AS asset, d, r FROM rets
+  UNION ALL SELECT 'b' AS asset, d, b AS r FROM bres
+),
+kjoined AS (
+  SELECT l.asset, l.d, l.r, b.b
+  FROM long_f l ASOF LEFT JOIN bres b ON l.d >= b.d
+)
+SELECT asset,
+  ROUND((AVG(r) - (COVAR_SAMP(r, b) / VAR_SAMP(b)) * AVG(b)) * 252, {ROUND}) AS alpha,
+  ROUND(COVAR_SAMP(r, b) / VAR_SAMP(b), {ROUND}) AS beta,
+  ROUND(AVG(r - b) / STDDEV_SAMP(r - b), {ROUND}) AS information_ratio,
+  ROUND(CORR(r, b), {ROUND}) AS correlation,
+  ROUND(POW(CORR(r, b), 2), {ROUND}) AS r_squared,
+  ROUND((EXP(SUM(LN(1 + r))) - 1) / (COVAR_SAMP(r, b) / VAR_SAMP(b)), {ROUND}) AS treynor_ratio
+FROM kjoined GROUP BY asset""")
+
     # Autocorr penalty: DuckDB evaluates the reference's O(n) lag-power sum
     # term-by-term via generate_series; the Spark side uses the closed-form
     # geometric sums (expressions.geometric_sum_penalty) — same value.
@@ -803,6 +893,7 @@ _ROUND2_WINDOW = [
     "greeks", "information_ratio", "correlation", "r_squared", "treynor_ratio",
     # rolling / multi-asset (wide broadcast + keyed long-frame paths)
     "rolling_trailing_30d", "multi_asset_sharpe", "multi_asset_metrics_long",
+    "multi_asset_smart_long", "multi_asset_greeks_long",
     # autocorrelation & smart ratios
     "autocorr_penalty", "psr", "smart_sharpe", "smart_sortino",
     "smart_adjusted_sortino",

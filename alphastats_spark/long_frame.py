@@ -22,13 +22,17 @@ jobs (enrichment+main agg, CVaR threshold join pass, episodes join):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from alphastats_spark import expressions as X
-from alphastats_spark._utils import get_temporal_column_name
+from alphastats_spark._utils import (
+    BENCHMARK_RETURNS_COLNAME,
+    get_temporal_column_name,
+    prepare_benchmark,
+)
 from alphastats_spark.exceptions import NoTemporalColumnError
-from alphastats_spark.operators import keyed
+from alphastats_spark.operators import joins, keyed
 
 
 def metrics_by_key(
@@ -121,3 +125,105 @@ def metrics_by_key(
     out = main.join(cvar, key_col, "left").join(episodes, key_col, "left")
     base.unpersist()
     return out
+
+
+def smart_ratios_by_key(
+    df: DataFrame,
+    key_col: str = "asset",
+    value_col: str = "r",
+    temporal: str | None = None,
+    rf: float | None = None,
+    periods: int = 252,
+) -> DataFrame:
+    """Per-key sharpe/sortino plus their autocorrelation-penalized "smart"
+    variants — penalty computed IN-PLAN (:func:`expressions.
+    geometric_sum_penalty_col`), so a million keys never round-trip the
+    driver (the wide-frame path evaluates the closed form per column on
+    the driver — fine for dozens of columns, not for millions of keys).
+
+    Pairing matches the reference: at each non-null row the "previous"
+    value is the previous non-null value within the key (ffill-shift), via
+    a per-key window — parallel across keys, no global funnel.
+    """
+    temporal = temporal or get_temporal_column_name(df)
+    if temporal is None:
+        raise NoTemporalColumnError
+    c = F.col(value_col)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(temporal)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.when(c.isNotNull(), F.last(c, ignorenulls=True).over(w))
+    enriched = df.select(key_col, temporal, value_col).withColumn("__prev", prev)
+
+    penalty = X.geometric_sum_penalty_col(
+        F.abs(F.corr(c, F.col("__prev"))), F.count(c)
+    )
+    sharpe_ = X.sharpe(c, rf, periods, True)
+    sortino_ = X.sortino(c, rf, periods, True)
+    return enriched.groupBy(key_col).agg(
+        F.count(c).alias("n_obs"),
+        F.abs(F.corr(c, F.col("__prev"))).alias("autocorr"),
+        penalty.alias("autocorr_penalty"),
+        sharpe_.alias("sharpe"),
+        sortino_.alias("sortino"),
+        (sharpe_ / penalty).alias("smart_sharpe"),
+        (sortino_ / penalty).alias("smart_sortino"),
+        (sortino_ / penalty / F.lit(2.0**0.5)).alias("smart_adjusted_sortino"),
+    )
+
+
+def with_benchmark(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "asset",
+    temporal: str | None = None,
+) -> DataFrame:
+    """Attach the (single-series) benchmark to every key's rows by backward
+    as-of match on the temporal column.
+
+    Scalable shape: the as-of resolution runs on the DISTINCT DATES of the
+    long frame (cardinality = calendar grain, independent of key count)
+    against the benchmark series via the keyless distributed as-of join,
+    and the resolved (date → benchmark) table — tiny by construction —
+    broadcast-equi-joins back onto the long frame. No range join, no
+    per-key scan of the benchmark.
+    """
+    temporal = temporal or get_temporal_column_name(df)
+    if temporal is None:
+        raise NoTemporalColumnError
+    bench = prepare_benchmark(benchmark)
+    b_temporal = get_temporal_column_name(bench)
+    if b_temporal is None:
+        raise NoTemporalColumnError
+    dates = df.select(F.col(temporal)).distinct()
+    resolved = joins.asof_join(dates, bench, temporal, b_temporal)
+    return df.join(F.broadcast(resolved), on=temporal, how="left")
+
+
+def benchmark_metrics_by_key(
+    df: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "asset",
+    value_col: str = "r",
+    temporal: str | None = None,
+    rf: float = 0.0,
+    periods: int = 252,
+) -> DataFrame:
+    """Per-key benchmark-relative metrics (CAPM alpha/beta, information
+    ratio, correlation, R², Treynor) in ONE grouped aggregation over the
+    benchmark-attached long frame."""
+    joined = with_benchmark(df, benchmark, key_col, temporal)
+    c = F.col(value_col)
+    b = F.col(BENCHMARK_RETURNS_COLNAME)
+    beta = X.fdiv(F.covar_samp(c, b), F.var_samp(b))
+    active = c - b
+    return joined.groupBy(key_col).agg(
+        ((F.mean(c) - beta * F.mean(b)) * periods).alias("alpha"),
+        beta.alias("beta"),
+        X.fdiv(F.mean(active), F.stddev_samp(active)).alias("information_ratio"),
+        F.corr(c, b).alias("correlation"),
+        F.pow(F.corr(c, b), 2).alias("r_squared"),
+        X.fdiv(X.comp(c) - F.lit(rf), beta).alias("treynor_ratio"),
+    )

@@ -105,3 +105,52 @@ def test_keyed_drawdowns_match_keyless(spark, long_and_wide):
                 key,
                 r["d"],
             )
+
+
+def test_smart_ratios_by_key_match_wide_api(spark, long_and_wide):
+    """In-plan closed-form penalty must equal the wide API's driver-side
+    computation per key."""
+    from alphastats_spark.long_frame import smart_ratios_by_key
+
+    long_df, wides = long_and_wide
+    out = {r["asset"]: r.asDict() for r in smart_ratios_by_key(long_df).collect()}
+    for key, wide in wides.items():
+        assert out[key]["smart_sharpe"] == pytest.approx(
+            stats.smart_sharpe(wide).first()["r"], rel=1e-9
+        ), key
+        assert out[key]["smart_sortino"] == pytest.approx(
+            stats.smart_sortino(wide).first()["r"], rel=1e-9
+        ), key
+        assert out[key]["autocorr_penalty"] == pytest.approx(
+            stats.autocorr_penalty(wide).first()["r"], rel=1e-9
+        ), key
+
+
+def test_benchmark_metrics_by_key_match_wide_api(spark, long_and_wide):
+    from alphastats_spark.long_frame import benchmark_metrics_by_key
+
+    long_df, wides = long_and_wide
+    bench = wides["c"].select("d", F.col("r").alias("bench"))
+    out = {
+        r["asset"]: r.asDict()
+        for r in benchmark_metrics_by_key(long_df, bench).collect()
+    }
+    def close(got, want, ctx):
+        if want is None or (isinstance(want, float) and math.isnan(want)):
+            assert got is None or math.isnan(got), ctx
+        else:
+            assert got == pytest.approx(want, rel=1e-9), ctx
+
+    for key, wide in wides.items():
+        g = stats.greeks(wide, bench).first()["r"]
+        close(out[key]["alpha"], g["alpha"], (key, "alpha"))
+        close(out[key]["beta"], g["beta"], (key, "beta"))
+        # key "c" IS the benchmark: active returns are identically 0 and
+        # IR is NaN on both paths
+        close(
+            out[key]["information_ratio"],
+            stats.information_ratio(wide, bench).first()["r"],
+            (key, "ir"),
+        )
+        close(out[key]["correlation"], stats.correlation(wide, bench).first()["r"], (key, "corr"))
+        close(out[key]["treynor_ratio"], stats.treynor_ratio(wide, bench).first()["r"], (key, "tr"))
