@@ -16,10 +16,14 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("alphastats-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
+        # keep saveAsTable tests from dropping spark-warehouse/ in the repo
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="as_wh_"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
