@@ -493,6 +493,49 @@ FROM joined
             )
         )
 
+    # Keyed trailing windows over the 2-asset long frame: per-key
+    # overlap-replication buckets vs DuckDB's per-key RANGE window.
+    def _trailing_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from alphastats_spark.operators.rolling import trailing_metrics
+
+        long_df = (
+            load_returns(spark, sf_dir).select(F.lit("a").alias("asset"), "d", "r")
+            .unionByName(
+                load_benchmark(spark, sf_dir).select(
+                    F.lit("b").alias("asset"), "d", F.col("b").alias("r")
+                )
+            )
+        )
+        out = trailing_metrics(
+            long_df,
+            days=30,
+            key_cols=["asset"],
+            metrics={
+                "mean": lambda c, w: F.avg(c).over(w),
+                "n_obs": lambda c, w: F.count(c).over(w).cast("long"),
+            },
+        )
+        return _round_df(
+            out.select(
+                "asset",
+                F.col("d").cast("string").alias("d"),
+                F.col("r_mean"),
+                F.col("r_n_obs"),
+            )
+        )
+
+    add("rolling_trailing_30d_keyed", _trailing_keyed, f"""{RETURNS_CTE}{BENCH_CTE},
+long_f AS (
+  SELECT 'a' AS asset, d, r FROM rets
+  UNION ALL SELECT 'b' AS asset, d, b AS r FROM bres
+)
+SELECT asset, CAST(d AS VARCHAR) AS d,
+  ROUND(AVG(r) OVER w, {ROUND}) AS r_mean,
+  COUNT(r) OVER w AS r_n_obs
+FROM long_f
+WINDOW w AS (PARTITION BY asset ORDER BY d
+             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)""")
+
     add("rolling_trailing_30d", _trailing, f"""{RETURNS_CTE}
 SELECT CAST(d AS VARCHAR) AS d,
   ROUND(AVG(r) OVER w, {ROUND}) AS r_mean,

@@ -47,19 +47,24 @@ def trailing_metrics(
     temporal: str | None = None,
     cols: list[str] | None = None,
     metrics: dict[str, Callable[[Column, Window], Column]] | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-row trailing ``days``-day metrics for every numeric column.
 
-    Output keeps the input rows (temporal + value columns) plus
+    Output keeps the input rows (keys + temporal + value columns) plus
     ``{col}_{metric}`` columns computed over the inclusive trailing window
-    ``[t - days + 1, t]`` in calendar days.
+    ``[t - days + 1, t]`` in calendar days. With ``key_cols`` (the
+    multi-asset long-frame shape) the window is per key and the
+    overlap-replication buckets become (keys × N-day span) — parallel
+    across keys AND across time within each key.
     """
     if days < 1:
         raise ValueError("days must be >= 1")
     temporal = temporal or _utils.get_temporal_column_name(df)
     if temporal is None:
         raise NoTemporalColumnError
-    cols = cols or _utils.numeric_column_names(df)
+    key_cols = key_cols or []
+    cols = cols or [c for c in _utils.numeric_column_names(df) if c not in key_cols]
     metrics = metrics or ROLLING_METRICS
 
     ts = F.col(temporal)
@@ -71,6 +76,7 @@ def trailing_metrics(
     ).cast("long")
 
     base = df.select(
+        *[F.col(k) for k in key_cols],
         ts.alias(temporal),
         *[F.col(c) for c in cols],
     ).withColumn("__day", day)
@@ -85,7 +91,7 @@ def trailing_metrics(
     unioned = native.unionByName(ghost)
 
     w = (
-        Window.partitionBy("__bkt")
+        Window.partitionBy(*key_cols, "__bkt")
         .orderBy(F.col("__day"))
         .rangeBetween(-(days - 1), 0)
     )

@@ -298,3 +298,48 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert joined.count() == 10_000
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
+
+
+def test_trailing_metrics_keyed_matches_per_key_runs(spark):
+    """Keyed overlap-replication trailing windows equal running the keyless
+    operator on each key's series alone."""
+    import random
+
+    from alphastats_spark.operators.rolling import trailing_metrics
+
+    rng = random.Random(5)
+    rows = []
+    per_key = {}
+    for key in ("x", "y"):
+        series = []
+        for i in range(90):
+            if i % 9 == 4:
+                continue  # gaps
+            d = dt.date(2023, 1, 1) + dt.timedelta(days=i)
+            v = rng.gauss(0.001, 0.02)
+            series.append((d, v))
+            rows.append((key, d, v))
+        per_key[key] = series
+    long_df = spark.createDataFrame(rows, "k string, d date, r double")
+
+    got = {
+        (r["k"], r["d"]): (r["r_mean"], r["r_n_obs"])
+        for r in trailing_metrics(
+            long_df, days=30, key_cols=["k"],
+            metrics={"mean": lambda c, w: F.avg(c).over(w),
+                     "n_obs": lambda c, w: F.count(c).over(w).cast("long")},
+        ).collect()
+    }
+    for key, series in per_key.items():
+        single = spark.createDataFrame(series, "d date, r double")
+        want = {
+            r["d"]: (r["r_mean"], r["r_n_obs"])
+            for r in trailing_metrics(
+                single, days=30,
+                metrics={"mean": lambda c, w: F.avg(c).over(w),
+                         "n_obs": lambda c, w: F.count(c).over(w).cast("long")},
+            ).collect()
+        }
+        for d, vals in want.items():
+            assert got[(key, d)][1] == vals[1], (key, d)
+            assert got[(key, d)][0] == pytest.approx(vals[0], rel=1e-12), (key, d)
