@@ -427,3 +427,28 @@ def lsh_verified_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def deduplicate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus deduplication: keep one representative per
+    near-duplicate cluster.
+
+    The composed 100 TB pipeline — MinHash-LSH band candidates → exact
+    Jaccard verification restricted to candidates
+    (:func:`lsh_verified_pairs`) → connected-component clustering
+    (:func:`duplicate_clusters`) → drop every non-representative member
+    via a LEFT ANTI join (representative = min id per cluster). Output is
+    the input frame minus dropped rows — schema unchanged, no payload
+    columns ever shuffled except by the anti-join key.
+    """
+    pairs = lsh_verified_pairs(df, id_col, text_col, threshold=threshold)
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -1414,6 +1414,51 @@ reach AS (
 )
 SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src""")
 
+    # Composed end-to-end dedup: LSH candidates → verified pairs → CC
+    # clusters → anti-join keeps one representative per cluster. The
+    # oracle rebuilds the identical pipeline (deterministic md5 minhash →
+    # recursive-CTE closure) and checks the SURVIVING doc ids.
+    add("dedup_corpus",
+        lambda spark, sf_dir: dedup.deduplicate(
+            _docs(spark, sf_dir), threshold=0.5
+        ).select("doc_id"),
+        _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, b.sig
+  FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+vpairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM vpairs
+  UNION SELECT id_b, id_a FROM vpairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cls AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cls WHERE id <> cluster_id)""")
+
     add("emb_near_dups",
         lambda spark, sf_dir: dedup.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4),
         f"""

@@ -586,3 +586,13 @@ class TestCorpusStats:
         assert out[1] == "see <URL> and <URL>"
         assert out[2] == "call <PHONE> or <PHONE> now"
         assert out[3] == "no pii here, just 42 and v1.2"
+
+
+def test_deduplicate_keeps_representatives(spark, docs):
+    out = dedup.deduplicate(docs, threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # docs 0 and 2 are identical: exactly one (the min id) survives;
+    # everything unrelated survives untouched
+    assert 0 in kept and 2 not in kept
+    assert {3, 4, 5, 6} <= kept
+    assert out.columns == docs.columns
