@@ -87,6 +87,16 @@ def lsh_buckets(
     return df.withColumn("lsh_bucket", bucket_expr(F.col(vec_col), planes))
 
 
+def query_bucket(query: list[float], planes: list[list[float]]) -> int:
+    """Driver-side sign-bit bucket of a literal query vector (same
+    left-to-right double accumulation as the SQL/Spark dot products)."""
+    b = 0
+    for i, p in enumerate(planes):
+        if sum(a * x for a, x in zip(query, p)) >= 0:
+            b |= 1 << i
+    return b
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
@@ -96,20 +106,30 @@ def lsh_topk(
     n_planes: int = 6,
     seed: int = 42,
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's bucket (plus
-    Hamming-1 neighbor buckets when ``multiprobe``)."""
-    planes = hyperplanes(len(query), n_planes, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query, p)) >= 0:
-            qbucket |= 1 << i
-    candidates = [qbucket]
-    if multiprobe:
-        candidates += [qbucket ^ (1 << i) for i in range(n_planes)]
+    """Approximate top-k: score only vectors that share a bucket with the
+    query in ANY of ``n_tables`` independent plane sets (plus Hamming-1
+    neighbor buckets per table when ``multiprobe``).
 
-    bucketed = df.withColumn("lsh_bucket", bucket_expr(F.col(vec_col), planes))
-    scored = bucketed.where(F.col("lsh_bucket").isin(candidates)).select(
+    Multi-table is the standard recall lever for sign-bit LSH: a neighbor
+    at angle θ lands in the query's bucket of one table with
+    p = (1 − θ/π)^planes, and is seen by ≥1 of T tables with 1 − (1 − p)^T.
+    The plan stays a single scan — per-table membership predicates are
+    OR-ed, no join, no shuffle; at 100 TB the bucket ids would be
+    precomputed/partitioned columns and the OR becomes partition pruning.
+    """
+    cond = None
+    for t in range(n_tables):
+        planes = hyperplanes(len(query), n_planes, seed + t)
+        qbucket = query_bucket(query, planes)
+        candidates = [qbucket]
+        if multiprobe:
+            candidates += [qbucket ^ (1 << i) for i in range(n_planes)]
+        member = bucket_expr(F.col(vec_col), planes).isin(candidates)
+        cond = member if cond is None else cond | member
+
+    scored = df.where(cond).select(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), query), 7).alias("cosine"),
     )
@@ -120,23 +140,13 @@ def lsh_topk(
 # IVF (inverted-file) index: coarse k-means quantizer + probe-limited search
 
 
-def ivf_centroids(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_iters: int = 5,
-    sample_rows: int = 10_000,
-    seed: int = 42,
-) -> list[list[float]]:
-    """Train the coarse quantizer: Lloyd's k-means on a bounded driver-side
-    sample (seeded → deterministic). At 100 TB the sample stays bounded —
-    the full data never reaches the driver; training cost is O(sample).
-    """
+def kmeans_train(sample, n_centroids: int = 16, n_iters: int = 5, seed: int = 42) -> list[list[float]]:
+    """Lloyd's k-means on an in-memory (n, dim) float64 array — a pure,
+    seeded function of its input, shared by the Spark sampling path and the
+    oracle's pyarrow path so both derive bit-identical centroids."""
     import numpy as np
 
-    sample = np.asarray(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()], dtype="float64"
-    )
+    sample = np.asarray(sample, dtype="float64")
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(n_iters):
@@ -147,6 +157,26 @@ def ivf_centroids(
             if len(members):
                 cents[c] = members.mean(axis=0)
     return cents.round(6).tolist()
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train the coarse quantizer: Lloyd's k-means on a bounded driver-side
+    sample (seeded → deterministic). The sample is the first ``sample_rows``
+    rows by ``id_col`` — a TakeOrderedAndProject, so it is deterministic
+    regardless of partition layout AND scalable (distributed top-n, never a
+    full sort). At 100 TB the sample stays bounded — the full data never
+    reaches the driver; training cost is O(sample).
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).collect()
+    return kmeans_train([r[1] for r in rows], n_centroids, n_iters, seed)
 
 
 def _centroid_id_expr(vec: Column, centroids: list[list[float]]) -> Column:
@@ -165,6 +195,17 @@ def _centroid_id_expr(vec: Column, centroids: list[list[float]]) -> Column:
             best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
             best_d = F.least(d, best_d)
     return best_id
+
+
+def ivf_probes(query: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """The ``nprobe`` inverted-list ids nearest the query — a pure function
+    shared with the oracle generator so probe sets match exactly."""
+    import numpy as np
+
+    q = np.asarray(query, dtype="float64")
+    cents = np.asarray(centroids, dtype="float64")
+    order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort()
+    return [int(i) for i in order[:nprobe]]
 
 
 def ivf_index(
@@ -190,12 +231,7 @@ def ivf_topk(
     """Approximate top-k: score only vectors in the ``nprobe`` inverted
     lists nearest the query. Pass ``indexed=True`` when ``df`` already has
     ``ivf_list`` (the production shape: index once, probe per query)."""
-    import numpy as np
-
-    q = np.asarray(query, dtype="float64")
-    cents = np.asarray(centroids, dtype="float64")
-    order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort()
-    probe = [int(i) for i in order[:nprobe]]
+    probe = ivf_probes(query, centroids, nprobe)
 
     base = df if indexed else ivf_index(df, centroids, vec_col)
     scored = base.where(F.col("ivf_list").isin(probe)).select(

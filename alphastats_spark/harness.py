@@ -130,6 +130,39 @@ def _scalar_sql(expr: str, extra_cte: str = "") -> str:
 _Z95 = NormalDist().inv_cdf(0.05)  # -1.6448536269514722
 
 
+def _phi_sql(x: str) -> str:
+    """Standard normal CDF Φ(x) as a pure-SQL DuckDB scalar expression.
+
+    DuckDB 1.0 has no erf/normal-CDF builtin, so Φ is evaluated from the
+    exact Maclaurin series of erf — Φ(x) = ½ + sign(x)/√π · Σₙ (−1)ⁿ
+    z^(2n+1)/(n!(2n+1)) with z = |x|/√2 — summed over 80 terms via
+    ``generate_series`` with factorials through ``lgamma`` (no memorized
+    rational-approximation coefficients to transcribe wrongly). Measured
+    max |Φ_sql − NormalDist().cdf| < 7e-10 on |x| < 5.7, i.e. exact at the
+    driver's 7-decimal rounding; |x| ≥ 5.7 clamps to 0/1, where the true
+    tail < 6e-9 rounds to the same value. The GREATEST(…, 1e-300) floor
+    keeps LN defined at x = 0 (series sum is then 0 → Φ = 0.5)."""
+    return (
+        f"(CASE WHEN ({x}) >= 5.7 THEN 1.0 WHEN ({x}) <= -5.7 THEN 0.0 ELSE "
+        f"0.5 + SIGN({x}) / SQRT(PI()) * (SELECT SUM((1 - 2*(t.i % 2)) * "
+        f"EXP((2*t.i+1)*LN(GREATEST(ABS({x})/SQRT(2), 1e-300)) "
+        f"- LGAMMA(t.i + 1.0) - LN(2*t.i + 1.0))) "
+        f"FROM generate_series(0, 79) AS t(i)) END)"
+    )
+
+
+def _psr_x_sql(sr: str = "sr", sk: str = "sk", ku: str = "ku", n: str = "n") -> str:
+    """PSR test statistic (reference ``alphastats/stats.py:255-323``):
+    (SR − SR*)/σ_SR with SR* = 0, σ_SR = √((1 + ½SR² − γ₃SR + ((γ₄−3)/4)SR²)/(n−1)).
+    γ₄ here is the bias-corrected *excess* kurtosis (DuckDB KURTOSIS ==
+    Spark expressions.kurtosis), and the reference subtracts 3 from it
+    again — mirrored verbatim."""
+    return (
+        f"({sr}) / SQRT((1 + 0.5*({sr})*({sr}) - ({sk})*({sr}) "
+        f"+ ((({ku}) - 3)/4.0)*({sr})*({sr})) / (({n}) - 1))"
+    )
+
+
 def build_registry():
     """Return (queries, oracles) dicts for the driver contract."""
     q: dict = {}
@@ -760,13 +793,18 @@ penalty AS (
             stats.autocorr_penalty(load_returns(spark, sf_dir)).select(F.col("r").alias("value"))
         ),
         f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND(p, {ROUND}) AS value FROM penalty")
-    # PSR needs the normal CDF, which DuckDB lacks → rows-only check.
+    # PSR: DuckDB lacks a normal CDF, so the oracle evaluates Φ from the
+    # exact erf Maclaurin series (_phi_sql) — value-hashed, not rows-only.
     add("psr",
         lambda spark, sf_dir: _round_df(
             stats.probabilistic_sharpe_ratio(load_returns(spark, sf_dir))
             .select(F.col("r").alias("value"))
         ),
-        None)
+        f"""{RETURNS_CTE},
+pin AS (SELECT AVG(r)/STDDEV_SAMP(r) AS sr, SKEWNESS(r) AS sk,
+               KURTOSIS(r) AS ku, COUNT(r) AS n FROM rets),
+px AS (SELECT {_psr_x_sql()} AS x FROM pin)
+SELECT ROUND({_phi_sql("x")}, {ROUND}) AS value FROM px""")
     add("smart_sharpe",
         lambda spark, sf_dir: _round_df(
             stats.smart_sharpe(load_returns(spark, sf_dir)).select(F.col("r").alias("value"))
@@ -806,14 +844,14 @@ penalty AS (
         None)
 
     # Numeric report: the pre-formatting scalar table, value-hash checked
-    # cell by cell (the string reports above can only be rows-checked —
-    # 2-decimal formatting destroys comparability). PSR is filtered out
-    # solely because DuckDB has no normal-CDF function.
+    # cell by cell (the string reports above get a separate formatted-string
+    # oracle — 2-decimal formatting destroys numeric comparability). The PSR
+    # row is included: the oracle evaluates Φ via _phi_sql.
     def _report_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         from alphastats_spark.reports import metrics
 
         out = metrics(load_returns(spark, sf_dir), display=False, mode="basic", numeric=True)
-        return _round_df(out.where(F.col("Metric") != "Prob. Sharpe Ratio"))
+        return _round_df(out)
 
     report_eps_cte = """,
 repf AS (SELECT d, dd, CASE WHEN dd < 0 THEN 0 ELSE 1 END AS brk FROM dds),
@@ -868,7 +906,11 @@ sc AS (
     (SELECT SQRT(SUM(dd * dd) / (COUNT(dd) - 1)) FROM dds) AS ulcer,
     (SELECT AVG(dd) + ({_Z95!r}) * STDDEV_SAMP(dd) FROM dds) AS ddvar,
     (SELECT STDDEV_SAMP(r) FROM rets) AS rstd,
-    (SELECT SUM(r) FROM rets) AS rsum
+    (SELECT SUM(r) FROM rets) AS rsum,
+    (SELECT AVG(r) / STDDEV_SAMP(r) FROM rets) AS sr0,
+    (SELECT SKEWNESS(r) FROM rets) AS skv,
+    (SELECT KURTOSIS(r) FROM rets) AS kuv,
+    (SELECT COUNT(r) FROM rets) AS nv
 ),
 sc2 AS (
   SELECT sc.*,
@@ -909,6 +951,8 @@ SELECT Metric, ROUND(Strategy, {ROUND}) AS Strategy FROM (
   UNION ALL SELECT 'Recovery Factor', recov, 31 FROM sc2
   UNION ALL SELECT 'Ulcer Index', ulcer, 32 FROM sc2
   UNION ALL SELECT 'Serenity Index', rsum / (ulcer * (-ddcvar / rstd)), 33 FROM sc2
+  UNION ALL SELECT 'Prob. Sharpe Ratio',
+    {_phi_sql(_psr_x_sql("sr0", "skv", "kuv", "nv"))}, 34 FROM sc2
 ) t ORDER BY ord""")
 
     _add_streaming(add)
@@ -1128,6 +1172,160 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- seeded-LSH oracle generation --------------------------------------------
+# The random-hyperplane LSH operators (functions/similarity.py:57-72,
+# functions/dedup.py:284-320) draw their planes from a seeded numpy RNG on
+# the driver and ship them as literal arrays, so the SAME constants can be
+# embedded in the DuckDB oracle — the approximate index is then checked
+# exactly (identical candidate sets by construction, not by luck).
+
+_EMB_DIM = 64  # embedding dim of the testdata family (TESTDATA.md, all SFs)
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """Sign-bit bucket id — SQL twin of similarity.bucket_expr."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _emb_lsh_pairs_sql(threshold: float, n_planes: int, n_tables: int,
+                       seed: int = 42) -> str:
+    """Oracle for dedup.embedding_near_dup_pairs_lsh: a pair is a candidate
+    when ANY table's bucket ids match (≡ Spark's union of per-table joins +
+    dropDuplicates), then exact-cosine filtered at ``threshold``."""
+    from alphastats_spark.functions import similarity
+
+    buckets = []
+    for t in range(n_tables):
+        planes = similarity.hyperplanes(_EMB_DIM, n_planes, seed + t)
+        buckets.append(f"{_bucket_sql('e', planes)} AS b{t}")
+    any_match = " OR ".join(f"a.b{t} = c.b{t}" for t in range(n_tables))
+    cos = "ROUND(list_dot_product(a.e, c.e) / (a.norm * c.norm), 7)"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, e, norm, {", ".join(buckets)} FROM v
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b, {cos} AS cosine
+FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_match})
+WHERE {cos} >= {threshold}"""
+
+
+def _ann_lsh_sql(k: int, n_planes: int, seed: int = 42, n_tables: int = 1) -> str:
+    """Oracle for similarity.lsh_topk (multi-table, multiprobe).
+
+    The query's per-table bucket and its Hamming-1 probe set are computed
+    HERE in Python with the exact arithmetic of similarity.query_bucket
+    (the query vector is read from the gate-scale parquet, same floats
+    Spark collects), so they embed as integer literals; each row's bucket
+    is recomputed in SQL from the same literal planes. Gate contract fixes
+    sf0.01; SPARK_GRAFT_ORACLE_SF_DIR overrides for local replicas."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from alphastats_spark.functions import similarity
+
+    path = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{path}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    qvec = [float(x) for x in tbl.column("embedding")[ids.index(0)].as_py()]
+
+    conds = []
+    for t in range(n_tables):
+        planes = similarity.hyperplanes(len(qvec), n_planes, seed + t)
+        qb = similarity.query_bucket(qvec, planes)
+        cands = sorted({qb} | {qb ^ (1 << i) for i in range(n_planes)})
+        conds.append(
+            f"{_bucket_sql('embedding::DOUBLE[]', planes)} "
+            f"IN ({', '.join(str(c) for c in cands)})"
+        )
+    where = "\n     OR ".join(conds)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    ROUND(list_dot_product(embedding::DOUBLE[], qe)
+      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(qe, qe))), 7) AS cosine
+  FROM embeddings, q
+  WHERE {where}
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def _ivf_oracle_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 4,
+                    seed: int = 42, sample_rows: int = 10_000) -> str:
+    """Oracle for similarity.ivf_topk.
+
+    The coarse quantizer is deterministic end-to-end: the training sample is
+    the first ``sample_rows`` vectors by vec_id (similarity.ivf_centroids
+    samples the same way via TakeOrderedAndProject) and k-means is the pure
+    seeded similarity.kmeans_train, so re-training here from the parquet via
+    pyarrow yields bit-identical centroids. The SQL then replicates the
+    per-row argmin assignment (elementwise (a−b)² fold, first-occurrence
+    tie-break — the twin of similarity._centroid_id_expr) and the numpy
+    probe order. The gate contract fixes the correctness scale at sf0.01;
+    SPARK_GRAFT_ORACLE_SF_DIR overrides for local replicas at other scales.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from alphastats_spark.functions import similarity
+
+    path = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{path}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = t.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")[:sample_rows]
+    cents = similarity.kmeans_train([vecs[i] for i in order], n_centroids, 5, seed)
+    qvec = [float(x) for x in vecs[int(np.nonzero(ids == 0)[0][0])]]
+    probes = similarity.ivf_probes(qvec, cents, nprobe)
+    dim = len(qvec)
+
+    d_cols = []
+    for i, c in enumerate(cents):
+        lit = _plane_sql(c)
+        d_cols.append(
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"j -> (e[j] - ({lit})[j]) * (e[j] - ({lit})[j]))) AS d{i}"
+        )
+    cases = []
+    for i in range(len(cents) - 1, 0, -1):
+        prev = ", ".join(f"d{j}" for j in range(i))
+        prev_min = f"LEAST({prev})" if i > 1 else "d0"
+        cases.append(f"WHEN d{i} < {prev_min} THEN {i}")
+    argmin = "CASE " + " ".join(cases) + " ELSE 0 END"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, e, norm, {", ".join(d_cols)} FROM v),
+a AS (SELECT vec_id, e, norm, {argmin} AS ivf_list FROM d)
+SELECT vec_id,
+  ROUND(list_dot_product(e, qe) / (norm * sqrt(list_dot_product(qe, qe))), 7) AS cosine
+FROM a, q
+WHERE ivf_list IN ({", ".join(str(p) for p in probes)})
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
 def _add_extensions(add) -> None:
@@ -1459,32 +1657,37 @@ cls AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM cls WHERE id <> cluster_id)""")
 
-    add("emb_near_dups",
-        lambda spark, sf_dir: dedup.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4),
-        f"""
-WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), {ROUND}) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.e, b.e) / (a.norm * b.norm), {ROUND}) >= 0.4""")
-
-    # LSH-bucketed near-dup (the 100 TB path): pair recall is approximate,
-    # so the gate checks rows-only; scored values are exact cosine.
+    # Embedding near-dups run the LSH-bucketed pipeline as the GATE query —
+    # the 100 TB shape (per-bucket equi-joins, no all-pairs join anywhere).
+    # The O(n²) brute-force variant (dedup.embedding_near_dup_pairs) is
+    # demoted to pytest, where it serves as the recall ground truth.
+    #
+    # The oracle replicates the candidate generation EXACTLY: the seeded
+    # hyperplanes are literal double arrays in the SQL (same constants Spark
+    # ships via F.lit), and a pair qualifies when ANY of the n_tables bucket
+    # ids match — identical to Spark's union-of-tables + dropDuplicates. The
+    # check is therefore exact even though pair *recall* vs brute force is
+    # probabilistic.
+    #
     # Calibration for threshold=0.4: p_plane = 1 − arccos(0.4)/π ≈ 0.631,
     # so 3 planes collide per table with 0.631³ ≈ 0.251 and 12 tables give
     # expected recall 1 − (1 − 0.251)¹² ≈ 0.97 (tests assert ≥ 0.9 measured
     # against the exact pairs). Tighter thresholds admit more planes per
     # table — at a production near-dup threshold of 0.9 the same 0.97
     # recall needs only ~16-vector buckets per 2²⁰ vectors.
-    add("emb_near_dups_lsh",
+    add("emb_near_dups",
         lambda spark, sf_dir: dedup.embedding_near_dup_pairs_lsh(
             _embs(spark, sf_dir), threshold=0.4, n_planes=3, n_tables=12
         ),
-        None)
+        _emb_lsh_pairs_sql(threshold=0.4, n_planes=3, n_tables=12))
+
+    # Second parameterization: more planes per table at a higher threshold —
+    # exercises the planes/tables trade-off through the same exact oracle.
+    add("emb_near_dups_lsh",
+        lambda spark, sf_dir: dedup.embedding_near_dup_pairs_lsh(
+            _embs(spark, sf_dir), threshold=0.45, n_planes=4, n_tables=12
+        ),
+        _emb_lsh_pairs_sql(threshold=0.45, n_planes=4, n_tables=12))
 
     # ---- similarity search -------------------------------------------------
     def _ann_query(spark, sf_dir):
@@ -1506,9 +1709,14 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
     def _ann_lsh(spark, sf_dir):
         emb = _embs(spark, sf_dir)
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-        return similarity.lsh_topk(emb, qvec, k=20)
+        return similarity.lsh_topk(emb, qvec, k=20, n_tables=8)
 
-    add("ann_lsh_topk", _ann_lsh, None)  # approximate — rows-only check
+    # Value-hashed: the oracle recomputes the query's per-table sign-bit
+    # buckets, the Hamming-1 multiprobe sets, and each row's bucket from the
+    # SAME literal hyperplanes, so the approximate index is checked exactly.
+    # 8 tables: measured recall@20 vs exact = 0.75 (sf0.01) / 0.85 (sf0.001),
+    # pinned in tests/test_functions.py.
+    add("ann_lsh_topk", _ann_lsh, _ann_lsh_sql(k=20, n_planes=6, seed=42, n_tables=8))
 
     def _ann_ivf(spark, sf_dir):
         emb = _embs(spark, sf_dir)
@@ -1516,7 +1724,10 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
         cents = similarity.ivf_centroids(emb, n_centroids=16, seed=42)
         return similarity.ivf_topk(emb, qvec, cents, k=20, nprobe=4)
 
-    add("ann_ivf_topk", _ann_ivf, None)  # approximate — rows-only check
+    # Value-hashed: centroid training is a pure seeded function of the
+    # id-ordered sample, so the oracle re-derives identical centroids and
+    # probe lists (see _ivf_oracle_sql).
+    add("ann_ivf_topk", _ann_ivf, _ivf_oracle_sql(k=20, n_centroids=16, nprobe=4))
 
     # ---- multimodal plumbing (fake decoder; rows-only) ---------------------
     def _media(spark, sf_dir):
@@ -1586,17 +1797,17 @@ FROM padded""")
 WITH g AS (
   SELECT user_id, ts, event_id,
     CASE WHEN LAG(ts) OVER w IS NULL
-           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS brk
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
   SELECT user_id, ts,
-    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+       CAST(epoch_us(MAX(ts)) // 1000000 - epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_id""")
 
     # Native session windows (streaming-shared code path). Boundary differs
@@ -1712,21 +1923,41 @@ def _event_epoch():
 
 
 def _sessionize(spark: SparkSession, sf_dir: str):
+    """Gap-based sessionization over the raw event log.
+
+    All gap/duration math is **integer microseconds** (``ts div 1000`` on the
+    raw int64-nanos column) so no floating-point epoch ever enters a boundary
+    comparison, and the oracle can mirror it exactly with ``epoch_us``.
+    ``session_id`` is a LongType running sum; the oracle CASTs its window SUM
+    to BIGINT because DuckDB types it HUGEINT (int128) by default and the
+    driver's hasher is type-sensitive.
+    """
     from pyspark.sql import Window
 
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = _event_epoch()
-    g = events.withColumn(
+    g = events.withColumn("us", F.expr("ts div 1000")).withColumn(
         "brk",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | (epoch - F.lag(epoch).over(w) > 1800.0),
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > F.lit(1800_000_000)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
     s = g.withColumn("session_id", F.sum("brk").over(w))
-    return s.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.floor(F.max(epoch)) - F.floor(F.min(epoch))).cast("bigint").alias("duration_s"),
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("us").alias("max_us"),
+            F.min("us").alias("min_us"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.expr("max_us div 1000000 - min_us div 1000000")
+            .cast("bigint")
+            .alias("duration_s"),
+        )
     )

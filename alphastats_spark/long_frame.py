@@ -59,6 +59,13 @@ def metrics_by_key(
     base = df.select(key_col, temporal, value_col)
     base = keyed.with_order_keyed(base, temporal, keys)
     base = keyed.add_drawdown_columns_keyed(base, keys, {"__dd": value_col})
+    # Persisted so the three consumers below (main aggs, CVaR join, episode
+    # stats) compute the keyed drawdown enrichment once. The result is
+    # returned lazily, so the cache must OUTLIVE this function — it fills on
+    # the caller's first action and is evicted LRU (MEMORY_AND_DISK) or via
+    # spark.catalog.clearCache(). An unpersist here would drop it before any
+    # action ever ran (round-2 advisor finding). The cached projection is
+    # narrow: (key, date, value, __dd) only.
     base.persist()
     dd = F.col("__dd")
 
@@ -122,9 +129,7 @@ def metrics_by_key(
         F.col("avg_dd").alias("avg_drawdown"),
     )
 
-    out = main.join(cvar, key_col, "left").join(episodes, key_col, "left")
-    base.unpersist()
-    return out
+    return main.join(cvar, key_col, "left").join(episodes, key_col, "left")
 
 
 def smart_ratios_by_key(

@@ -108,18 +108,27 @@ def main() -> None:
         "q_report": q_report,
     }
 
-    # best-of-2: first pass absorbs residual JIT/compilation noise (±20%
-    # run-to-run otherwise); min is the standard steady-state estimator
+    # best-of-3: the first pass absorbs residual JIT/compilation noise and
+    # min is the standard steady-state estimator. All raw runs are emitted
+    # ("runs") so a contended invocation is self-diagnosing — the round-2
+    # official number (20.5s) never reproduced locally (steady ≈16s) because
+    # the driver's bench ran concurrently with the correctness gate; with
+    # per-run spreads in the JSON that situation is visible instead of
+    # looking like a code regression.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in queries.items():
-        best = float("inf")
-        for _ in range(2):
+        runs[name] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 3)
+    spread = round(
+        max(max(r) / max(min(r), 1e-9) for r in runs.values()), 2
+    )
     print(
         json.dumps(
             {
@@ -128,6 +137,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "max_run_spread": spread,
             }
         )
     )

@@ -24,13 +24,38 @@ TABLES = [
 
 
 def norm_cell(v):
+    """Type-tagged normalization.
+
+    The driver's hasher is TYPE-SENSITIVE: DuckDB types a window ``SUM`` over
+    integers as HUGEINT, which pandas materializes as float64, and the driver
+    then hashes ``0.0`` differently from Spark's ``0``. Python's cross-type
+    equality (``0.0 == 0``) used to hide exactly that here, so every cell is
+    tagged with its type category — int vs float vs bool vs str vs
+    date/timestamp — and a category mismatch fails the compare just like the
+    driver. numpy scalars collapse into the same category as their Python
+    counterparts (both engines round-trip through pandas/collect)."""
+    import datetime
+
+    import numpy as np
+
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 7)
-    return v
+    if isinstance(v, (bool, np.bool_)):  # bool BEFORE int: bool ⊂ int
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
+        return ("f", round(f, 7))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, datetime.datetime):  # pd.Timestamp ⊂ datetime
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    return (type(v).__name__, str(v))
 
 
 def norm_rows(rows, cols):
@@ -43,6 +68,11 @@ def norm_rows(rows, cols):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # data-derived oracles (IVF centroids) must read the same scale factor
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
 

@@ -302,6 +302,35 @@ def test_jaccard_shingle_df_cap(spark):
     assert (0, 1) in capped
 
 
+def test_ann_recall_at_k(spark):
+    """recall@20 of the approximate ANN paths vs exact cosine top-k on the
+    driver embeddings table, at the GATE parameters. Everything is seeded
+    and the data is fixed, so recall is deterministic — pinned just below
+    the measured values (LSH T=8: 0.85 @sf0.001; IVF nprobe=4: 0.50,
+    nprobe=8: 0.75) so any regression in the index structures fails here."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    k = 20
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=k).collect()}
+
+    lsh = {r["vec_id"] for r in similarity.lsh_topk(emb, q, k=k, n_tables=8).collect()}
+    lsh_recall = len(lsh & exact) / k
+    assert lsh_recall >= 0.8, f"LSH recall@20 {lsh_recall:.2f} below pin"
+
+    cents = similarity.ivf_centroids(emb, n_centroids=16, seed=42)
+    ivf4 = {r["vec_id"] for r in similarity.ivf_topk(emb, q, cents, k=k, nprobe=4).collect()}
+    ivf8 = {r["vec_id"] for r in similarity.ivf_topk(emb, q, cents, k=k, nprobe=8).collect()}
+    r4, r8 = len(ivf4 & exact) / k, len(ivf8 & exact) / k
+    assert r4 >= 0.45, f"IVF nprobe=4 recall@20 {r4:.2f} below pin"
+    assert r8 >= 0.7, f"IVF nprobe=8 recall@20 {r8:.2f} below pin"
+    assert r8 >= r4, "raising nprobe must not lower recall"
+
+
 def test_embedding_lsh_gate_recall(spark):
     """Quantitative recall check at the GATE parameters (harness
     emb_near_dups_lsh: threshold=0.4, n_planes=3, n_tables=12 — expected
