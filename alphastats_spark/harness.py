@@ -163,6 +163,296 @@ def _psr_x_sql(sr: str = "sr", sk: str = "sk", ku: str = "ku", n: str = "n") -> 
     )
 
 
+def _fmt_sql(x: str) -> str:
+    """Replicate the report's string-cell formatter (reports._format_value,
+    reference ``alphastats/reports.py:539-553``) in DuckDB SQL:
+    ``str(round(v, 2))`` with non-finite → ``'-'`` and ±0 → ``'0'``.
+
+    ``printf('%.2f', x)`` correctly rounds the EXACT binary double (fmt's
+    Dragon4), matching Python's ``round(x, 2)`` — unlike DuckDB ``ROUND``,
+    which rounds the shortest decimal repr (``ROUND(2.675, 2) = 2.68`` vs
+    Python ``2.67``; verified empirically). The trailing-zero strip turns
+    printf's fixed 2 decimals into Python's shortest float repr
+    (``'12.00'`` → ``'12.0'``, ``'0.10'`` → ``'0.1'``)."""
+    return (
+        f"CASE WHEN ({x}) IS NULL OR isnan({x}) OR isinf({x}) THEN '-' "
+        f"WHEN printf('%.2f', {x}) IN ('0.00', '-0.00') THEN '0' "
+        f"ELSE regexp_replace(printf('%.2f', {x}), '0$', '') END"
+    )
+
+
+def _fmt_int_sql(x: str) -> str:
+    """Integer report cell → ``str(int(v))`` (no decimal point)."""
+    return (
+        f"CASE WHEN ({x}) IS NULL THEN '-' "
+        f"ELSE CAST(CAST({x} AS BIGINT) AS VARCHAR) END"
+    )
+
+
+def _report_col_ctes(t: str, col: str) -> str:
+    """Per-column CTE block for the full-report oracle: drawdowns, episode
+    islands, calendar buckets, streak islands and the ~45 scalar aggregates
+    the report renders for column ``col`` of the joined frame ``jf``.
+    Every scalar is aliased ``{t}_*`` so two column blocks cross-join
+    safely into one 1-row frame. Mirrors reports._column_aggs /
+    _calendar_agg / islands.drawdown_episode_stats exactly."""
+    z95 = repr(_Z95)
+    return f""",
+w_{t} AS (SELECT d, {col} AS r, EXP(SUM(LN(1 + {col})) OVER (ORDER BY d)) AS w FROM jf),
+dds_{t} AS MATERIALIZED (SELECT d, r, LEAST(w / MAX(w) OVER (ORDER BY d) - 1, 0) AS dd FROM w_{t}),
+epi_{t} AS (
+  SELECT dd, brk, SUM(brk) OVER (ORDER BY d) AS isl
+  FROM (SELECT d, dd, CASE WHEN dd < 0 THEN 0 ELSE 1 END AS brk FROM dds_{t})
+),
+eps_{t} AS (
+  SELECT isl, MIN(dd) AS min_dd, COUNT(*) AS len
+  FROM epi_{t} WHERE brk = 0 GROUP BY isl
+),
+mon_{t} AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS cmp, SUM(r) AS sm
+            FROM dds_{t} GROUP BY YEAR(d), MONTH(d)),
+qtr_{t} AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS cmp
+            FROM dds_{t} GROUP BY YEAR(d), QUARTER(d)),
+yr_{t} AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS cmp FROM dds_{t} GROUP BY YEAR(d)),
+lb_{t} AS (
+  SELECT r, idx,
+    MAX(CASE WHEN r > 0 THEN NULL ELSE idx END)
+      OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS lbw,
+    MAX(CASE WHEN r < 0 THEN NULL ELSE idx END)
+      OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS lbl
+  FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY d) AS idx FROM dds_{t})
+),
+pen_{t} AS (
+  SELECT SQRT(1 + 2 * SUM((n0.n - xs.x) * POWER(ac.coef, xs.x) / n0.n)) AS p
+  FROM (SELECT ABS(CORR(a, b2)) AS coef
+        FROM (SELECT r AS a, LEAD(r) OVER (ORDER BY d) AS b2 FROM dds_{t})
+        WHERE b2 IS NOT NULL) ac,
+       (SELECT COUNT(*) AS n FROM dds_{t}) n0,
+       (SELECT ROW_NUMBER() OVER (ORDER BY d) AS x FROM dds_{t}) xs
+  WHERE xs.x <= n0.n - 1
+),
+sc_{t} AS MATERIALIZED (
+  SELECT
+    (SELECT COUNT(r) FROM dds_{t}) AS {t}_n,
+    (SELECT SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(r) FROM dds_{t}) AS {t}_tim,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM dds_{t}) AS {t}_cum,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM dds_{t}) AS {t}_cagr,
+    (SELECT AVG(r) / STDDEV_SAMP(r) * SQRT(252) FROM dds_{t}) AS {t}_sharpe,
+    (SELECT AVG(r) / STDDEV_SAMP(r) FROM dds_{t}) AS {t}_sr0,
+    (SELECT SKEWNESS(r) FROM dds_{t}) AS {t}_skv,
+    (SELECT KURTOSIS(r) FROM dds_{t}) AS {t}_kuv,
+    (SELECT AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) FROM dds_{t}) AS {t}_sortino,
+    (SELECT SUM(GREATEST(r, 0)) / SUM(GREATEST(-r, 0)) FROM dds_{t}) AS {t}_omega,
+    (SELECT MIN(dd) FROM dds_{t}) AS {t}_maxdd,
+    (SELECT COALESCE(MAX(len), 0) FROM eps_{t}) AS {t}_ldd,
+    (SELECT COALESCE(AVG(min_dd), 0) FROM eps_{t}) AS {t}_avg_dd,
+    (SELECT COALESCE(AVG(len), 0) FROM eps_{t}) AS {t}_avg_dd_days,
+    (SELECT SUM(r) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM dds_{t}) AS {t}_g2p,
+    (SELECT SUM(sm) / ABS(SUM(CASE WHEN sm < 0 THEN sm ELSE 0 END)) FROM mon_{t}) AS {t}_g2p1m,
+    (SELECT AVG(CASE WHEN r > 0 THEN r END) / ABS(AVG(CASE WHEN r < 0 THEN r END))
+       FROM dds_{t}) AS {t}_payoff,
+    (SELECT SUM(CASE WHEN r >= 0 THEN r ELSE 0 END)
+          / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM dds_{t}) AS {t}_pf,
+    (SELECT ABS(QUANTILE_CONT(r, 0.95)) / ABS(QUANTILE_CONT(r, 0.05)) FROM dds_{t}) AS {t}_tail,
+    (SELECT (SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)))
+          * (ABS(QUANTILE_CONT(r, 0.95)) / ABS(QUANTILE_CONT(r, 0.05)))
+       FROM dds_{t}) AS {t}_csr,
+    (SELECT (SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)))
+          * ((SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END))
+             / (ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) / SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END)))
+          * (SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0 / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END))
+       FROM dds_{t}) AS {t}_cpc,
+    (SELECT QUANTILE_CONT(r, 0.99) / AVG(CASE WHEN r >= 0 THEN r END) FROM dds_{t}) AS {t}_outw,
+    (SELECT QUANTILE_CONT(r, 0.01) / AVG(CASE WHEN r < 0 THEN r END) FROM dds_{t}) AS {t}_outl,
+    (SELECT STDDEV_SAMP(r) * SQRT(252) FROM dds_{t}) AS {t}_vol,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 1.0 / COUNT(r)) - 1 FROM dds_{t}) AS {t}_geo,
+    (SELECT AVG(r) FROM dds_{t}) AS {t}_meanv,
+    (SELECT MAX(r) FROM dds_{t}) AS {t}_best,
+    (SELECT MIN(r) FROM dds_{t}) AS {t}_worst,
+    (SELECT SUM(CASE WHEN r > 0 THEN 1 ELSE 0 END) * 1.0
+          / SUM(CASE WHEN r <> 0 THEN 1 ELSE 0 END) FROM dds_{t}) AS {t}_winrate,
+    (SELECT AVG(r) + ({z95}) * STDDEV_SAMP(r) FROM dds_{t}) AS {t}_var,
+    (SELECT AVG(dd) + ({z95}) * STDDEV_SAMP(dd) FROM dds_{t}) AS {t}_ddvar,
+    (SELECT STDDEV_SAMP(r) FROM dds_{t}) AS {t}_rstd,
+    (SELECT SUM(r) FROM dds_{t}) AS {t}_rsum,
+    (SELECT ABS(SUM(r)) FROM dds_{t}) / ABS((SELECT MIN(dd) FROM dds_{t})) AS {t}_recov,
+    (SELECT SQRT(SUM(dd * dd) / (COUNT(dd) - 1)) FROM dds_{t}) AS {t}_ulcer,
+    (SELECT COALESCE(MAX(CASE WHEN r > 0 THEN idx - COALESCE(lbw, 0) ELSE 0 END), 0)
+       FROM lb_{t}) AS {t}_cwin,
+    (SELECT COALESCE(MAX(CASE WHEN r < 0 THEN idx - COALESCE(lbl, 0) ELSE 0 END), 0)
+       FROM lb_{t}) AS {t}_closs,
+    (SELECT p FROM pen_{t}) AS {t}_pen,
+    (SELECT POW(EXP(SUM(LN(1 + cmp))), 1.0 / COUNT(cmp)) - 1 FROM mon_{t}) AS {t}_mon_geo,
+    (SELECT POW(EXP(SUM(LN(1 + cmp))), 1.0 / COUNT(cmp)) - 1 FROM yr_{t}) AS {t}_yr_geo,
+    (SELECT MAX(cmp) FROM mon_{t}) AS {t}_mon_best,
+    (SELECT MIN(cmp) FROM mon_{t}) AS {t}_mon_worst,
+    (SELECT MAX(cmp) FROM yr_{t}) AS {t}_yr_best,
+    (SELECT MIN(cmp) FROM yr_{t}) AS {t}_yr_worst,
+    (SELECT AVG(CASE WHEN cmp > 0 THEN cmp END) FROM mon_{t}) AS {t}_mon_avg_win,
+    (SELECT AVG(CASE WHEN cmp < 0 THEN cmp END) FROM mon_{t}) AS {t}_mon_avg_loss,
+    (SELECT SUM(CASE WHEN cmp > 0 THEN 1 ELSE 0 END) * 1.0
+          / SUM(CASE WHEN cmp <> 0 THEN 1 ELSE 0 END) FROM mon_{t}) AS {t}_mon_winrate,
+    (SELECT SUM(CASE WHEN cmp > 0 THEN 1 ELSE 0 END) * 1.0
+          / SUM(CASE WHEN cmp <> 0 THEN 1 ELSE 0 END) FROM qtr_{t}) AS {t}_qtr_winrate,
+    (SELECT SUM(CASE WHEN cmp > 0 THEN 1 ELSE 0 END) * 1.0
+          / SUM(CASE WHEN cmp <> 0 THEN 1 ELSE 0 END) FROM yr_{t}) AS {t}_yr_winrate,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM dds_{t}, mxx
+      WHERE YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md)) AS {t}_w_mtd,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM dds_{t}, mxx
+      WHERE d >= md - INTERVAL 3 MONTH) AS {t}_w_3m,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM dds_{t}, mxx
+      WHERE d >= md - INTERVAL 6 MONTH) AS {t}_w_6m,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM dds_{t}, mxx
+      WHERE YEAR(d) = YEAR(md)) AS {t}_w_ytd,
+    (SELECT EXP(SUM(LN(1 + r))) - 1 FROM dds_{t}, mxx
+      WHERE d >= md - INTERVAL 12 MONTH) AS {t}_w_1y,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM dds_{t}, mxx
+      WHERE d >= md - INTERVAL 36 MONTH) AS {t}_w_3y,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM dds_{t}, mxx
+      WHERE d >= md - INTERVAL 60 MONTH) AS {t}_w_5y,
+    (SELECT POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1 FROM dds_{t}, mxx
+      WHERE d >= md - INTERVAL 120 MONTH) AS {t}_w_10y
+),
+sc2_{t} AS MATERIALIZED (
+  SELECT sc_{t}.*,
+    COALESCE((SELECT AVG(dd) FROM dds_{t} WHERE dd < sc_{t}.{t}_ddvar),
+             sc_{t}.{t}_ddvar) AS {t}_ddcvar,
+    COALESCE((SELECT AVG(r) FROM dds_{t} WHERE r < sc_{t}.{t}_var),
+             sc_{t}.{t}_var) AS {t}_cvar
+  FROM sc_{t}
+)"""
+
+
+def _report_full_bench_sql() -> str:
+    """Full-mode report with benchmark column, formatted-string oracle.
+
+    Replicates reports.metrics(mode="full", benchmark=...) cell-for-cell:
+    inner date equi-join + fill-0 (reports._prepare_frame), per-column
+    scalar blocks for Benchmark and Strategy, benchmark-relative rows
+    computed on the joined frame, and every cell rendered through the
+    report's exact string formatter (_fmt_sql). Column order matches the
+    Spark table: Metric, Benchmark, Strategy (benchmark first,
+    reference ``alphastats/reports.py:120-135``)."""
+
+    def F_(x: str) -> str:  # noqa: N802 — local shorthand
+        return _fmt_sql(x)
+
+    psr = {
+        t: F_(_phi_sql(_psr_x_sql(f"{t}_sr0", f"{t}_skv", f"{t}_kuv", f"{t}_n")))
+        for t in ("b", "s")
+    }
+
+    # (label, benchmark_cell_sql, strategy_cell_sql); None benchmark cell
+    # means a bench_row → literal '-' (reference reports.py:227-234).
+    def both(fmt: str) -> tuple[str, str]:
+        return fmt.format(t="b"), fmt.format(t="s")
+
+    rows: list[tuple[str, str | None, str]] = []
+    rows.append(("Start Period", "CAST(mnd AS VARCHAR)", "CAST(mnd AS VARCHAR)"))
+    rows.append(("End Period", "CAST(mxd AS VARCHAR)", "CAST(mxd AS VARCHAR)"))
+    rows.append(("Risk-Free Rate", "'0'", "'0'"))
+    rows.append(("Time in Market", *both(F_("{t}_tim"))))
+    rows.append(("Cumulative Return", *both(F_("{t}_cum"))))
+    rows.append(("CAGR﹪", *both(F_("{t}_cagr"))))
+    rows.append(("Sharpe", *both(F_("{t}_sharpe"))))
+    rows.append(("Prob. Sharpe Ratio", psr["b"], psr["s"]))
+    rows.append(("Smart Sharpe", *both(F_("{t}_sharpe / {t}_pen"))))
+    rows.append(("Sortino", *both(F_("{t}_sortino"))))
+    rows.append(("Smart Sortino", *both(F_("{t}_sortino / {t}_pen"))))
+    rows.append(("Sortino/√2", *both(F_("{t}_sortino / SQRT(2)"))))
+    rows.append(("Smart Sortino/√2", *both(F_("{t}_sortino / {t}_pen / SQRT(2)"))))
+    rows.append(("Omega", *both(F_("{t}_omega"))))
+    rows.append(("Max Drawdown", *both(F_("{t}_maxdd"))))
+    rows.append(("Longest DD Days", _fmt_int_sql("b_ldd"), _fmt_int_sql("s_ldd")))
+    rows.append(("Volatility (ann.)", *both(F_("{t}_vol"))))
+    rows.append(("R^2", None, F_("POW(corrb, 2)")))
+    rows.append(("Information Ratio", None, F_("ir")))
+    rows.append(("Calmar", *both(F_(
+        "(POW({t}_cum + 1, 252.0 / {t}_n) - 1) / ABS({t}_maxdd)"))))
+    rows.append(("Skew", *both(F_("{t}_skv"))))
+    rows.append(("Kurtosis", *both(F_("{t}_kuv"))))
+    rows.append(("Expected Daily", *both(F_("{t}_geo"))))
+    rows.append(("Expected Monthly", *both(F_("{t}_mon_geo"))))
+    rows.append(("Expected Yearly", *both(F_("{t}_yr_geo"))))
+    rows.append(("Kelly Criterion", *both(F_(
+        "({t}_payoff * {t}_winrate - (1 - {t}_winrate)) / {t}_payoff"))))
+    rows.append(("Risk of Ruin", *both(F_(
+        "POW((1 - {t}_winrate) / (1 + {t}_winrate), {t}_n)"))))
+    rows.append(("Daily Value-at-Risk", *both(F_("{t}_var"))))
+    rows.append(("Expected Shortfall (cVaR)", *both(F_("{t}_cvar"))))
+    rows.append(("Max Consecutive Wins", _fmt_int_sql("b_cwin"), _fmt_int_sql("s_cwin")))
+    rows.append(("Max Consecutive Losses", _fmt_int_sql("b_closs"), _fmt_int_sql("s_closs")))
+    rows.append(("Gain/Pain Ratio", *both(F_("{t}_g2p"))))
+    rows.append(("Gain/Pain (1M)", *both(F_("{t}_g2p1m"))))
+    rows.append(("Payoff Ratio", *both(F_("{t}_payoff"))))
+    rows.append(("Profit Factor", *both(F_("{t}_pf"))))
+    rows.append(("Common Sense Ratio", *both(F_("{t}_csr"))))
+    rows.append(("CPC Index", *both(F_("{t}_cpc"))))
+    rows.append(("Tail Ratio", *both(F_("{t}_tail"))))
+    rows.append(("Outlier Win Ratio", *both(F_("{t}_outw"))))
+    rows.append(("Outlier Loss Ratio", *both(F_("{t}_outl"))))
+    rows.append(("MTD", *both(F_("{t}_w_mtd"))))
+    rows.append(("3M", *both(F_("{t}_w_3m"))))
+    rows.append(("6M", *both(F_("{t}_w_6m"))))
+    rows.append(("YTD", *both(F_("{t}_w_ytd"))))
+    rows.append(("1Y", *both(F_("{t}_w_1y"))))
+    rows.append(("3Y (ann.)", *both(F_("{t}_w_3y"))))
+    rows.append(("5Y (ann.)", *both(F_("{t}_w_5y"))))
+    rows.append(("10Y (ann.)", *both(F_("{t}_w_10y"))))
+    rows.append(("All-time (ann.)", *both(F_("{t}_cagr"))))
+    rows.append(("Best Day", *both(F_("{t}_best"))))
+    rows.append(("Worst Day", *both(F_("{t}_worst"))))
+    rows.append(("Best Month", *both(F_("{t}_mon_best"))))
+    rows.append(("Worst Month", *both(F_("{t}_mon_worst"))))
+    rows.append(("Best Year", *both(F_("{t}_yr_best"))))
+    rows.append(("Worst Year", *both(F_("{t}_yr_worst"))))
+    rows.append(("Avg. Drawdown", *both(F_("{t}_avg_dd"))))
+    rows.append(("Avg. Drawdown Days", *both(F_("{t}_avg_dd_days"))))
+    rows.append(("Recovery Factor", *both(F_("{t}_recov"))))
+    rows.append(("Ulcer Index", *both(F_("{t}_ulcer"))))
+    rows.append(("Serenity Index", *both(F_(
+        "{t}_rsum / ({t}_ulcer * (-{t}_ddcvar / {t}_rstd))"))))
+    rows.append(("Avg. Up Month", *both(F_("{t}_mon_avg_win"))))
+    rows.append(("Avg. Down Month", *both(F_("{t}_mon_avg_loss"))))
+    rows.append(("Win Days", *both(F_("{t}_winrate"))))
+    rows.append(("Win Month", *both(F_("{t}_mon_winrate"))))
+    rows.append(("Win Quarter", *both(F_("{t}_qtr_winrate"))))
+    rows.append(("Win Year", *both(F_("{t}_yr_winrate"))))
+    rows.append(("Beta", None, F_("beta")))
+    rows.append(("Alpha", None, F_("(s_meanv - beta * b_meanv) * 252")))
+    rows.append(("Correlation", None, F_("corrb")))
+    rows.append(("Treynor Ratio", None, F_("s_cum / beta")))
+
+    selects = []
+    for i, (label, bcell, scell) in enumerate(rows):
+        b_sql = "'-'" if bcell is None else bcell
+        label_sql = label.replace("'", "''")
+        head = "SELECT " if i == 0 else "UNION ALL SELECT "
+        alias = " AS Metric, " if i == 0 else ", "
+        alias2 = " AS Benchmark, " if i == 0 else ", "
+        alias3 = " AS Strategy" if i == 0 else ""
+        selects.append(
+            f"  {head}'{label_sql}'{alias}{b_sql}{alias2}{scell}{alias3} FROM z"
+        )
+    body = "\n".join(selects)
+
+    return RETURNS_CTE + BENCH_CTE + """,
+jf AS (
+  SELECT rets.d AS d, COALESCE(bres.b, 0) AS cb, COALESCE(rets.r, 0) AS cs
+  FROM rets JOIN bres ON rets.d = bres.d
+),
+mxx AS (SELECT MAX(d) AS md FROM jf)""" + _report_col_ctes("b", "cb") + _report_col_ctes("s", "cs") + """,
+br AS (
+  SELECT CORR(cs, cb) AS corrb,
+         COVAR_SAMP(cs, cb) / VAR_SAMP(cb) AS beta,
+         AVG(cs - cb) / STDDEV_SAMP(cs - cb) AS ir
+  FROM jf
+),
+dr AS (SELECT MIN(d) AS mnd, MAX(d) AS mxd FROM jf),
+z AS MATERIALIZED (SELECT * FROM sc2_b, sc2_s, br, dr)
+SELECT Metric, Benchmark, Strategy FROM (
+""" + body + "\n) t"
+
+
 def build_registry():
     """Return (queries, oracles) dicts for the driver contract."""
     q: dict = {}
@@ -827,22 +1117,6 @@ SELECT ROUND({_phi_sql("x")}, {ROUND}) AS value FROM px""")
         f"{RETURNS_CTE}{_PENALTY_CTE}\nSELECT ROUND("
         f"(SELECT AVG(r) / SQRT(AVG(POW(LEAST(r, 0), 2))) * SQRT(252) FROM rets) / p "
         f"/ SQRT(2), {ROUND}) AS value FROM penalty")
-    add("report_basic",
-        lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
-            load_returns(spark, sf_dir), display=False, mode="basic"
-        ),
-        None)
-    # full report incl. benchmark column: exercises the as-of join +
-    # benchmark-relative rows end-to-end (string table → rows-only check)
-    add("report_full_bench",
-        lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
-            load_returns(spark, sf_dir),
-            benchmark=load_benchmark(spark, sf_dir),
-            display=False,
-            mode="full",
-        ),
-        None)
-
     # Numeric report: the pre-formatting scalar table, value-hash checked
     # cell by cell (the string reports above get a separate formatted-string
     # oracle — 2-decimal formatting destroys numeric comparability). The PSR
@@ -861,7 +1135,7 @@ repeps AS (
   FROM repi WHERE brk = 0 GROUP BY isl
 )
 """
-    add("report_numeric", _report_numeric, RETURNS_CTE + DD_CTE + report_eps_cte + f""",
+    report_sc_cte = RETURNS_CTE + DD_CTE + report_eps_cte + f""",
 mx AS (SELECT MAX(d) AS md FROM rets),
 monthly AS (SELECT SUM(r) AS mr FROM rets GROUP BY YEAR(d), MONTH(d)),
 sc AS (
@@ -916,7 +1190,9 @@ sc2 AS (
   SELECT sc.*,
     COALESCE((SELECT AVG(dd) FROM dds WHERE dd < sc.ddvar), sc.ddvar) AS ddcvar
   FROM sc
-)
+)"""
+
+    add("report_numeric", _report_numeric, report_sc_cte + f"""
 SELECT Metric, ROUND(Strategy, {ROUND}) AS Strategy FROM (
   SELECT 'Risk-Free Rate' AS Metric, 0.0 AS Strategy, 1 AS ord FROM sc2
   UNION ALL SELECT 'Time in Market', tim, 2 FROM sc2
@@ -955,22 +1231,126 @@ SELECT Metric, ROUND(Strategy, {ROUND}) AS Strategy FROM (
     {_phi_sql(_psr_x_sql("sr0", "skv", "kuv", "nv"))}, 34 FROM sc2
 ) t ORDER BY ord""")
 
+    # Formatted string report (the reference's user-facing contract,
+    # ``alphastats/reports.py:539-553``): every numeric cell is rendered by
+    # the SAME ``str(round(v, 2))`` semantics in DuckDB (_fmt_sql), so the
+    # legacy string table is value-hashed — not rows-only — including the
+    # ISO date rows and the integer Longest-DD-Days cell.
+    def _fmt(x: str) -> str:
+        return _fmt_sql(x)
+
+    add("report_basic",
+        lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
+            load_returns(spark, sf_dir), display=False, mode="basic"
+        ),
+        report_sc_cte + f""",
+dr AS (SELECT MIN(d) AS mnd, MAX(d) AS mxd FROM rets)
+SELECT Metric, Strategy FROM (
+  SELECT 'Start Period' AS Metric, CAST(mnd AS VARCHAR) AS Strategy FROM dr
+  UNION ALL SELECT 'End Period', CAST(mxd AS VARCHAR) FROM dr
+  UNION ALL SELECT 'Risk-Free Rate', '0' FROM sc2
+  UNION ALL SELECT 'Time in Market', {_fmt("tim")} FROM sc2
+  UNION ALL SELECT 'Cumulative Return', {_fmt("cum")} FROM sc2
+  UNION ALL SELECT 'CAGR﹪', {_fmt("cagr_v")} FROM sc2
+  UNION ALL SELECT 'Sharpe', {_fmt("sharpe_v")} FROM sc2
+  UNION ALL SELECT 'Prob. Sharpe Ratio',
+    {_fmt(_phi_sql(_psr_x_sql("sr0", "skv", "kuv", "nv")))} FROM sc2
+  UNION ALL SELECT 'Sortino', {_fmt("sortino_v")} FROM sc2
+  UNION ALL SELECT 'Sortino/√2', {_fmt("sortino_v / SQRT(2)")} FROM sc2
+  UNION ALL SELECT 'Omega', {_fmt("omega_v")} FROM sc2
+  UNION ALL SELECT 'Max Drawdown', {_fmt("maxdd")} FROM sc2
+  UNION ALL SELECT 'Longest DD Days', {_fmt_int_sql("ldd")} FROM sc2
+  UNION ALL SELECT 'Gain/Pain Ratio', {_fmt("g2p")} FROM sc2
+  UNION ALL SELECT 'Gain/Pain (1M)', {_fmt("g2p1m")} FROM sc2
+  UNION ALL SELECT 'Payoff Ratio', {_fmt("payoff")} FROM sc2
+  UNION ALL SELECT 'Profit Factor', {_fmt("pf")} FROM sc2
+  UNION ALL SELECT 'Common Sense Ratio', {_fmt("csr")} FROM sc2
+  UNION ALL SELECT 'CPC Index', {_fmt("cpc")} FROM sc2
+  UNION ALL SELECT 'Tail Ratio', {_fmt("tail")} FROM sc2
+  UNION ALL SELECT 'Outlier Win Ratio', {_fmt("outw")} FROM sc2
+  UNION ALL SELECT 'Outlier Loss Ratio', {_fmt("outl")} FROM sc2
+  UNION ALL SELECT 'MTD', {_fmt("w_mtd")} FROM sc2
+  UNION ALL SELECT '3M', {_fmt("w_3m")} FROM sc2
+  UNION ALL SELECT '6M', {_fmt("w_6m")} FROM sc2
+  UNION ALL SELECT 'YTD', {_fmt("w_ytd")} FROM sc2
+  UNION ALL SELECT '1Y', {_fmt("w_1y")} FROM sc2
+  UNION ALL SELECT '3Y (ann.)', {_fmt("w_3y")} FROM sc2
+  UNION ALL SELECT '5Y (ann.)', {_fmt("w_5y")} FROM sc2
+  UNION ALL SELECT '10Y (ann.)', {_fmt("w_10y")} FROM sc2
+  UNION ALL SELECT 'All-time (ann.)', {_fmt("cagr_v")} FROM sc2
+  UNION ALL SELECT 'Avg. Drawdown', {_fmt("avg_dd")} FROM sc2
+  UNION ALL SELECT 'Avg. Drawdown Days', {_fmt("avg_dd_days")} FROM sc2
+  UNION ALL SELECT 'Recovery Factor', {_fmt("recov")} FROM sc2
+  UNION ALL SELECT 'Ulcer Index', {_fmt("ulcer")} FROM sc2
+  UNION ALL SELECT 'Serenity Index',
+    {_fmt("rsum / (ulcer * (-ddcvar / rstd))")} FROM sc2
+) t""")
+
+    add("report_full_bench",
+        lambda spark, sf_dir: __import__("alphastats_spark.reports", fromlist=["metrics"]).metrics(
+            load_returns(spark, sf_dir),
+            benchmark=load_benchmark(spark, sf_dir),
+            display=False,
+            mode="full",
+        ),
+        _report_full_bench_sql())
+
     _add_streaming(add)
     _add_extensions(add)
 
     # Registration-order policy: the driver's correctness gate evaluates the
     # FIRST 50 registered queries each round. Round 1 verified the scalar /
-    # order-dependent / monthly-calendar block (CORRECTNESS_r01.json: 50/50
-    # green); round 2 therefore registers everything r1 could not reach —
-    # calendar+trailing merges, benchmark-relative, smart ratios, reports,
-    # streaming, and the full extension suite — FIRST, and pushes the
-    # r1-verified names behind them. Union of r1+r2 rows covers the whole
-    # registry.
-    front = [n for n in _ROUND2_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND2_WINDOW]
+    # order-dependent / monthly-calendar block (CORRECTNESS_r01: 50/50);
+    # round 2 verified the calendar/benchmark/report/streaming/extension
+    # block (CORRECTNESS_r02: 42/50 + 7 no_oracle + 1 typing fail). Round 3
+    # front-loads (a) the two names registered after the r2 reorder that no
+    # window ever reached (dedup_corpus, rolling_trailing_30d_keyed),
+    # (b) the r2 hash-fail event_sessionization (oracle typing fixed),
+    # (c) every query whose oracle or implementation changed since its last
+    # green row — the 7 newly value-hashed ex-rows-only queries, the
+    # 34-row report_numeric, the LSH-swapped emb_near_dups, the long-frame
+    # trio (persist fix), and the six r1-green calendar queries rewritten in
+    # r2 (_simple_returns) — then back-fills with the riskiest green names
+    # (streaming, dedup, text, ANN) as regression re-checks. Names outside
+    # this window hold a green row from r1/r2 on unchanged code.
+    front = [n for n in _ROUND3_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND3_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND3_WINDOW = [
+    # (a) never reached by any round's window
+    "dedup_corpus", "rolling_trailing_30d_keyed",
+    # (b) r2 hash fail, oracle typing fixed (epoch_us + BIGINT cast)
+    "event_sessionization",
+    # (c) newly value-hashed (ex rows-only) or oracle/impl changed
+    "psr", "report_numeric", "report_basic", "report_full_bench",
+    "media_decode_features", "emb_near_dups", "emb_near_dups_lsh",
+    "ann_lsh_topk", "ann_ivf_topk",
+    # long-frame trio: metrics_by_key persist fix landed after their r2 rows
+    "multi_asset_metrics_long", "multi_asset_smart_long",
+    "multi_asset_greeks_long",
+    # r1-green but rewritten in r2 (_simple_returns + group-key extraction)
+    "monthly_returns", "best_month", "worst_year", "expected_monthly",
+    "win_month", "win_quarter",
+    # regression re-checks: streaming surface
+    "streaming_drawdowns", "streaming_drawdowns_keyed", "rolling_metrics_30d",
+    "dedup_streaming_candidates", "event_session_windows",
+    "event_hourly_counts",
+    # regression re-checks: dedup + similarity
+    "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_lsh_verified", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_clusters", "ann_cosine_topk", "media_decode_real",
+    # regression re-checks: text suite
+    "doc_token_counts", "doc_text_stats", "doc_quality", "doc_lang_id",
+    "doc_fingerprint", "doc_tfidf_topk", "corpus_ngram_counts",
+    "doc_redact_pii",
+    # regression re-checks: calendar/trailing/rolling/benchmark paths
+    "calendar_summary", "weekly_returns", "trailing_windows", "greeks",
+    "rolling_trailing_30d", "multi_asset_sharpe",
+]
 
 
 _ROUND2_WINDOW = [
@@ -1746,7 +2126,18 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
             "media_id", F.round(F.element_at("features", 1).cast("double"), ROUND).alias("f0")
         )
 
-    add("media_decode_features", _media, None)
+    # Value-hashed: the fake decoder's first feature is md5(payload)[0]/255
+    # (multimodal._fake_features) — DuckDB recomputes the digest byte from
+    # md5()'s hex string, and the REAL cast replicates the float32
+    # quantization of the ArrayType(FloatType) feature column (25 of the
+    # 256 possible byte values round differently at 7 decimals without it).
+    add("media_decode_features", _media, f"""
+SELECT doc_id AS media_id,
+  ROUND(CAST(
+    ((position(substr(md5(text), 1, 1) IN '0123456789abcdef') - 1) * 16
+     + position(substr(md5(text), 2, 1) IN '0123456789abcdef') - 1) / 255.0
+  AS REAL)::DOUBLE, {ROUND}) AS f0
+FROM documents""")
 
     # REAL decode path with a value oracle: each document's printable-ASCII
     # prefix becomes an 8×8 PGM (P5) payload; the decoded mean-gray feature
