@@ -35,6 +35,7 @@ from __future__ import annotations
 import calendar as _calendar
 import datetime as dt
 import math
+from concurrent.futures import ThreadPoolExecutor
 from statistics import NormalDist
 from typing import Any
 
@@ -142,6 +143,29 @@ def metrics(
     stage2: dict[str, Any] = {}
     episodes: dict[str, dict[str, float]] = {}
 
+    # Independent report passes run as CONCURRENT Spark jobs (submitted
+    # from threads — the standard Spark multi-job pattern): the calendar
+    # aggregates depend only on the filled frame, so they overlap the whole
+    # chunk loop; within a chunk, the stage-2 CVaR agg and the episode
+    # islands pass only share the cached ``rdf`` and run side by side.
+    # Per-asset report frames are tiny, so each pass is dominated by fixed
+    # job/stage overhead — overlapping them buys wall-clock roughly equal
+    # to the sum of the shorter passes, and on a real cluster concurrent
+    # small jobs interleave harmlessly under FIFO scheduling.
+    pool = ThreadPoolExecutor(max_workers=4)
+    cal_futs = {}
+    if temporal:
+        cal_futs["month"] = pool.submit(
+            _calendar_agg, filled, temporal, output_names, "month", rf
+        )
+        if full:
+            cal_futs["quarter"] = pool.submit(
+                _calendar_agg, filled, temporal, output_names, "quarter", rf
+            )
+            cal_futs["year"] = pool.submit(
+                _calendar_agg, filled, temporal, output_names, "year", rf
+            )
+
     for start in range(0, len(output_names), chunk):
         group = list(output_names[start : start + chunk])
         sel = ([F.col(temporal)] if temporal else []) + [F.col(c) for c in group]
@@ -188,27 +212,23 @@ def metrics(
                             F.mean(X.when_pl(col < F.lit(v), col, None)), F.lit(v)
                         ).alias(f"cvar_{c}")
                     )
-        if s2_aggs:
-            stage2.update(rdf.agg(*s2_aggs).first().asDict())
+        s2_fut = pool.submit(lambda a: rdf.agg(*a).first(), s2_aggs) if s2_aggs else None
 
         # islands pass: drawdown episodes (row-count lengths — the report
         # feeds series without dates, reference reports.py:397-403). The
         # group frame already carries the __dd_* columns — reuse them.
-        episodes.update(
-            islands.drawdown_episode_stats(
-                rdf, group, temporal_name=None,
-                dd_cols={c: f"__dd_{c}" for c in group},
-            )
+        eps_fut = pool.submit(
+            islands.drawdown_episode_stats,
+            rdf, group, None, {c: f"__dd_{c}" for c in group},
         )
+        if s2_fut is not None:
+            stage2.update(s2_fut.result().asDict())
+        episodes.update(eps_fut.result())
         rdf.unpersist()
 
-    # ---- calendar passes (simple per-column exprs — no chunking needed) ---
-    cal: dict[str, Any] = {}
-    if temporal:
-        cal["month"] = _calendar_agg(filled, temporal, output_names, "month", rf)
-        if full:
-            cal["quarter"] = _calendar_agg(filled, temporal, output_names, "quarter", rf)
-            cal["year"] = _calendar_agg(filled, temporal, output_names, "year", rf)
+    # ---- calendar passes (submitted before the chunk loop) ----------------
+    cal: dict[str, Any] = {k: f.result() for k, f in cal_futs.items()}
+    pool.shutdown(wait=True)
 
     # ---- assemble ----------------------------------------------------------
     rows: list[tuple[str, dict[str, Any]]] = []
@@ -482,7 +502,32 @@ def _add_months(d: dt.date, n: int) -> dt.date:
     return d.replace(year=y, month=m, day=min(d.day, _calendar.monthrange(y, m)[1]))
 
 
+_COLUMN_AGGS_CACHE: dict = {}
+
+
 def _column_aggs(c, rf, compounded, ppy, full, windows):
+    """Memoized: the returned aggregates are UNRESOLVED Column trees — pure
+    functions of the arguments, frame-agnostic and immutable — but building
+    them costs ~400 py4j round-trips (~0.7s measured), which dominates
+    repeated report calls in one session. Keyed on the JVM application id
+    so a restarted SparkContext can't serve stale JavaObject handles."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    wkey = tuple(sorted(windows.items())) if windows else None
+    key = (app, c, rf, compounded, ppy, full, wkey)
+    hit = _COLUMN_AGGS_CACHE.get(key)
+    if hit is not None:
+        return list(hit)
+    out = _column_aggs_build(c, rf, compounded, ppy, full, windows)
+    if len(_COLUMN_AGGS_CACHE) > 256:  # bound: one entry per (asset, params)
+        _COLUMN_AGGS_CACHE.clear()
+    _COLUMN_AGGS_CACHE[key] = out
+    return list(out)
+
+
+def _column_aggs_build(c, rf, compounded, ppy, full, windows):
     col = F.col(c)
     dd = F.col(f"__dd_{c}")
     excess = col - F.lit(float(rf)) if rf else col

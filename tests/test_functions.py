@@ -625,3 +625,48 @@ def test_deduplicate_keeps_representatives(spark, docs):
     assert 0 in kept and 2 not in kept
     assert {3, 4, 5, 6} <= kept
     assert out.columns == docs.columns
+
+
+class TestReportFormatOracle:
+    """The formatted-string report oracle (_fmt_sql) must replicate the
+    report's Python formatter (reports._format_value) bit-for-bit — this is
+    what makes report_basic / report_full_bench value-hashable."""
+
+    def _duck_fmt(self, values):
+        import duckdb
+
+        from alphastats_spark.harness import _fmt_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+        sql = f"SELECT {_fmt_sql('x')} FROM t"
+        return [r[0] for r in con.execute(sql).fetchall()]
+
+    def test_edge_cases(self):
+        from alphastats_spark.reports import _format_value
+
+        vals = [
+            0.0, -0.0, 1e-12, -1e-12, 0.004999, -0.004999,
+            2.675, 0.615, 0.125, -0.125, 1.005, 56.655449999999995,
+            12.0, 120.0, 123.456, -123.456, 0.1, 0.25, 33.0,
+            float("nan"), float("inf"), float("-inf"), None,
+        ]
+        got = self._duck_fmt(vals)
+        want = [_format_value(v) for v in vals]
+        assert got == want
+
+    def test_random_doubles(self):
+        import random
+
+        from alphastats_spark.reports import _format_value
+
+        rng = random.Random(42)
+        vals = []
+        for _ in range(2000):
+            # mix magnitudes that actually occur in report cells
+            mag = 10 ** rng.uniform(-6, 4)
+            vals.append(rng.choice([-1, 1]) * mag * rng.random())
+        got = self._duck_fmt(vals)
+        want = [_format_value(v) for v in vals]
+        assert got == want
