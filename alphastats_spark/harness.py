@@ -1605,10 +1605,12 @@ FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_match})
 WHERE {cos} >= {threshold}"""
 
 
-def _ann_lsh_sql(k: int, n_planes: int, seed: int = 42, n_tables: int = 1) -> str:
+def _ann_lsh_sql(
+    k: int, n_planes: int, seed: int = 42, n_tables: int = 1, radius: int = 1
+) -> str:
     """Oracle for similarity.lsh_topk (multi-table, multiprobe).
 
-    The query's per-table bucket and its Hamming-1 probe set are computed
+    The query's per-table bucket and its Hamming-``radius`` probe set are computed
     HERE in Python with the exact arithmetic of similarity.query_bucket
     (the query vector is read from the gate-scale parquet, same floats
     Spark collects), so they embed as integer literals; each row's bucket
@@ -1629,7 +1631,7 @@ def _ann_lsh_sql(k: int, n_planes: int, seed: int = 42, n_tables: int = 1) -> st
     for t in range(n_tables):
         planes = similarity.hyperplanes(len(qvec), n_planes, seed + t)
         qb = similarity.query_bucket(qvec, planes)
-        cands = sorted({qb} | {qb ^ (1 << i) for i in range(n_planes)})
+        cands = similarity.probe_set(qb, n_planes, radius)
         conds.append(
             f"{_bucket_sql('embedding::DOUBLE[]', planes)} "
             f"IN ({', '.join(str(c) for c in cands)})"
@@ -2089,25 +2091,30 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
     def _ann_lsh(spark, sf_dir):
         emb = _embs(spark, sf_dir)
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-        return similarity.lsh_topk(emb, qvec, k=20, n_tables=8)
+        return similarity.lsh_topk(emb, qvec, k=20, n_tables=4, multiprobe=2)
 
     # Value-hashed: the oracle recomputes the query's per-table sign-bit
-    # buckets, the Hamming-1 multiprobe sets, and each row's bucket from the
-    # SAME literal hyperplanes, so the approximate index is checked exactly.
-    # 8 tables: measured recall@20 vs exact = 0.75 (sf0.01) / 0.85 (sf0.001),
-    # pinned in tests/test_functions.py.
-    add("ann_lsh_topk", _ann_lsh, _ann_lsh_sql(k=20, n_planes=6, seed=42, n_tables=8))
+    # buckets, the Hamming-radius-2 multiprobe sets (similarity.probe_set —
+    # shared with the Spark path), and each row's bucket from the SAME
+    # literal hyperplanes, so the approximate index is checked exactly.
+    # Radius 2 × 4 tables: measured recall@20 vs exact = 1.00 at sf0.01
+    # (radius 1 × 8 tables was 0.75), pinned in tests/test_functions.py.
+    # Parameters are corpus-relative: 6 planes fits the gate corpus; at
+    # 10^9+ vectors use 16-20 planes so radius 2 still probes < 0.5%.
+    add("ann_lsh_topk", _ann_lsh,
+        _ann_lsh_sql(k=20, n_planes=6, seed=42, n_tables=4, radius=2))
 
     def _ann_ivf(spark, sf_dir):
         emb = _embs(spark, sf_dir)
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         cents = similarity.ivf_centroids(emb, n_centroids=16, seed=42)
-        return similarity.ivf_topk(emb, qvec, cents, k=20, nprobe=4)
+        return similarity.ivf_topk(emb, qvec, cents, k=20, nprobe=8)
 
     # Value-hashed: centroid training is a pure seeded function of the
     # id-ordered sample, so the oracle re-derives identical centroids and
-    # probe lists (see _ivf_oracle_sql).
-    add("ann_ivf_topk", _ann_ivf, _ivf_oracle_sql(k=20, n_centroids=16, nprobe=4))
+    # probe lists (see _ivf_oracle_sql). nprobe=8 of 16 lists: measured
+    # recall@20 = 0.85 at sf0.01 (nprobe=4 was 0.50).
+    add("ann_ivf_topk", _ann_ivf, _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8))
 
     # ---- multimodal plumbing (fake decoder; rows-only) ---------------------
     def _media(spark, sf_dir):
