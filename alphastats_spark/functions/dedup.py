@@ -320,6 +320,41 @@ def embedding_near_dup_pairs_lsh(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def semdedup_drop_list(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication drop list (SemDedup, Abbas et al. 2023).
+
+    Cluster embeddings with a coarse k-means quantizer (the shared
+    ``similarity.ivf_centroids`` — a pure seeded function, so the oracle can
+    re-derive identical centroids), then inside each cluster drop every
+    vector that has a LOWER-id neighbour at cosine ≥ ``threshold``; the
+    min-id vector of each ε-neighbourhood survives as the representative
+    (the paper keeps a random member; min-id is the deterministic twin).
+
+    Output: ``(vec_id, max_cosine)`` — the dropped vectors and their
+    highest similarity to a lower-id same-cluster neighbour.
+
+    Scale shape: the pairwise compare is an equi-join on the cluster id, so
+    cost is Σ |cluster|² not n² — the quantizer's k caps cluster sizes (at
+    100 TB: k ~ √n clusters, re-trained on a bounded sample). One shuffle
+    by cluster id + one groupBy on the dropped id.
+    """
+    from alphastats_spark.functions import similarity
+
+    vecs = _prepared_vectors(df, id_col, vec_col).withColumn(
+        "ivf_list", similarity._centroid_id_expr(F.col("v"), centroids)
+    )
+    pairs = _pairwise_cosine(vecs, id_col, threshold, join_extra=["ivf_list"])
+    return pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max("cosine").alias("max_cosine")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "id_a",

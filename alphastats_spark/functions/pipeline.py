@@ -1,0 +1,240 @@
+"""Training-data pipeline operators: sampling, chunking, packing, repetition.
+
+These are the corpus-preparation steps an LLM data pipeline runs between raw
+ingestion and tokenized shards — domain mixing (stratified sampling),
+context-window chunking, greedy sequence packing, and Gopher-style
+repetition quality signals (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", §A1.1 repetition
+filters).
+
+Every operator is pure DataFrame algebra (JVM-side, codegen-friendly):
+
+* sampling is a deterministic md5 hash-bucket filter — reproducible across
+  runs/engines and embarrassingly parallel (no shuffle at all; the filter
+  pushes to the scan);
+* chunking is an ``explode`` over per-row chunk indices — no shuffle;
+* packing is the two-phase distributed prefix sum from
+  ``operators/ordered.py`` keyed by document id — one bucket shuffle;
+* repetition signals are explode + two map-side-combinable groupBys on
+  (doc, gram).
+
+None of this exists in the reference (a single-frame stats library); the
+operators target the ``documents`` table of the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alphastats_spark.functions import text
+from alphastats_spark.operators import ordered
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (domain mixing)
+
+
+def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the md5 of a value.
+
+    md5 → first 8 hex digits → integer → mod. Chosen over xxhash64/crc32
+    because md5 of a UTF-8 string is engine-portable bit-for-bit (the DuckDB
+    oracle computes the identical bucket), and over ``rand(seed)`` because a
+    content-keyed bucket is reproducible under repartitioning, retries and
+    incremental reruns — the property a production sampling step actually
+    needs. The filter is a scan-level predicate: no shuffle, no state.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive.
+
+    ``rates`` maps stratum value → keep-rate in buckets-of-``n_buckets``
+    (e.g. ``{"web": 30, "books": 100}`` keeps ~30% of web and all books).
+    A row is kept iff ``hash_bucket(id) < rate[stratum]``; unlisted strata
+    fall back to ``default_rate``. Exact, reproducible sample membership —
+    re-running over a grown corpus keeps every previously-kept row.
+    """
+    mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(mapping[F.col(strata_col)], F.lit(default_rate))
+    return df.where(hash_bucket(F.col(id_col), n_buckets) < rate)
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-token-budget chunks.
+
+    Output: one row per (doc, chunk) with ``chunk_id`` (0-based),
+    ``n_chunk_tokens`` and the whitespace-rejoined ``chunk_text``. Documents
+    with zero tokens produce zero chunks. The plan is a single projection +
+    ``explode`` — per-row work only, no shuffle, so it scales linearly and
+    pipelines into the parquet scan.
+    """
+    toks = text.tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
+    # F.sequence(1, 0) yields a DESCENDING [1, 0] rather than an empty
+    # array, so empty docs must be filtered before the sequence is built.
+    out = (
+        df.select(F.col(id_col), toks.alias("__toks"), n.alias("__n"), n_chunks.alias("__nc"))
+        .where(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__toks",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+        )
+    )
+    start = F.col("chunk_id") * chunk_tokens
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens).cast("bigint"), (F.col("__n") - start).cast("bigint")).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(F.slice(F.col("__toks"), start + 1, chunk_tokens), " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Assign each document to a training pack (concat-then-split packing).
+
+    Documents are laid end-to-end in ``id_col`` order and split every
+    ``budget`` tokens: ``pack_id = floor(exclusive_prefix_tokens / budget)``
+    and ``pack_offset`` is the document's start position within its pack.
+    This is the zero-padding-waste packing used for pretraining shards
+    (documents may straddle a boundary; the tokenizer's EOD separates them).
+
+    The prefix sum is the two-phase decomposition from
+    ``operators/ordered.py`` — ids bucketed ``bucket_width`` apart, within-
+    bucket window + tiny offset broadcast — NOT a global ``Window.orderBy``
+    (which would funnel 100 TB through one task).
+    """
+    base = df.select(
+        F.col(id_col), text.token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+    )
+    base = base.withColumn(ordered.ORDER_COL, F.col(id_col)).withColumn(
+        ordered.BUCKET_COL, F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
+    )
+    base = ordered.add_prefix_columns(base, sums={"__cum": F.col("n_tokens")})
+    excl = (F.col("__cum") - F.col("n_tokens")).cast("bigint")
+    return ordered.drop_order(
+        base.select(
+            ordered.ORDER_COL,
+            ordered.BUCKET_COL,
+            id_col,
+            "n_tokens",
+            F.floor(excl / F.lit(budget)).cast("bigint").alias("pack_id"),
+            (excl % F.lit(budget)).cast("bigint").alias("pack_offset"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (Gopher §A1.1)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals for quality filtering.
+
+    * ``top_token_frac`` — occurrences of the most frequent token / total
+      tokens (Gopher's "fraction of characters in the most common word",
+      token-count flavoured);
+    * ``dup_bigram_frac`` — fraction of bigram occurrences whose bigram
+      appears more than once (duplicate n-gram fraction, n=2);
+    * ``top_bigram_frac`` — occurrences of the most frequent bigram / total
+      bigrams.
+
+    High values mean degenerate, repetitive text (boilerplate, keyword
+    stuffing, decoding loops). Shape: explode → groupBy(doc, gram) →
+    groupBy(doc), both aggregates map-side combinable; grams never leave
+    their doc's partition group, so skew is bounded by document length.
+    """
+    toks = text.tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
+
+    uni = (
+        base.select(id_col, F.explode("__toks").alias("__g"))
+        .groupBy(id_col, "__g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("__tot"),
+            F.max("count").alias("__top"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("__top") / F.col("__tot"), 7).alias("top_token_frac"),
+        )
+    )
+
+    # As with chunking, F.sequence(1, 0) descends instead of emitting an
+    # empty array — docs with < 2 tokens are handled by the left join below.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.col("__n") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("__toks"), i), F.element_at(F.col("__toks"), i + 1)
+        ),
+    )
+    bi = (
+        base.where(F.col("__n") >= 2)
+        .select(id_col, F.explode(bigrams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.sum("count").alias("__tot"),
+            F.max("count").alias("__top"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(F.lit(0))).alias("__dup"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("__dup") / F.col("__tot"), 7).alias("dup_bigram_frac"),
+            F.round(F.col("__top") / F.col("__tot"), 7).alias("top_bigram_frac"),
+        )
+    )
+
+    return (
+        base.select(id_col)
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("dup_bigram_frac", F.lit(0.0)).alias("dup_bigram_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

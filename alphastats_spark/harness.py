@@ -1343,10 +1343,15 @@ _ROUND3_WINDOW = [
     "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_candidates",
     "dedup_lsh_verified", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_clusters", "ann_cosine_topk", "media_decode_real",
+    # new round-3 pipeline operators (registered this round — front-loaded
+    # so they get driver rows immediately, not parked past the window like
+    # dedup_corpus was in r2; displaces five unchanged-since-r2-green text
+    # re-checks: doc_token_counts/doc_text_stats/doc_quality/doc_lang_id/
+    # doc_fingerprint)
+    "doc_repetition", "corpus_sample_stratified", "doc_chunks",
+    "corpus_pack_greedy", "emb_semdedup",
     # regression re-checks: text suite
-    "doc_token_counts", "doc_text_stats", "doc_quality", "doc_lang_id",
-    "doc_fingerprint", "doc_tfidf_topk", "corpus_ngram_counts",
-    "doc_redact_pii",
+    "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
     # regression re-checks: calendar/trailing/rolling/benchmark paths
     "calendar_summary", "weekly_returns", "trailing_windows", "greeks",
     "rolling_trailing_30d", "multi_asset_sharpe",
@@ -1708,6 +1713,61 @@ SELECT vec_id,
 FROM a, q
 WHERE ivf_list IN ({", ".join(str(p) for p in probes)})
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def _semdedup_oracle_sql(threshold: float = 0.5, n_centroids: int = 16,
+                         seed: int = 42, sample_rows: int = 10_000) -> str:
+    """Oracle for dedup.semdedup_drop_list.
+
+    Re-derives the k-means centroids exactly like ``_ivf_oracle_sql`` (pure
+    seeded training on the id-ordered sample), replicates the per-row
+    argmin cluster assignment, then mirrors the Spark plan's within-cluster
+    lower-id-neighbour compare: cosine is ROUNDed to 7dp BEFORE the
+    threshold on both engines so the cutoff cannot flip on the last bit.
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from alphastats_spark.functions import similarity
+
+    path = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{path}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = t.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")[:sample_rows]
+    cents = similarity.kmeans_train([vecs[i] for i in order], n_centroids, 5, seed)
+    dim = len(vecs[0])
+
+    d_cols = []
+    for i, c in enumerate(cents):
+        lit = _plane_sql(c)
+        d_cols.append(
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"j -> (e[j] - ({lit})[j]) * (e[j] - ({lit})[j]))) AS d{i}"
+        )
+    cases = []
+    for i in range(len(cents) - 1, 0, -1):
+        prev = ", ".join(f"d{j}" for j in range(i))
+        prev_min = f"LEAST({prev})" if i > 1 else "d0"
+        cases.append(f"WHEN d{i} < {prev_min} THEN {i}")
+    argmin = "CASE " + " ".join(cases) + " ELSE 0 END"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+d AS (SELECT vec_id, e, norm, {", ".join(d_cols)} FROM v),
+a AS (SELECT vec_id, e, norm, {argmin} AS ivf_list FROM d),
+p AS (
+  SELECT y.vec_id AS vec_id,
+         ROUND(list_dot_product(x.e, y.e) / (x.norm * y.norm), 7) AS cosine
+  FROM a x JOIN a y ON x.ivf_list = y.ivf_list AND x.vec_id < y.vec_id
+)
+SELECT vec_id, MAX(cosine) AS max_cosine
+FROM p WHERE cosine >= {threshold} GROUP BY vec_id"""
 
 
 def _add_extensions(add) -> None:
@@ -2257,6 +2317,111 @@ FROM s GROUP BY user_id, session_id""")
         f"""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
 FROM events GROUP BY 1, 2""")
+
+    # ---- training-data pipeline (sampling / chunking / packing / quality) -
+    from alphastats_spark.functions import pipeline
+
+    # Gopher-style repetition quality signals (pipeline.repetition_stats).
+    add("doc_repetition",
+        lambda spark, sf_dir: pipeline.repetition_stats(_docs(spark, sf_dir)),
+        f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+uni AS (
+  SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), {ROUND}) AS top_token_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), {ROUND}) AS dup_bigram_frac,
+         ROUND(MAX(c) * 1.0 / SUM(c), {ROUND}) AS top_bigram_frac
+  FROM (SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(top_token_frac, 0.0) AS top_token_frac,
+       COALESCE(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+FROM t LEFT JOIN uni USING (doc_id) LEFT JOIN bg USING (doc_id)""")
+
+    # Deterministic per-source sampling (domain mixing). The rate table is
+    # shared between the Spark map literal and the oracle's CASE: src0
+    # keeps 100%, src19 keeps 5%. md5-bucket membership is engine-portable.
+    _MIX_RATES = {f"src{i}": 100 - 5 * i for i in range(20)}
+
+    def _stratified(spark, sf_dir):
+        kept = pipeline.stratified_sample(_docs(spark, sf_dir), _MIX_RATES)
+        return kept.select(
+            "doc_id", "source",
+            pipeline.hash_bucket(F.col("doc_id")).alias("sample_bucket"),
+        )
+
+    _rate_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    ) + " ELSE 0 END"
+    add("corpus_sample_stratified", _stratified, f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, source, sample_bucket FROM b
+WHERE sample_bucket < {_rate_case}""")
+
+    # Context-window chunking: 32-token chunks, explode-only plan.
+    add("doc_chunks",
+        lambda spark, sf_dir: pipeline.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32),
+        f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+c AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, CAST(ceil(n / 32.0) AS BIGINT) - 1)) AS chunk_id
+      FROM n)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEAST(32, n - chunk_id * 32) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32), ' ')
+         AS chunk_text
+FROM c""")
+
+    # Greedy concat-then-split packing into 512-token shards. The Spark
+    # side runs the two-phase distributed prefix sum (no global window);
+    # the oracle is the plain single-node window cumsum, CAST to BIGINT so
+    # DuckDB's HUGEINT window SUM cannot skew the driver's type-aware hash.
+    add("corpus_pack_greedy",
+        lambda spark, sf_dir: pipeline.pack_documents(_docs(spark, sf_dir), budget=512),
+        f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(excl // 512 AS BIGINT) AS pack_id,
+       CAST(excl % 512 AS BIGINT) AS pack_offset
+FROM c""")
+
+    # SemDedup: k-means-cluster-bucketed semantic near-dup removal. Same
+    # seeded quantizer as ann_ivf_topk, so the oracle re-derives identical
+    # centroids and assignment (see _semdedup_oracle_sql). Threshold 0.35
+    # is corpus-relative: within-cluster max cosine at sf0.01 is 0.48, and
+    # 0.35 drops 72 of 2000 vectors — a non-vacuous gate. (Pairs straddling
+    # a cluster boundary are invisible by design — SemDedup's documented
+    # recall trade; the LSH path emb_near_dups_lsh covers that regime.)
+    def _semdedup(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        cents = similarity.ivf_centroids(emb, n_centroids=16, seed=42)
+        return dedup.semdedup_drop_list(emb, cents, threshold=0.35)
+
+    add("emb_semdedup", _semdedup,
+        _semdedup_oracle_sql(threshold=0.35, n_centroids=16, seed=42))
 
 
 def _stop_list() -> str:

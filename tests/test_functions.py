@@ -678,3 +678,152 @@ class TestReportFormatOracle:
         got = self._duck_fmt(vals)
         want = [_format_value(v) for v in vals]
         assert got == want
+
+
+class TestPipeline:
+    """Training-data pipeline operators (functions/pipeline.py)."""
+
+    def test_hash_bucket_deterministic_and_bounded(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        df = spark.range(200).select(
+            pipeline.hash_bucket(F.col("id")).alias("b"),
+            pipeline.hash_bucket(F.col("id")).alias("b2"),
+        )
+        rows = df.collect()
+        assert all(0 <= r["b"] < 100 for r in rows)
+        assert all(r["b"] == r["b2"] for r in rows)
+        # md5('42') first 8 hex = a1d0c6e8 = 2714814184; 2714814184 % 100 = 84
+        one = spark.range(42, 43).select(pipeline.hash_bucket(F.col("id")).alias("b")).first()
+        assert one["b"] == 84
+
+    def test_stratified_sample_rates(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [(i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string")
+        kept = pipeline.stratified_sample(df, {"keep_all": 100, "drop_all": 0}).collect()
+        assert len(kept) == 200
+        assert all(r["source"] == "keep_all" for r in kept)
+        # unlisted strata fall back to default_rate=0
+        other = spark.createDataFrame([(1, "mystery")], "doc_id bigint, source string")
+        assert pipeline.stratified_sample(other, {"keep_all": 100}).count() == 0
+        # sample membership is stable under growth: kept ids at 50% are a
+        # subset decided per-row, so re-sampling a larger corpus keeps them
+        half = pipeline.stratified_sample(df, {"keep_all": 50, "drop_all": 50})
+        half_ids = {r["doc_id"] for r in half.collect()}
+        full_ids = {r["doc_id"] for r in kept}
+        grown = pipeline.stratified_sample(df.limit(100), {"keep_all": 50, "drop_all": 50})
+        assert {r["doc_id"] for r in grown.collect()} <= half_ids
+        assert 0 < len(half_ids) < len(rows)
+        del full_ids
+
+    def test_chunk_documents(self, spark, docs):
+        from alphastats_spark.functions import pipeline
+
+        out = pipeline.chunk_documents(docs, chunk_tokens=4)
+        rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+        # doc 0 has 9 tokens -> chunks of 4,4,1
+        assert rows[(0, 0)]["n_chunk_tokens"] == 4
+        assert rows[(0, 0)]["chunk_text"] == "the quick brown fox"
+        assert rows[(0, 1)]["chunk_text"] == "jumps over the lazy"
+        assert rows[(0, 2)]["n_chunk_tokens"] == 1
+        assert rows[(0, 2)]["chunk_text"] == "dog"
+        # empty doc 5 yields no chunks; single-token doc 6 yields one
+        assert not any(k[0] == 5 for k in rows)
+        assert rows[(6, 0)]["n_chunk_tokens"] == 1
+        # reassembling chunks reproduces the tokenized document
+        joined = " ".join(rows[(0, i)]["chunk_text"] for i in range(3))
+        assert joined == "the quick brown fox jumps over the lazy dog"
+
+    def test_pack_documents(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        # 10 docs x 30 tokens, budget 100: packs split at 100-token marks
+        rows = [(i, " ".join(["w"] * 30)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in pipeline.pack_documents(df, budget=100).collect()}
+        assert out[0]["pack_id"] == 0 and out[0]["pack_offset"] == 0
+        assert out[3]["pack_id"] == 0 and out[3]["pack_offset"] == 90   # straddles
+        assert out[4]["pack_id"] == 1 and out[4]["pack_offset"] == 20
+        assert out[9]["pack_id"] == 2 and out[9]["pack_offset"] == 70
+        assert all(r["n_tokens"] == 30 for r in out.values())
+
+    def test_pack_documents_crosses_prefix_buckets(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        # bucket_width=4 forces many prefix buckets; the two-phase cumsum
+        # must still produce the single-sequence packing
+        rows = [(i, " ".join(["w"] * 10)) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = pipeline.pack_documents(df, budget=100, bucket_width=4).collect()
+        for r in out:
+            assert r["pack_id"] == (r["doc_id"] * 10) // 100, r
+
+    def test_repetition_stats(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [
+            (0, "spam spam spam spam"),                # one token repeated
+            (1, "a b c d e"),                          # all distinct
+            (2, "x y x y x y"),                        # repeated bigrams
+            (3, ""),                                   # empty -> zeros
+            (4, "solo"),                               # no bigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in pipeline.repetition_stats(df).collect()}
+        assert out[0]["top_token_frac"] == 1.0
+        assert out[0]["dup_bigram_frac"] == 1.0        # "spam spam" x3
+        assert out[1]["top_token_frac"] == 0.2
+        assert out[1]["dup_bigram_frac"] == 0.0
+        assert out[1]["top_bigram_frac"] == 0.25
+        # "x y" x3, "y x" x2 of 5 bigrams
+        assert out[2]["dup_bigram_frac"] == 1.0
+        assert out[2]["top_bigram_frac"] == 0.6
+        assert out[3]["top_token_frac"] == 0.0
+        assert out[4]["top_token_frac"] == 1.0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_semdedup_drop_list(spark):
+    from alphastats_spark.functions import dedup
+
+    # two tight groups + one outlier; centroids chosen so each group maps
+    # to its own cluster. min-id member of each epsilon-group survives.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),    # near-dup of 0 -> dropped
+        (2, [0.998, 0.02, 0.0]),    # near-dup of 0/1 -> dropped
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.01]),   # near-dup of 10 -> dropped
+        (20, [0.0, 0.0, 1.0]),      # outlier, survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = {r["vec_id"]: r["max_cosine"] for r in
+           dedup.semdedup_drop_list(df, cents, threshold=0.99).collect()}
+    assert set(out) == {1, 2, 11}
+    assert all(c >= 0.99 for c in out.values())
+
+
+def test_pipeline_plans_scale(spark, docs):
+    """Scale guardrails for the pipeline operators: no raw-row
+    single-partition exchange (the packing prefix sum's only global window
+    runs over the tiny per-bucket totals table), no Python row UDF, no
+    nested-loop join anywhere."""
+    from alphastats_spark.functions import pipeline
+    from alphastats_spark.plans.audit import audit as plan_audit
+
+    plans = {
+        "sample": pipeline.stratified_sample(docs.withColumn("source", F.lit("s")), {"s": 50}),
+        "chunks": pipeline.chunk_documents(docs, chunk_tokens=4),
+        "repetition": pipeline.repetition_stats(docs),
+    }
+    for name, df in plans.items():
+        bad = [f for f in plan_audit(df)
+               if f.kind in ("single-partition-exchange", "python-row-udf", "nested-loop-join")]
+        assert not bad, (name, bad)
+    # packing: the bucket-offset branch is an intentional single-partition
+    # window over one-row-per-bucket totals; nothing else may funnel
+    packed = pipeline.pack_documents(docs, budget=8, bucket_width=4)
+    bad = [f for f in plan_audit(packed) if f.kind in ("python-row-udf", "nested-loop-join")]
+    assert not bad, bad
