@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from statistics import NormalDist
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alphastats_spark import expressions as X
@@ -2274,11 +2274,9 @@ FROM s GROUP BY user_id, session_id""")
     def _session_windows(spark, sf_dir):
         from alphastats_spark.streaming import session_metrics
 
-        # events ts arrives as raw int64 nanos (see _events) — convert to a
-        # real timestamp (µs, matching DuckDB's nanos→µs truncation)
-        ev = _events(spark, sf_dir).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # normalise ts to a real timestamp whatever the physical encoding
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("ts", _event_ts(ev))
         out = session_metrics(ev, gap="30 minutes")
         return out.select(
             "user_id",
@@ -2304,16 +2302,17 @@ SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS session_start, COUNT(*) AS n_events,
        CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_id""")
 
-    add("event_hourly_counts",
-        lambda spark, sf_dir: _events(spark, sf_dir)
-        .groupBy(
-            F.floor(_event_epoch() / 3600).cast("bigint").alias("hour_bucket"),
+    def _hourly(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return ev.groupBy(
+            F.floor(_event_epoch(ev) / 3600).cast("bigint").alias("hour_bucket"),
             F.col("event_type"),
-        )
-        .agg(
+        ).agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), ROUND).alias("total_value"),
-        ),
+        )
+
+    add("event_hourly_counts", _hourly,
         f"""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
 FROM events GROUP BY 1, 2""")
@@ -2472,34 +2471,72 @@ SELECT doc_id, ({sig}) AS simhash FROM bits"""
 
 
 def _events(spark: SparkSession, sf_dir: str):
-    """events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-    read the raw int64 nanos instead (tz-independent by construction)."""
+    """Read the raw event log, tolerating either physical ``ts`` encoding.
+
+    The driver has shipped ``events.parquet`` with ``ts`` as TIMESTAMP(NANOS)
+    (which vanilla Spark rejects — the ``nanosAsLong`` escape hatch surfaces
+    it as raw int64 nanos) and as TIMESTAMP(MICROS) (which Spark reads as
+    TIMESTAMP_NTZ). Set the nanos flag unconditionally (a no-op for µs
+    files), read, and let :func:`_event_us` pick the µs conversion from the
+    dtype that actually materialised.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _event_epoch():
-    """Epoch seconds at microsecond precision, matching DuckDB's read of a
-    nanos parquet timestamp (truncated to µs). Integer `div` keeps the µs
-    value exact — a double ns division would round near µs boundaries."""
-    return F.expr("ts div 1000") / F.lit(1e6)
+def _event_us(events) -> Column:
+    """Timezone-independent integer epoch-microseconds of ``ts``.
+
+    * ``bigint`` (raw nanos) → integer ``div 1000``, matching DuckDB's
+      ns→µs truncation exactly (a double ns division would round near µs
+      boundaries);
+    * ``timestamp_ntz`` → ``timestampdiff(MICROSECOND, epoch, ts)`` in
+      naive-datetime space — bit-identical to DuckDB ``epoch_us`` and never
+      consults ``spark.sql.session.timeZone`` (verified under a non-UTC
+      session tz);
+    * ``timestamp`` (tz-adjusted parquet) → ``unix_micros``, the UTC
+      instant, again matching ``epoch_us``.
+    """
+    dtype = dict(events.dtypes)["ts"]
+    if dtype == "bigint":
+        return F.expr("ts div 1000")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    return F.expr("unix_micros(ts)")
+
+
+def _event_ts(events) -> Column:
+    """A proper timestamp column for ``ts`` regardless of physical type
+    (session windows need a temporal column, not raw nanos)."""
+    dtype = dict(events.dtypes)["ts"]
+    if dtype == "bigint":
+        # nanos → µs truncation mirrors DuckDB's read of the same file
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts")
+
+
+def _event_epoch(events):
+    """Epoch seconds at microsecond precision (float), for bucket math."""
+    return _event_us(events) / F.lit(1e6)
 
 
 def _sessionize(spark: SparkSession, sf_dir: str):
     """Gap-based sessionization over the raw event log.
 
-    All gap/duration math is **integer microseconds** (``ts div 1000`` on the
-    raw int64-nanos column) so no floating-point epoch ever enters a boundary
-    comparison, and the oracle can mirror it exactly with ``epoch_us``.
-    ``session_id`` is a LongType running sum; the oracle CASTs its window SUM
-    to BIGINT because DuckDB types it HUGEINT (int128) by default and the
-    driver's hasher is type-sensitive.
+    All gap/duration math is **integer microseconds** (:func:`_event_us`,
+    adaptive to the file's physical ts type) so no floating-point epoch ever
+    enters a boundary comparison, and the oracle can mirror it exactly with
+    ``epoch_us``. ``session_id`` is a LongType running sum; the oracle CASTs
+    its window SUM to BIGINT because DuckDB types it HUGEINT (int128) by
+    default and the driver's hasher is type-sensitive.
     """
     from pyspark.sql import Window
 
     events = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    g = events.withColumn("us", F.expr("ts div 1000")).withColumn(
+    g = events.withColumn("us", _event_us(events)).withColumn(
         "brk",
         F.when(
             F.lag("us").over(w).isNull()
