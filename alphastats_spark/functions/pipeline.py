@@ -139,22 +139,33 @@ def pack_documents(
     bucket window + tiny offset broadcast — NOT a global ``Window.orderBy``
     (which would funnel 100 TB through one task).
     """
+    # token_count(NULL text) is NULL under Spark 4 — coalesce to 0 so a null
+    # document contributes nothing to the prefix sum instead of nulling out
+    # every downstream pack assignment (and so the SQL oracle, which
+    # COALESCEs its window sum, agrees row-for-row).
     base = df.select(
-        F.col(id_col), text.token_count(F.col(text_col)).cast("bigint").alias("n_tokens")
+        F.col(id_col),
+        F.coalesce(text.token_count(F.col(text_col)), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     base = base.withColumn(ordered.ORDER_COL, F.col(id_col)).withColumn(
         ordered.BUCKET_COL, F.floor(F.col(id_col) / F.lit(bucket_width)).cast("long")
     )
     base = ordered.add_prefix_columns(base, sums={"__cum": F.col("n_tokens")})
-    excl = (F.col("__cum") - F.col("n_tokens")).cast("bigint")
+    base = base.withColumn("__excl", (F.col("__cum") - F.col("n_tokens")).cast("bigint"))
+    # integer `div`, not floor(double /): a float64 quotient of a bigint
+    # prefix sum can misassign a boundary document once cumulative tokens
+    # pass 2^53 (real at 100 TB corpus scale) for non-power-of-two budgets.
+    budget = int(budget)
     return ordered.drop_order(
         base.select(
             ordered.ORDER_COL,
             ordered.BUCKET_COL,
             id_col,
             "n_tokens",
-            F.floor(excl / F.lit(budget)).cast("bigint").alias("pack_id"),
-            (excl % F.lit(budget)).cast("bigint").alias("pack_offset"),
+            F.expr(f"__excl div {budget}").cast("bigint").alias("pack_id"),
+            (F.col("__excl") % F.lit(budget)).cast("bigint").alias("pack_offset"),
         )
     )
 

@@ -2397,7 +2397,7 @@ FROM c""")
     add("corpus_pack_greedy",
         lambda spark, sf_dir: pipeline.pack_documents(_docs(spark, sf_dir), budget=512),
         f"""
-WITH t AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents),
+WITH t AS (SELECT doc_id, CAST(COALESCE(len({_TOKS_SQL}), 0) AS BIGINT) AS n_tokens FROM documents),
 c AS (SELECT doc_id, n_tokens,
              CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl

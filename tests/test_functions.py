@@ -708,15 +708,19 @@ class TestPipeline:
         # unlisted strata fall back to default_rate=0
         other = spark.createDataFrame([(1, "mystery")], "doc_id bigint, source string")
         assert pipeline.stratified_sample(other, {"keep_all": 100}).count() == 0
-        # sample membership is stable under growth: kept ids at 50% are a
-        # subset decided per-row, so re-sampling a larger corpus keeps them
+        # sample membership is stable under growth: membership is decided
+        # per-row from the id hash, so re-sampling a GROWN corpus at the
+        # same rate keeps every previously-kept row
         half = pipeline.stratified_sample(df, {"keep_all": 50, "drop_all": 50})
         half_ids = {r["doc_id"] for r in half.collect()}
-        full_ids = {r["doc_id"] for r in kept}
-        grown = pipeline.stratified_sample(df.limit(100), {"keep_all": 50, "drop_all": 50})
-        assert {r["doc_id"] for r in grown.collect()} <= half_ids
+        grown_rows = [
+            (i, "keep_all" if i % 2 == 0 else "drop_all") for i in range(800)
+        ]
+        grown_df = spark.createDataFrame(grown_rows, "doc_id bigint, source string")
+        grown = pipeline.stratified_sample(grown_df, {"keep_all": 50, "drop_all": 50})
+        grown_ids = {r["doc_id"] for r in grown.collect()}
+        assert half_ids <= grown_ids
         assert 0 < len(half_ids) < len(rows)
-        del full_ids
 
     def test_chunk_documents(self, spark, docs):
         from alphastats_spark.functions import pipeline
@@ -748,6 +752,21 @@ class TestPipeline:
         assert out[4]["pack_id"] == 1 and out[4]["pack_offset"] == 20
         assert out[9]["pack_id"] == 2 and out[9]["pack_offset"] == 70
         assert all(r["n_tokens"] == 30 for r in out.values())
+
+    def test_pack_documents_null_text(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        # a NULL document must contribute 0 tokens, not null-out the
+        # prefix sum / pack assignment of itself and later documents
+        rows = [(0, " ".join(["w"] * 60)), (1, None), (2, " ".join(["w"] * 60))]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in pipeline.pack_documents(df, budget=100).collect()}
+        assert out[1]["n_tokens"] == 0
+        assert out[1]["pack_id"] == 0 and out[1]["pack_offset"] == 60
+        assert out[2]["pack_id"] == 0 and out[2]["pack_offset"] == 60
+        # budget 7 (non-power-of-two) exercises the integer-div path
+        out7 = {r["doc_id"]: r for r in pipeline.pack_documents(df, budget=7).collect()}
+        assert out7[2]["pack_id"] == 60 // 7 and out7[2]["pack_offset"] == 60 % 7
 
     def test_pack_documents_crosses_prefix_buckets(self, spark):
         from alphastats_spark.functions import pipeline
