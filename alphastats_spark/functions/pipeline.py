@@ -171,6 +171,113 @@ def pack_documents(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams from a token array; empty when fewer than ``n`` tokens
+    (guarding F.sequence's descending [1, 0] behaviour)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def eval_ngrams(
+    eval_df: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """The distinct normalized word n-grams of a benchmark/eval corpus —
+    the blocklist side of decontamination. Eval sets are tiny relative to
+    the training corpus, so downstream joins broadcast this frame."""
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    return (
+        eval_df.select(F.explode(_word_ngrams(toks, n)).alias("gram")).distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-contamination signals (GPT-3/PaLM-style
+    n-gram decontamination: a training document that shares long word
+    n-grams with an eval set leaks the benchmark into pretraining).
+
+    Output per document: ``n_ngrams`` (distinct n-grams), ``n_contaminated``
+    (of those, how many appear in the eval set), ``contamination_frac``, and
+    ``flagged`` (frac > ``threshold``, 0-gram docs never flagged).
+
+    Plan shape: docs explode to distinct (doc, gram) once; the eval-set gram
+    list is DISTINCT'd and **broadcast** (eval sets are KBs–MBs against a
+    100 TB corpus), so contamination is a map-side hash probe — no shuffle
+    of the corpus beyond the per-doc distinct; both groupBys are map-side
+    combinable and keyed by the same ``id_col``.
+    """
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    doc_grams = (
+        df.select(F.col(id_col), F.explode(_word_ngrams(toks, n)).alias("gram"))
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        doc_grams.join(F.broadcast(eval_ngrams(eval_df, n, text_col)), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.col("n_contaminated") / F.col("n_ngrams")
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+            F.round(F.coalesce(frac, F.lit(0.0)), 7).alias("contamination_frac"),
+            (F.coalesce(frac, F.lit(0.0)) > F.lit(float(threshold))).alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus rollup (domain-mix accounting)
+
+
+def source_stats(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus accounting: document count, token mass, token
+    distribution (mean + exact interpolated median), and language breadth.
+
+    This is the table a domain-mixing run reads before choosing
+    :func:`stratified_sample` rates. One groupBy over ~10²–10⁴ sources —
+    partial aggregation makes the shuffle carry one row per (partition,
+    source); the exact median is per-group (tiny groups of scalars, never a
+    global sort).
+    """
+    n_tok = F.coalesce(text.token_count(F.col(text_col)), F.lit(0)).cast("bigint")
+    return (
+        df.select(F.col(strata_col), F.col(lang_col), n_tok.alias("__n"))
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.round(F.avg("__n"), 7).alias("avg_tokens"),
+            F.round(F.median("__n"), 7).alias("median_tokens"),
+            F.countDistinct(lang_col).alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # repetition quality signals (Gopher §A1.1)
 
 

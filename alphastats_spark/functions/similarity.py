@@ -159,6 +159,91 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+    n_tables: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-nearest-neighbour SELF-join: for every vector, its
+    top-``k`` cosine neighbours among vectors sharing an LSH bucket in any
+    of ``n_tables`` independent hyperplane sets.
+
+    This is the all-items retrieval primitive (semantic clustering, hard-
+    negative mining, near-dup graph construction) — the per-query
+    :func:`lsh_topk` answers one probe; this answers all n at once.
+
+    Plan shape (the 100 TB path): per table, an equi-join of the corpus
+    with itself ON THE BUCKET ID — a hash-partitioned shuffle whose
+    candidate count is Σ|bucket|² ≈ n²/2^planes, not n²; tables union;
+    duplicate pairs collapse with one more (qid, nid) groupBy; ranking is a
+    window PARTITIONED BY query id (parallel across vectors, no global
+    sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`;
+    pick ``n_planes`` ∝ log₂(corpus) to keep buckets bounded.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+
+    norm = _norm(_as_double(F.col(vec_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        norm.alias("__nrm"),
+    )
+
+    pair_tables = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        with_b = base.withColumn("__b", bucket_expr(F.col("__v"), planes))
+        left = with_b.select(
+            F.col("__b"),
+            F.col("__id").alias("qid"),
+            F.col("__v").alias("qv"),
+            F.col("__nrm").alias("qn"),
+        )
+        right = with_b.select(
+            F.col("__b"),
+            F.col("__id").alias("nid"),
+            F.col("__v").alias("nv"),
+            F.col("__nrm").alias("nn"),
+        )
+        pairs = left.join(right, "__b").where(F.col("qid") != F.col("nid"))
+        pair_tables.append(
+            pairs.select(
+                "qid",
+                "nid",
+                F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 7).alias(
+                    "cosine"
+                ),
+            )
+        )
+
+    allp = pair_tables[0]
+    for p in pair_tables[1:]:
+        allp = allp.unionByName(p)
+    # a pair found by several tables has the identical rounded cosine —
+    # collapse duplicates with a grouped first() keyed like the join
+    dedup = allp.groupBy("qid", "nid").agg(F.first("cosine").alias("cosine"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index: coarse k-means quantizer + probe-limited search
 

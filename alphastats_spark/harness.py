@@ -1299,25 +1299,46 @@ SELECT Metric, Strategy FROM (
     _add_extensions(add)
 
     # Registration-order policy: the driver's correctness gate evaluates the
-    # FIRST 50 registered queries each round. Round 1 verified the scalar /
-    # order-dependent / monthly-calendar block (CORRECTNESS_r01: 50/50);
-    # round 2 verified the calendar/benchmark/report/streaming/extension
-    # block (CORRECTNESS_r02: 42/50 + 7 no_oracle + 1 typing fail). Round 3
-    # front-loads (a) the two names registered after the r2 reorder that no
-    # window ever reached (dedup_corpus, rolling_trailing_30d_keyed),
-    # (b) the r2 hash-fail event_sessionization (oracle typing fixed),
-    # (c) every query whose oracle or implementation changed since its last
-    # green row — the 7 newly value-hashed ex-rows-only queries, the
-    # 34-row report_numeric, the LSH-swapped emb_near_dups, the long-frame
-    # trio (persist fix), and the six r1-green calendar queries rewritten in
-    # r2 (_simple_returns) — then back-fills with the riskiest green names
-    # (streaming, dedup, text, ANN) as regression re-checks. Names outside
-    # this window hold a green row from r1/r2 on unchanged code.
-    front = [n for n in _ROUND3_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND3_WINDOW]
+    # FIRST 50 registered queries each round. Rounds 1-3 each verified a
+    # rotating 50-query block (r1: scalar/order-dependent/monthly 50/50;
+    # r2: calendar/benchmark/report/streaming/extension 42/50; r3: 47/50 —
+    # the 3 events queries failed on the ts physical-type change, fixed this
+    # round by the adaptive _event_us/_event_ts readers). Round 4
+    # front-loads (a) those 3 repaired events queries, (b) the 3 queries
+    # registered this round (doc_decontaminate, corpus_source_stats,
+    # ann_knn_join), (c) corpus_pack_greedy, whose plan changed after its
+    # r3 green row (null-text coalesce + integer-div pack assignment), and
+    # (d) the entire 43-name block whose only green row is from round 1 —
+    # the stalest verifications in the registry (code unchanged, but three
+    # rounds old). (a)+(b)+(c)+(d) = 50 exactly. Names outside this window
+    # hold a green row from r2/r3 on code unchanged since that row.
+    front = [n for n in _ROUND4_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND4_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND4_WINDOW = [
+    # (a) r3 fails — events ts physical-type change, reader now adaptive
+    "event_sessionization", "event_session_windows", "event_hourly_counts",
+    # (b) new round-4 registrations
+    "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
+    # (c) impl changed after its r3 green row
+    "corpus_pack_greedy",
+    # (d) the full r1-only block — stalest green rows in the registry
+    "comp", "cagr", "cagr_simple", "sharpe", "sharpe_rf", "sortino",
+    "adjusted_sortino", "volatility", "exposure", "omega", "cpc_index",
+    "expected_return", "best", "worst", "skew", "kurtosis", "avg_return",
+    "avg_win", "avg_loss", "win_rate", "payoff_ratio", "profit_factor",
+    "gain_to_pain_ratio", "gain_to_pain_ratio_1m", "tail_ratio",
+    "common_sense_ratio", "outlier_win_ratio", "outlier_loss_ratio",
+    "kelly_criterion", "risk_of_ruin", "value_at_risk", "cvar",
+    "max_drawdown", "to_drawdowns", "calmar", "ulcer_index",
+    "recovery_factor", "serenity_index", "consecutive_wins",
+    "consecutive_losses", "longest_drawdown_days", "avg_drawdown_days",
+    "avg_drawdown",
+]
 
 
 _ROUND3_WINDOW = [
@@ -1713,6 +1734,40 @@ SELECT vec_id,
 FROM a, q
 WHERE ivf_list IN ({", ".join(str(p) for p in probes)})
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def _knn_join_sql(k: int, n_planes: int, seed: int = 42, n_tables: int = 2) -> str:
+    """Oracle for similarity.knn_join: per-vector top-k within shared LSH
+    buckets. Each table's sign-bit bucket is recomputed in SQL from the
+    SAME literal hyperplanes the Spark plan ships; a pair is a candidate
+    when the buckets agree in ANY table; DISTINCT collapses multi-table
+    hits (identical rounded cosine by construction)."""
+    from alphastats_spark.functions import similarity
+
+    bucket_cols = []
+    join_conds = []
+    for t in range(n_tables):
+        planes = similarity.hyperplanes(_EMB_DIM, n_planes, seed + t)
+        bucket_cols.append(f"{_bucket_sql('e', planes)} AS b{t}")
+        join_conds.append(f"a.b{t} = c.b{t}")
+    any_table = " OR ".join(join_conds)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+b AS (SELECT vec_id, e, nrm, {', '.join(bucket_cols)} FROM v),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid,
+         ROUND(list_dot_product(a.e, c.e) / (a.nrm * c.nrm), {ROUND}) AS cosine
+  FROM b a JOIN b c ON ({any_table}) AND a.vec_id <> c.vec_id
+)
+SELECT qid AS vec_id, nid AS neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rank
+  FROM pairs
+) t WHERE rank <= {k}"""
 
 
 def _semdedup_oracle_sql(threshold: float = 0.5, n_centroids: int = 16,
@@ -2421,6 +2476,59 @@ FROM c""")
 
     add("emb_semdedup", _semdedup,
         _semdedup_oracle_sql(threshold=0.35, n_centroids=16, seed=42))
+
+    # Benchmark decontamination: training docs sharing word 3-grams with an
+    # eval set (deterministically carved out as doc_id % 40 == 7, ~13 docs).
+    # The eval-gram list is broadcast; the corpus never shuffles beyond its
+    # own per-doc distinct. n=3 on the synthetic small-vocab corpus gives a
+    # non-vacuous split (some overlap, not everything contaminated).
+    def _decontam(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        eval_df = docs.where(F.col("doc_id") % 40 == 7)
+        return pipeline.decontaminate(docs, eval_df, n=3, threshold=0.05)
+
+    add("doc_decontaminate", _decontam, f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 40 = 7),
+tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM g GROUP BY doc_id),
+hit AS (SELECT g.doc_id, COUNT(*) AS n_contaminated
+        FROM g JOIN ev USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(tot.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(hit.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       ROUND(COALESCE(hit.n_contaminated * 1.0 / tot.n_ngrams, 0.0), {ROUND})
+         AS contamination_frac,
+       COALESCE(hit.n_contaminated * 1.0 / tot.n_ngrams, 0.0) > 0.05 AS flagged
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN hit ON d.doc_id = hit.doc_id""")
+
+    # Per-source rollup: the accounting table a domain-mixing run reads
+    # before setting stratified_sample rates.
+    add("corpus_source_stats",
+        lambda spark, sf_dir: pipeline.source_stats(_docs(spark, sf_dir)),
+        f"""
+WITH t AS (SELECT source, lang,
+                  CAST(COALESCE(len({_TOKS_SQL}), 0) AS BIGINT) AS n
+           FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n), {ROUND}) AS avg_tokens,
+       ROUND(median(n), {ROUND}) AS median_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM t GROUP BY source""")
+
+    # Approximate kNN self-join: every vector's top-5 cosine neighbours
+    # among bucket-mates in either of 2 independent LSH tables.
+    add("ann_knn_join",
+        lambda spark, sf_dir: similarity.knn_join(
+            _embs(spark, sf_dir), k=5, n_planes=6, seed=42, n_tables=2),
+        _knn_join_sql(k=5, n_planes=6, seed=42, n_tables=2))
 
 
 def _stop_list() -> str:

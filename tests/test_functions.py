@@ -753,6 +753,75 @@ class TestPipeline:
         assert out[9]["pack_id"] == 2 and out[9]["pack_offset"] == 70
         assert all(r["n_tokens"] == 30 for r in out.values())
 
+    def test_decontaminate(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon"),   # contains eval 3-grams
+                (1, "alpha beta gamma zeta eta"),        # shares 1 of 3 grams
+                (2, "one two three four five"),          # disjoint
+                (3, ""),                                 # no grams
+            ],
+            "doc_id bigint, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in pipeline.decontaminate(train, eval_df, n=3, threshold=0.5).collect()
+        }
+        assert out[0]["n_ngrams"] == 3 and out[0]["n_contaminated"] == 3
+        assert out[0]["contamination_frac"] == 1.0 and out[0]["flagged"]
+        assert out[1]["n_contaminated"] == 1 and not out[1]["flagged"]
+        assert out[2]["n_contaminated"] == 0 and not out[2]["flagged"]
+        assert out[3]["n_ngrams"] == 0 and not out[3]["flagged"]
+
+    def test_source_stats(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [
+            ("web", "en", "a b c"),       # 3 tokens
+            ("web", "de", "a b c d"),     # 4 tokens -> median 3.5 interpolated
+            ("books", "en", "x"),
+        ]
+        df = spark.createDataFrame(rows, "source string, lang string, text string")
+        out = {r["source"]: r for r in pipeline.source_stats(df).collect()}
+        assert out["web"]["n_docs"] == 2
+        assert out["web"]["total_tokens"] == 7
+        assert out["web"]["avg_tokens"] == 3.5
+        assert out["web"]["median_tokens"] == 3.5
+        assert out["web"]["n_langs"] == 2
+        assert out["books"]["median_tokens"] == 1.0
+
+    def test_knn_join(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # two tight clusters far apart: neighbours must stay within-cluster
+        a = rng.normal(0, 0.05, (6, 16)) + np.array([5.0] * 8 + [0.0] * 8)
+        b = rng.normal(0, 0.05, (6, 16)) + np.array([0.0] * 8 + [-5.0] * 8)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        out = similarity.knn_join(df, k=3, n_planes=2, n_tables=2)
+        got = out.collect()
+        assert got, "knn_join returned no rows"
+        for r in got:
+            same_cluster = (r["vec_id"] < 6) == (r["neighbor_id"] < 6)
+            assert same_cluster, r
+            assert r["vec_id"] != r["neighbor_id"]
+            assert 1 <= r["rank"] <= 3
+        # ranks are dense per query and ordered by descending cosine
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["vec_id"], []).append((r["rank"], r["cosine"]))
+        for q, rs in per_q.items():
+            rs.sort()
+            assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+            cosines = [x[1] for x in rs]
+            assert cosines == sorted(cosines, reverse=True)
+
     def test_pack_documents_null_text(self, spark):
         from alphastats_spark.functions import pipeline
 
