@@ -28,12 +28,12 @@ def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, 
     """Longest run of r>0 (wins) or r<0 (losses); nulls and zeros break runs
     (reference ``_consecutive_count``, ``stats.py:1249-1261``).
 
-    The input is persisted for the duration of the call: each prefix pass
-    carries a broadcast-join branch that would otherwise recompute the
-    whole upstream lineage once per pass.
+    No persist needed: every prefix pass's broadcast branch shares the main
+    branch's shuffle Exchange (``ordered.add_prefix_columns`` aggregates
+    bucket totals from the windowed frame), so the upstream lineage
+    executes once via ReuseExchange.
     """
-    src = df.persist()
-    df = ordered.add_row_index(src, "__idx")
+    df = ordered.add_row_index(df, "__idx")
 
     brk_exprs = {}
     for c in cols:
@@ -55,7 +55,6 @@ def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, 
         ).otherwise(F.lit(0))
         aggs.append(F.coalesce(F.max(streak), F.lit(0)).alias(c))
     row = df.agg(*aggs).first()
-    src.unpersist()
     return {c: int(row[c]) for c in cols}
 
 
@@ -76,24 +75,18 @@ def drawdown_episode_stats(
     ``df`` (e.g. the report frame carries them) — passing it skips the
     whole drawdown prefix machinery.
 
-    The input is persisted for the duration of the call — the drawdown +
-    island machinery is several prefix passes, each with a broadcast-join
-    branch that would otherwise recompute the upstream lineage.
+    No persist/materialization needed: each prefix pass's broadcast branch
+    shares the main branch's shuffle Exchange (bucket totals are derived
+    from the windowed frame in ``ordered.add_prefix_columns``), so the
+    drawdown + island machinery executes the upstream lineage once via
+    ReuseExchange instead of once per pass. (An earlier revision persisted
+    and counted the drawdown-enriched frame here — measured 4.8s → 3.0s at
+    sf0.1 — but exchange reuse makes the same saving without the extra
+    materialization job.)
     """
-    was_cached = df.is_cached
-    src = df if was_cached else df.persist()
-    dd_frame = None
     if dd_cols is None:
-        df = ordered.add_drawdown_columns(src, {f"__dd_{c}": c for c in cols})
+        df = ordered.add_drawdown_columns(df, {f"__dd_{c}": c for c in cols})
         dd_cols = {c: f"__dd_{c}" for c in cols}
-        # Materialize the drawdown-enriched frame: the island prefix pass
-        # below has TWO consumers (its window branch and its bucket_totals
-        # broadcast branch), and without this cache each would re-execute
-        # the full two-pass drawdown plan. Measured at sf0.1: 4.8s → 3.0s.
-        dd_frame = df.persist()
-        dd_frame.count()
-    else:
-        df = src
     df = ordered.add_prefix_columns(
         df,
         sums={
@@ -146,10 +139,6 @@ def drawdown_episode_stats(
         )
         .collect()
     )
-    if dd_frame is not None:
-        dd_frame.unpersist()
-    if not was_cached:
-        src.unpersist()
     out = {c: {"longest_days": 0, "avg_days": 0.0, "avg_dd": 0.0} for c in cols}
     for r in rows:
         out[r["__asset"]] = {

@@ -100,8 +100,16 @@ def add_prefix_columns(
         within_cols.append(F.max(col).over(w).alias(f"{out}__in"))
     df = df.select("*", *within_cols)
 
-    aggs = [F.sum(col).alias(out) for out, col in sums.items()]
-    aggs += [F.max(col).alias(out) for out, col in maxes.items()]
+    # Bucket totals come FROM the windowed frame, not the source: the
+    # within-bucket running aggregate at a bucket's LAST row IS the bucket
+    # total (window aggregates skip nulls, so this holds with nulls too; an
+    # all-null bucket yields null either way). This makes the broadcast
+    # branch's plan share the exact shuffle Exchange of the main branch, so
+    # Catalyst's ReuseExchange executes the upstream lineage ONCE — without
+    # it, each prefix pass re-ran the whole input plan (or forced callers to
+    # persist+count, an extra materialization job per pass).
+    aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in sums]
+    aggs += [F.max(F.col(f"{out}__in")).alias(out) for out in maxes]
     bucket_totals = df.groupBy(BUCKET_COL).agg(*aggs)
 
     wb = _bucket_prefix_window()
@@ -132,12 +140,10 @@ def add_ffill_columns(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     within_cols = [F.last(col, ignorenulls=True).over(w).alias(f"{out}__in") for out, col in cols.items()]
     df = df.select("*", *within_cols)
 
-    # Last non-null value per bucket: max_by over rows where the value is
-    # non-null (deterministic, unlike F.last inside groupBy).
-    aggs = [
-        F.max_by(col, F.when(col.isNotNull(), F.col(ORDER_COL))).alias(out)
-        for out, col in cols.items()
-    ]
+    # Bucket-last from the windowed frame (within-ffill at the bucket's last
+    # row = last non-null in the bucket) — shares the main branch's shuffle
+    # Exchange via ReuseExchange, like add_prefix_columns.
+    aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in cols]
     bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
     wb = _bucket_prefix_window()
     offsets = bucket_last.select(
