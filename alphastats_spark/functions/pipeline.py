@@ -245,6 +245,66 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style rule filter (keep/drop with reason codes)
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based document filter (Gopher §A1.1 / C4-style hard rules).
+
+    Unlike :func:`alphastats_spark.functions.text.quality_score` (a soft
+    score for ranking), this is the hard keep/drop gate a pipeline applies
+    first, with machine-readable reason codes: ``failed_rules`` is a
+    comma-joined, fixed-order list from {min_tokens, max_tokens, word_len,
+    alpha_frac, stopwords}; ``keep`` is true iff it is empty.
+
+    Single projection over the scan — per-row expressions only, no shuffle,
+    no UDFs; at 100 TB this pipelines into the parquet scan and the
+    ``keep`` predicate pushes into downstream reads of the output.
+    """
+    t = F.col(text_col)
+    toks = text.tokens(t)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_len = F.when(n > 0, total_len / n).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    stop = F.coalesce(
+        F.size(F.filter(text.tokens(F.lower(t)), lambda x: x.isin(text.STOPWORDS))),
+        F.lit(0),
+    )
+
+    rules = [
+        ("min_tokens", n < min_tokens),
+        ("max_tokens", n > max_tokens),
+        ("word_len", (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len)),
+        ("alpha_frac", alpha_frac < min_alpha_word_frac),
+        ("stopwords", stop < min_stopwords),
+    ]
+    failed = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 7).alias("mean_word_len"),
+        F.round(alpha_frac, 7).alias("alpha_word_frac"),
+        stop.cast("bigint").alias("n_stopwords"),
+        failed.alias("failed_rules"),
+        (failed == "").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # per-source corpus rollup (domain-mix accounting)
 
 

@@ -1324,10 +1324,13 @@ _ROUND4_WINDOW = [
     "event_sessionization", "event_session_windows", "event_hourly_counts",
     # (b) new round-4 registrations
     "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
+    "doc_quality_filter",
     # (c) impl changed after its r3 green row
     "corpus_pack_greedy",
-    # (d) the full r1-only block — stalest green rows in the registry
-    "comp", "cagr", "cagr_simple", "sharpe", "sharpe_rf", "sortino",
+    # (d) the r1-only block — stalest green rows in the registry (43 names
+    # minus cagr_simple, displaced by doc_quality_filter; it shares all its
+    # machinery with in-window cagr)
+    "comp", "cagr", "sharpe", "sharpe_rf", "sortino",
     "adjusted_sortino", "volatility", "exposure", "omega", "cpc_index",
     "expected_return", "best", "worst", "skew", "kurtosis", "avg_return",
     "avg_win", "avg_loss", "win_rate", "payoff_ratio", "profit_factor",
@@ -2507,6 +2510,52 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN hit ON d.doc_id = hit.doc_id""")
+
+    # Hard rule gate (Gopher-style) with reason codes. Thresholds are
+    # corpus-relative so three of the five rules genuinely fire at sf0.01
+    # (tokens 10-99, mean word length 3.7-5.3, stopwords 0-14):
+    # min_tokens=30, word_len >= 4.0, stopwords >= 2.
+    add("doc_quality_filter",
+        lambda spark, sf_dir: pipeline.quality_filter(
+            _docs(spark, sf_dir), min_tokens=30, min_mean_word_len=4.0),
+        f"""
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(len({_TOKS_SQL}), 0) AS n,
+         {_TOKS_SQL} AS toks,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')
+           AS ltoks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0
+         THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / n
+         ELSE 0.0 END AS mean_len,
+    CASE WHEN n > 0
+         THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / n
+         ELSE 0.0 END AS alpha_frac,
+    COALESCE(len(list_filter(ltoks, x -> x IN ({_stop_list()}))), 0) AS stop
+  FROM t
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  ROUND(mean_len, {ROUND}) AS mean_word_len,
+  ROUND(alpha_frac, {ROUND}) AS alpha_word_frac,
+  CAST(stop AS BIGINT) AS n_stopwords,
+  concat_ws(',',
+    CASE WHEN n < 30 THEN 'min_tokens' END,
+    CASE WHEN n > 100000 THEN 'max_tokens' END,
+    CASE WHEN mean_len < 4.0 OR mean_len > 10.0 THEN 'word_len' END,
+    CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
+    CASE WHEN stop < 2 THEN 'stopwords' END) AS failed_rules,
+  (concat_ws(',',
+    CASE WHEN n < 30 THEN 'min_tokens' END,
+    CASE WHEN n > 100000 THEN 'max_tokens' END,
+    CASE WHEN mean_len < 4.0 OR mean_len > 10.0 THEN 'word_len' END,
+    CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
+    CASE WHEN stop < 2 THEN 'stopwords' END) = '') AS keep
+FROM m""")
 
     # Per-source rollup: the accounting table a domain-mixing run reads
     # before setting stratified_sample rates.

@@ -778,6 +778,29 @@ class TestPipeline:
         assert out[2]["n_contaminated"] == 0 and not out[2]["flagged"]
         assert out[3]["n_ngrams"] == 0 and not out[3]["flagged"]
 
+    def test_quality_filter(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [
+            (0, "the cat sat on the mat and that is all of it right now here"),  # passes all
+            (1, "aa bb cc"),                                     # too short, no stopwords
+            (2, "x " * 30),                                      # short words, no stopwords
+            (3, None),                                           # null text
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["doc_id"]: r
+            for r in pipeline.quality_filter(
+                df, min_tokens=5, min_mean_word_len=2.0, min_stopwords=2
+            ).collect()
+        }
+        assert out[0]["keep"] and out[0]["failed_rules"] == ""
+        assert "min_tokens" in out[1]["failed_rules"]
+        assert "stopwords" in out[1]["failed_rules"]
+        assert not out[1]["keep"]
+        assert "word_len" in out[2]["failed_rules"]  # mean len 1 < 2.0
+        assert out[3]["n_tokens"] == 0 and not out[3]["keep"]
+
     def test_source_stats(self, spark):
         from alphastats_spark.functions import pipeline
 
