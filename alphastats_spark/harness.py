@@ -1325,16 +1325,21 @@ _ROUND4_WINDOW = [
     # (b) new round-4 registrations
     "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
     "doc_quality_filter",
-    # (c) impl changed after its r3 green row
-    "corpus_pack_greedy",
+    # (c) impl changed after its r3 green row: corpus_pack_greedy (null-text
+    # coalesce + integer-div), and the three report queries (metrics() pass
+    # orchestration restructured: concurrent meta/enrichment/episodes)
+    "corpus_pack_greedy", "report_numeric", "report_basic",
+    "report_full_bench",
     # (d) the r1-only block — stalest green rows in the registry (43 names
-    # minus cagr_simple, displaced by doc_quality_filter; it shares all its
-    # machinery with in-window cagr)
-    "comp", "cagr", "sharpe", "sharpe_rf", "sortino",
-    "adjusted_sortino", "volatility", "exposure", "omega", "cpc_index",
+    # minus four displaced by doc_quality_filter and the report re-checks;
+    # each displaced name shares ALL its machinery with an in-window
+    # sibling: cagr_simple~cagr, sharpe_rf~sharpe,
+    # adjusted_sortino~sortino, gain_to_pain_ratio_1m~gain_to_pain_ratio)
+    "comp", "cagr", "sharpe", "sortino",
+    "volatility", "exposure", "omega", "cpc_index",
     "expected_return", "best", "worst", "skew", "kurtosis", "avg_return",
     "avg_win", "avg_loss", "win_rate", "payoff_ratio", "profit_factor",
-    "gain_to_pain_ratio", "gain_to_pain_ratio_1m", "tail_ratio",
+    "gain_to_pain_ratio", "tail_ratio",
     "common_sense_ratio", "outlier_win_ratio", "outlier_loss_ratio",
     "kelly_criterion", "risk_of_ruin", "value_at_risk", "cvar",
     "max_drawdown", "to_drawdowns", "calmar", "ulcer_index",

@@ -105,6 +105,10 @@ def metrics(
     frame.persist()
 
     # ---- job A: date metadata (pre-fill null pattern) --------------------
+    # Submitted as a future: nothing before the main aggregation needs it —
+    # the enrichment (order/drawdown prefix) passes are metadata-free, so
+    # the meta job overlaps their materialization below.
+    pool = ThreadPoolExecutor(max_workers=6)
     meta_aggs = []
     if temporal:
         meta_aggs.append(F.max(F.col(temporal)).alias("__max_ts"))
@@ -115,10 +119,7 @@ def metrics(
             meta_aggs.append(
                 F.max(F.when(F.col(c).isNotNull(), F.col(temporal))).alias(f"end_{c}")
             )
-    meta = frame.agg(*meta_aggs).first() if meta_aggs else None
-    max_ts = meta["__max_ts"] if meta is not None else None
-    if isinstance(max_ts, dt.datetime):
-        max_ts = max_ts.date()
+    meta_fut = pool.submit(lambda: frame.agg(*meta_aggs).first()) if meta_aggs else None
 
     # ---- fill nulls with 0 (report-only policy) --------------------------
     filled = frame.select(
@@ -137,7 +138,6 @@ def metrics(
     # versus the reference's O(rows × cols) collects. The benchmark column
     # rides along in every group so benchmark-relative aggregates stay
     # single-pass.
-    windows = _window_bounds(max_ts) if temporal else None
     chunk = max(1, int(kwargs.get("agg_chunk_columns", 8)))
     main: dict[str, Any] = {}
     stage2: dict[str, Any] = {}
@@ -146,13 +146,14 @@ def metrics(
     # Independent report passes run as CONCURRENT Spark jobs (submitted
     # from threads — the standard Spark multi-job pattern): the calendar
     # aggregates depend only on the filled frame, so they overlap the whole
-    # chunk loop; within a chunk, the stage-2 CVaR agg and the episode
-    # islands pass only share the cached ``rdf`` and run side by side.
+    # chunk loop; within a chunk, the enrichment materialization overlaps
+    # the meta job, then the episode islands pass (which never reads the
+    # main aggregate) overlaps the main aggregation, and the stage-2
+    # CVaR agg (literal thresholds from main) runs while episodes finish.
     # Per-asset report frames are tiny, so each pass is dominated by fixed
     # job/stage overhead — overlapping them buys wall-clock roughly equal
     # to the sum of the shorter passes, and on a real cluster concurrent
     # small jobs interleave harmlessly under FIFO scheduling.
-    pool = ThreadPoolExecutor(max_workers=4)
     cal_futs = {}
     if temporal:
         cal_futs["month"] = pool.submit(
@@ -166,6 +167,9 @@ def metrics(
                 _calendar_agg, filled, temporal, output_names, "year", rf
             )
 
+    windows = None
+    meta = None
+    max_ts = None
     for start in range(0, len(output_names), chunk):
         group = list(output_names[start : start + chunk])
         sel = ([F.col(temporal)] if temporal else []) + [F.col(c) for c in group]
@@ -184,12 +188,30 @@ def metrics(
             rdf = ordered.add_prefix_columns(rdf, maxes=brk)
             rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in group})
         rdf.persist()
+        # materialize the enrichment concurrently with the meta job; the
+        # main agg and episode pass below then both read one cached copy
+        mat_fut = pool.submit(rdf.count)
+
+        if meta_fut is not None and meta is None:
+            meta = meta_fut.result()
+            max_ts = meta["__max_ts"]
+            if isinstance(max_ts, dt.datetime):
+                max_ts = max_ts.date()
+            windows = _window_bounds(max_ts) if temporal else None
 
         aggs: list = []
         for c in group:
             aggs.extend(_column_aggs(c, rf, compounded, periods_per_year, full, windows))
             if full and has_bench and c != benchmark_name:
                 aggs.extend(_bench_aggs(c, benchmark_name))
+        mat_fut.result()
+
+        # episodes never read the main aggregate — overlap it with the
+        # main aggregation on the now-cached enrichment frame
+        eps_fut = pool.submit(
+            islands.drawdown_episode_stats,
+            rdf, group, None, {c: f"__dd_{c}" for c in group},
+        )
         main.update(rdf.agg(*aggs).first().asDict())
 
         # dependent pass: CVaR + serenity (serenity is in basic mode too)
@@ -212,17 +234,8 @@ def metrics(
                             F.mean(X.when_pl(col < F.lit(v), col, None)), F.lit(v)
                         ).alias(f"cvar_{c}")
                     )
-        s2_fut = pool.submit(lambda a: rdf.agg(*a).first(), s2_aggs) if s2_aggs else None
-
-        # islands pass: drawdown episodes (row-count lengths — the report
-        # feeds series without dates, reference reports.py:397-403). The
-        # group frame already carries the __dd_* columns — reuse them.
-        eps_fut = pool.submit(
-            islands.drawdown_episode_stats,
-            rdf, group, None, {c: f"__dd_{c}" for c in group},
-        )
-        if s2_fut is not None:
-            stage2.update(s2_fut.result().asDict())
+        if s2_aggs:
+            stage2.update(rdf.agg(*s2_aggs).first().asDict())
         episodes.update(eps_fut.result())
         rdf.unpersist()
 
