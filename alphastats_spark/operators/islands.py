@@ -9,9 +9,10 @@ Both are rewritten here as distributed window/groupBy plans:
   running max over break positions, the current streak length is
   ``idx − last_break_idx`` — two prefix passes (shared bucket shuffle) and
   one aggregate, for ALL columns at once.
-* ``drawdown_episode_stats`` assigns an episode id per column via a prefix
-  sum over break flags, unpivots the N asset columns into a long
-  (asset, episode) frame, and computes per-episode extents with ONE
+* ``drawdown_episode_stats`` reads the episode id straight off the drawdown
+  machinery (the running peak's position, tracked in the same prefix-max
+  pass via ``struct(wealth, order)``), unpivots the N asset columns into a
+  long (asset, episode) frame, and computes per-episode extents with ONE
   ``groupBy`` for all columns — instead of N driver loops.
 """
 
@@ -63,6 +64,7 @@ def drawdown_episode_stats(
     cols: list[str],
     temporal_name: str | None,
     dd_cols: dict[str, str] | None = None,
+    pos_cols: dict[str, str] | None = None,
 ) -> dict[str, dict[str, float]]:
     """Per-column drawdown-episode aggregates in one distributed pass.
 
@@ -73,27 +75,35 @@ def drawdown_episode_stats(
 
     ``dd_cols`` maps source column → an ALREADY COMPUTED drawdown column on
     ``df`` (e.g. the report frame carries them) — passing it skips the
-    whole drawdown prefix machinery.
+    whole drawdown prefix machinery; ``pos_cols`` additionally maps source
+    column → a peak-position column (``add_drawdown_columns`` with
+    ``with_peak_pos=True``), which already IS the episode id.
 
-    No persist/materialization needed: each prefix pass's broadcast branch
-    shares the main branch's shuffle Exchange (bucket totals are derived
-    from the windowed frame in ``ordered.add_prefix_columns``), so the
-    drawdown + island machinery executes the upstream lineage once via
-    ReuseExchange instead of once per pass. (An earlier revision persisted
-    and counted the drawdown-enriched frame here — measured 4.8s → 3.0s at
-    sf0.1 — but exchange reuse makes the same saving without the extra
-    materialization job.)
+    The episode id comes for free from the drawdown machinery itself: the
+    running peak's ORDER_COL position is constant within an episode and
+    changes exactly when a new peak is set (equal-wealth retraces break to
+    the later position — same boundary as the dd<0-run definition). No
+    separate gaps-and-islands prefix pass is needed, and no persist either:
+    every remaining pass's broadcast branch shares the main branch's
+    shuffle Exchange via ReuseExchange.
     """
     if dd_cols is None:
-        df = ordered.add_drawdown_columns(df, {f"__dd_{c}": c for c in cols})
+        df = ordered.add_drawdown_columns(
+            df, {f"__dd_{c}": c for c in cols}, with_peak_pos=True
+        )
         dd_cols = {c: f"__dd_{c}" for c in cols}
-    df = ordered.add_prefix_columns(
-        df,
-        sums={
-            f"__isl_{c}": F.when(F.col(dd_cols[c]) < 0, F.lit(0)).otherwise(F.lit(1))
-            for c in cols
-        },
-    )
+        pos_cols = {c: f"__dd_{c}__pos" for c in cols}
+    elif pos_cols is None:
+        # externally supplied drawdowns without peak positions: derive the
+        # episode id with one island prefix pass (the legacy shape)
+        df = ordered.add_prefix_columns(
+            df,
+            sums={
+                f"__isl_{c}": F.when(F.col(dd_cols[c]) < 0, F.lit(0)).otherwise(F.lit(1))
+                for c in cols
+            },
+        )
+        pos_cols = {c: f"__isl_{c}" for c in cols}
 
     # Unpivot the per-asset (dd, island) pairs into a long frame so a single
     # groupBy covers every column.
@@ -109,7 +119,7 @@ def drawdown_episode_stats(
     # recompute the whole drawdown plan N times.
     df = df.withColumn("__pos", pos)
     stack_args = ", ".join(
-        f"'{c}', `__isl_{c}`, cast(`{dd_cols[c]}` as double)" for c in cols
+        f"'{c}', `{pos_cols[c]}`, cast(`{dd_cols[c]}` as double)" for c in cols
     )
     long_df = df.selectExpr(
         "__pos", f"stack({len(cols)}, {stack_args}) as (__asset, __island, __dd)"

@@ -184,7 +184,9 @@ def add_lag_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     return df.select(*keep, *final)
 
 
-def add_drawdown_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+def add_drawdown_columns(
+    df: DataFrame, cols: dict[str, str], with_peak_pos: bool = False
+) -> DataFrame:
     """Add per-row drawdown columns (reference ``_drawdowns``, ``stats.py:412-416``).
 
     drawdown = cumprod(1+r)/cummax(cumprod(1+r)) − 1, clipped ≤ 0.
@@ -196,6 +198,15 @@ def add_drawdown_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
 
     Null returns produce null drawdowns and are skipped by the running
     product/max, exactly like Polars' null-skipping cumulative ops.
+
+    ``with_peak_pos=True`` additionally emits ``{out}__pos`` — the ORDER_COL
+    position where the current running peak was set — from the SAME prefix
+    pass (the running max tracks ``struct(wealth, order)``; Spark's struct
+    ordering breaks equal-wealth ties to the LATER position, so a wealth
+    path that exactly retraces its old peak starts a new position there).
+    That column is a ready-made drawdown-episode id: rows with dd<0 share
+    one ``__pos`` per episode, letting episode stats skip their own island
+    prefix pass entirely.
     """
     sums: dict[str, Column] = {}
     for out, src in cols.items():
@@ -216,18 +227,47 @@ def add_drawdown_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
         wealth_cols.append(wealth.alias(f"{out}__w"))
     df = df.select("*", *wealth_cols)
 
-    df = add_prefix_columns(df, maxes={f"{out}__peak": F.col(f"{out}__w") for out in cols})
+    if with_peak_pos:
+        # null wealth → −inf in the struct so a null row can never become
+        # the peak (the plain-max path gets this from max's null-skipping)
+        df = add_prefix_columns(
+            df,
+            maxes={
+                f"{out}__pk": F.struct(
+                    F.coalesce(F.col(f"{out}__w"), F.lit(float("-inf"))).alias("v"),
+                    F.col(ORDER_COL).alias("p"),
+                )
+                for out in cols
+            },
+        )
+        peak = {out: F.col(f"{out}__pk").getField("v") for out in cols}
+    else:
+        df = add_prefix_columns(
+            df, maxes={f"{out}__peak": F.col(f"{out}__w") for out in cols}
+        )
+        peak = {out: F.col(f"{out}__peak") for out in cols}
 
     dd_cols = []
     for out in cols:
-        ratio = fdiv(F.col(f"{out}__w"), F.col(f"{out}__peak")) - 1
+        ratio = fdiv(F.col(f"{out}__w"), peak[out]) - 1
         dd = (
             F.when(F.col(f"{out}__w").isNull(), F.lit(None).cast("double"))
             .when(F.isnan(ratio), NAN())
             .otherwise(F.least(ratio, F.lit(0.0)))
         )
         dd_cols.append(dd.alias(out))
-    helper = [c for c in df.columns if "__ls" in c or "__neg" in c or "__zero" in c or c.endswith("__w") or c.endswith("__peak")]
+        if with_peak_pos:
+            dd_cols.append(F.col(f"{out}__pk").getField("p").alias(f"{out}__pos"))
+    helper = [
+        c
+        for c in df.columns
+        if "__ls" in c
+        or "__neg" in c
+        or "__zero" in c
+        or c.endswith("__w")
+        or c.endswith("__peak")
+        or c.endswith("__pk")
+    ]
     return df.select(*[c for c in df.columns if c not in helper], *dd_cols)
 
 

@@ -178,7 +178,11 @@ def metrics(
         gframe = filled.select(*sel)
 
         rdf = ordered.with_order(gframe, temporal)
-        rdf = ordered.add_drawdown_columns(rdf, {f"__dd_{c}": c for c in group})
+        # peak positions ride along in the same prefix pass — they are the
+        # episode ids, so the episode stats below need no island pass
+        rdf = ordered.add_drawdown_columns(
+            rdf, {f"__dd_{c}": c for c in group}, with_peak_pos=True
+        )
         if full:
             rdf = ordered.add_row_index(rdf, "__idx")
             brk = {}
@@ -210,7 +214,9 @@ def metrics(
         # main aggregation on the now-cached enrichment frame
         eps_fut = pool.submit(
             islands.drawdown_episode_stats,
-            rdf, group, None, {c: f"__dd_{c}" for c in group},
+            rdf, group, None,
+            {c: f"__dd_{c}" for c in group},
+            {c: f"__dd_{c}__pos" for c in group},
         )
         main.update(rdf.agg(*aggs).first().asDict())
 
