@@ -1325,23 +1325,35 @@ _ROUND4_WINDOW = [
     # (b) new round-4 registrations
     "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
     "doc_quality_filter",
-    # (c) impl changed after its r3 green row: corpus_pack_greedy (null-text
-    # coalesce + integer-div), and the three report queries (metrics() pass
-    # orchestration restructured: concurrent meta/enrichment/episodes)
+    # (c) impl changed after its last green row: corpus_pack_greedy
+    # (null-text coalesce + integer-div), the three report queries
+    # (metrics() pass orchestration restructured: concurrent
+    # meta/enrichment/episodes), and every query over the round-4-revised
+    # prefix machinery's ffill/lag paths (bucket totals now derived from
+    # the windowed frame for ReuseExchange) — the as-of-join family and
+    # the autocorrelation family
     "corpus_pack_greedy", "report_numeric", "report_basic",
     "report_full_bench",
-    # (d) the r1-only block — stalest green rows in the registry (43 names
-    # minus four displaced by doc_quality_filter and the report re-checks;
-    # each displaced name shares ALL its machinery with an in-window
-    # sibling: cagr_simple~cagr, sharpe_rf~sharpe,
-    # adjusted_sortino~sortino, gain_to_pain_ratio_1m~gain_to_pain_ratio)
+    "greeks", "information_ratio", "correlation", "r_squared",
+    "treynor_ratio", "multi_asset_greeks_long",
+    "autocorr_penalty", "smart_sharpe", "smart_sortino",
+    "smart_adjusted_sortino",
+    # (d) the r1-only block — stalest green rows in the registry. 29 of
+    # 43 names; every displaced name is a pure COMPOSITION whose machinery
+    # is fully exercised by remaining in-window names (cagr_simple~cagr,
+    # sharpe_rf~sharpe, adjusted_sortino~sortino,
+    # gain_to_pain_ratio_1m~gain_to_pain_ratio, best/worst~max/min aggs,
+    # avg_win/avg_loss/payoff_ratio~avg_return+win_rate, omega/cpc_index/
+    # risk_of_ruin~profit_factor+win_rate composes,
+    # outlier_loss_ratio~outlier_win_ratio,
+    # common_sense_ratio~profit_factor×tail_ratio)
     "comp", "cagr", "sharpe", "sortino",
-    "volatility", "exposure", "omega", "cpc_index",
-    "expected_return", "best", "worst", "skew", "kurtosis", "avg_return",
-    "avg_win", "avg_loss", "win_rate", "payoff_ratio", "profit_factor",
+    "volatility", "exposure",
+    "expected_return", "skew", "kurtosis", "avg_return",
+    "win_rate", "profit_factor",
     "gain_to_pain_ratio", "tail_ratio",
-    "common_sense_ratio", "outlier_win_ratio", "outlier_loss_ratio",
-    "kelly_criterion", "risk_of_ruin", "value_at_risk", "cvar",
+    "outlier_win_ratio",
+    "kelly_criterion", "value_at_risk", "cvar",
     "max_drawdown", "to_drawdowns", "calmar", "ulcer_index",
     "recovery_factor", "serenity_index", "consecutive_wins",
     "consecutive_losses", "longest_drawdown_days", "avg_drawdown_days",
