@@ -1338,6 +1338,8 @@ _ROUND4_WINDOW = [
     "treynor_ratio", "multi_asset_greeks_long",
     "autocorr_penalty", "smart_sharpe", "smart_sortino",
     "smart_adjusted_sortino",
+    # keyed episode fusion (peak-pos island ids in the long-frame path)
+    "multi_asset_metrics_long",
     # (d) the r1-only block — stalest green rows in the registry. 29 of
     # 43 names; every displaced name is a pure COMPOSITION whose machinery
     # is fully exercised by remaining in-window names (cagr_simple~cagr,
@@ -1348,7 +1350,7 @@ _ROUND4_WINDOW = [
     # outlier_loss_ratio~outlier_win_ratio,
     # common_sense_ratio~profit_factor×tail_ratio)
     "comp", "cagr", "sharpe", "sortino",
-    "volatility", "exposure",
+    "volatility",
     "expected_return", "skew", "kurtosis", "avg_return",
     "win_rate", "profit_factor",
     "gain_to_pain_ratio", "tail_ratio",

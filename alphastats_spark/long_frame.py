@@ -58,7 +58,11 @@ def metrics_by_key(
 
     base = df.select(key_col, temporal, value_col)
     base = keyed.with_order_keyed(base, temporal, keys)
-    base = keyed.add_drawdown_columns_keyed(base, keys, {"__dd": value_col})
+    # peak positions ride along in the same prefix pass: the episode stats
+    # below then need no island pass of their own
+    base = keyed.add_drawdown_columns_keyed(
+        base, keys, {"__dd": value_col}, with_peak_pos=True
+    )
     # Persisted so the three consumers below (main aggs, CVaR join, episode
     # stats) compute the keyed drawdown enrichment once. The result is
     # returned lazily, so the cache must OUTLIVE this function — it fills on
@@ -121,7 +125,8 @@ def metrics_by_key(
     )
 
     episodes = keyed.episode_stats_keyed(
-        base, keys, "__dd", length_mode="days", temporal_name=temporal
+        base, keys, "__dd", length_mode="days", temporal_name=temporal,
+        pos_col="__dd__pos",
     ).select(
         key_col,
         F.col("longest_days").alias("longest_drawdown_days"),

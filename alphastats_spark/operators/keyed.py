@@ -85,11 +85,16 @@ def add_prefix_columns_keyed(
 
 
 def add_drawdown_columns_keyed(
-    df: DataFrame, key_cols: list[str], cols: dict[str, str]
+    df: DataFrame, key_cols: list[str], cols: dict[str, str], with_peak_pos: bool = False
 ) -> DataFrame:
     """Per-key drawdown series — the keyed mirror of
     :func:`ordered.add_drawdown_columns` (log-space prefix sums with
-    sign/zero tracking, then a prefix max)."""
+    sign/zero tracking, then a prefix max).
+
+    ``with_peak_pos=True`` emits ``{out}__pos`` — the per-key ORDER_COL
+    position of the current running peak, from the same prefix pass
+    (``struct(wealth, order)`` running max; equal-wealth ties break to the
+    later position) — a ready-made per-key drawdown-episode id."""
     sums: dict[str, Column] = {}
     for out, src in cols.items():
         factor = F.col(src).cast("double") + 1
@@ -109,23 +114,45 @@ def add_drawdown_columns_keyed(
         wealth_cols.append(wealth.alias(f"{out}__w"))
     df = df.select("*", *wealth_cols)
 
-    df = add_prefix_columns_keyed(
-        df, key_cols, maxes={f"{out}__peak": F.col(f"{out}__w") for out in cols}
-    )
+    if with_peak_pos:
+        df = add_prefix_columns_keyed(
+            df,
+            key_cols,
+            maxes={
+                f"{out}__pk": F.struct(
+                    F.coalesce(F.col(f"{out}__w"), F.lit(float("-inf"))).alias("v"),
+                    F.col(ORDER_COL).alias("p"),
+                )
+                for out in cols
+            },
+        )
+        peak = {out: F.col(f"{out}__pk").getField("v") for out in cols}
+    else:
+        df = add_prefix_columns_keyed(
+            df, key_cols, maxes={f"{out}__peak": F.col(f"{out}__w") for out in cols}
+        )
+        peak = {out: F.col(f"{out}__peak") for out in cols}
 
     dd_cols = []
     for out in cols:
-        ratio = fdiv(F.col(f"{out}__w"), F.col(f"{out}__peak")) - 1
+        ratio = fdiv(F.col(f"{out}__w"), peak[out]) - 1
         dd = (
             F.when(F.col(f"{out}__w").isNull(), F.lit(None).cast("double"))
             .when(F.isnan(ratio), NAN())
             .otherwise(F.least(ratio, F.lit(0.0)))
         )
         dd_cols.append(dd.alias(out))
+        if with_peak_pos:
+            dd_cols.append(F.col(f"{out}__pk").getField("p").alias(f"{out}__pos"))
     helper = [
         c
         for c in df.columns
-        if "__ls" in c or "__neg" in c or "__zero" in c or c.endswith("__w") or c.endswith("__peak")
+        if "__ls" in c
+        or "__neg" in c
+        or "__zero" in c
+        or c.endswith("__w")
+        or c.endswith("__peak")
+        or c.endswith("__pk")
     ]
     return df.select(*[c for c in df.columns if c not in helper], *dd_cols)
 
@@ -136,6 +163,7 @@ def episode_stats_keyed(
     dd_col: str,
     length_mode: str = "rows",
     temporal_name: str | None = None,
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Per-key drawdown-episode aggregates over a keyed long frame carrying
     an already-computed drawdown column.
@@ -143,12 +171,19 @@ def episode_stats_keyed(
     Returns one row per key: ``longest_days``, ``avg_days``, ``avg_dd``.
     ``length_mode="rows"`` counts episode rows (the report's convention);
     ``"days"`` measures calendar extent (requires ``temporal_name``).
+    ``pos_col`` names a peak-position column
+    (:func:`add_drawdown_columns_keyed` with ``with_peak_pos=True``) that
+    already IS the per-key episode id — when given, no extra island prefix
+    pass is needed.
     """
-    df = add_prefix_columns_keyed(
-        df,
-        key_cols,
-        sums={"__isl": F.when(F.col(dd_col) < 0, F.lit(0)).otherwise(F.lit(1))},
-    )
+    if pos_col is not None:
+        df = df.withColumn("__isl", F.col(pos_col))
+    else:
+        df = add_prefix_columns_keyed(
+            df,
+            key_cols,
+            sums={"__isl": F.when(F.col(dd_col) < 0, F.lit(0)).otherwise(F.lit(1))},
+        )
     in_dd = df.where(F.col(dd_col) < 0)
     if length_mode == "rows":
         length = F.count(F.lit(1)).cast("long")
