@@ -2592,11 +2592,17 @@ SELECT source, COUNT(*) AS n_docs,
 FROM t GROUP BY source""")
 
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
-    # among bucket-mates in either of 2 independent LSH tables.
+    # among bucket-mates in any of 8 independent LSH tables. Parameters are
+    # corpus-relative (calibrated on the 500-vector gate corpus: 3 planes ×
+    # 8 tables → recall@5 = 0.86-0.87 vs exact, pinned in
+    # tests/test_functions.py; 6 planes × 2 tables measured 0.08 — these
+    # weakly-clustered vectors need coarse buckets). At 10^9+ vectors use
+    # 16-20 planes so each table's buckets stay bounded; recall then comes
+    # from the table count, exactly as in ann_lsh_topk.
     add("ann_knn_join",
         lambda spark, sf_dir: similarity.knn_join(
-            _embs(spark, sf_dir), k=5, n_planes=6, seed=42, n_tables=2),
-        _knn_join_sql(k=5, n_planes=6, seed=42, n_tables=2))
+            _embs(spark, sf_dir), k=5, n_planes=3, seed=42, n_tables=8),
+        _knn_join_sql(k=5, n_planes=3, seed=42, n_tables=8))
 
 
 def _stop_list() -> str:

@@ -339,6 +339,46 @@ def test_ann_recall_at_k(spark):
     assert r8 >= r4, "raising nprobe must not lower recall"
 
 
+def test_knn_join_recall(spark):
+    """Mean recall@5 of the LSH kNN self-join vs exact per-vector top-5 on
+    the driver embeddings, at the GATE parameters (3 planes × 8 tables —
+    measured 0.87; 0.08 at 6 planes × 2 tables, which is why the gate uses
+    coarse buckets on this weakly-clustered corpus). Seeded + fixed data →
+    deterministic; pinned below the measurement so an index regression
+    fails here. Also guards that more tables never lowers recall."""
+    import os
+
+    import numpy as np
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    ids = np.array(t.column("vec_id").to_pylist())
+    V = np.array(t.column("embedding").to_pylist(), dtype="float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -2)
+    k = 5
+    exact = {vid: set(ids[np.argsort(-S[i])[:k]]) for i, vid in enumerate(ids)}
+
+    emb = spark.read.parquet(path)
+
+    def mean_recall(n_tables):
+        got = {}
+        rows = similarity.knn_join(emb, k=k, n_planes=3, seed=42, n_tables=n_tables)
+        for r in rows.collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        return float(np.mean([len(got.get(v, set()) & exact[v]) / k for v in exact]))
+
+    r8 = mean_recall(8)
+    assert r8 >= 0.8, f"kNN-join gate recall@5 {r8:.2f} below pin"
+    r4 = mean_recall(4)
+    assert r8 >= r4, "raising n_tables must not lower recall"
+
+
 def test_embedding_lsh_gate_recall(spark):
     """Quantitative recall check at the GATE parameters (harness
     emb_near_dups_lsh: threshold=0.4, n_planes=3, n_tables=12 — expected
