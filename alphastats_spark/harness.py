@@ -1324,7 +1324,7 @@ _ROUND4_WINDOW = [
     "event_sessionization", "event_session_windows", "event_hourly_counts",
     # (b) new round-4 registrations
     "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
-    "doc_quality_filter",
+    "doc_quality_filter", "media_resize_real",
     # (c) impl changed after its last green row: corpus_pack_greedy
     # (null-text coalesce + integer-div), the three report queries
     # (metrics() pass orchestration restructured: concurrent
@@ -1355,7 +1355,7 @@ _ROUND4_WINDOW = [
     "win_rate", "profit_factor",
     "gain_to_pain_ratio", "tail_ratio",
     "outlier_win_ratio",
-    "kelly_criterion", "value_at_risk", "cvar",
+    "value_at_risk", "cvar",
     "max_drawdown", "to_drawdowns", "calmar", "ulcer_index",
     "recovery_factor", "serenity_index", "consecutive_wins",
     "consecutive_losses", "longest_drawdown_days", "avg_drawdown_days",
@@ -2320,6 +2320,49 @@ WITH padded AS (
 )
 SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(range(1, 65),
+            i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum
+FROM padded""")
+
+    # REAL resize stage chained into the REAL decoder — two Arrow-batched
+    # mapInPandas kernels back to back (decode PGM → nearest-neighbor 8×8 →
+    # 4×4 → re-encode → decode again → features). Nearest-neighbor picks
+    # source pixel (2i+1, 2j+1) for output (i, j) (codecs.resize_nearest:
+    # floor((i+0.5)·8/4) = 2i+1), so the oracle reads the exact 16 ascii
+    # positions of the padded text and sums them.
+    def _media_resize(spark, sf_dir):
+        clean = F.rpad(
+            F.regexp_replace(F.substring(F.col("text"), 1, 256), r"[^\x20-\x7e]", ""),
+            64,
+            " ",
+        )
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.encode(F.lit("P5\n8 8\n255\n"), "utf-8"), F.encode(clean, "utf-8")
+            ).alias("content"),
+            F.struct(
+                F.lit("image/x-portable-graymap").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        resized = multimodal.resize_images(media, 4, 4)
+        feats = multimodal.decode_features(resized, decoder="real")
+        return feats.select(
+            "media_id",
+            F.round(F.element_at("features", 1) * 255 * 16).cast("bigint").alias("byte_sum"),
+        )
+
+    _RESIZE_POSITIONS = [i * 8 + j + 1 for i in (1, 3, 5, 7) for j in (1, 3, 5, 7)]
+    add("media_resize_real", _media_resize, f"""
+WITH padded AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 256), '[^ -~]', '', 'g'), 64, ' ') AS p
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(list_sum(list_transform([{', '.join(str(p) for p in _RESIZE_POSITIONS)}],
             i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum
 FROM padded""")
 
