@@ -95,13 +95,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, 2::-1].copy()  # BGR(A) → RGB, drop alpha
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6 → [h, w, 3]) / PGM (P5 → [h, w]) → uint8 array."""
-    magic = payload[:2]
+def _ppm_header(payload: bytes, pos: int = 0) -> tuple[bytes, int, int, int, int]:
+    """Parse one PPM/PGM header at ``pos``: returns (magic, width, height,
+    channels, data_offset). Header = magic, width, height, maxval —
+    whitespace/comment separated, one whitespace before the pixel data."""
+    magic = payload[pos : pos + 2]
     if magic not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM payload")
-    # header: magic, width, height, maxval — whitespace/comment separated
-    pos, fields = 2, []
+    pos, fields = pos + 2, []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -118,8 +119,29 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     channels = 3 if magic == b"P6" else 1
+    return magic, width, height, channels, pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6 → [h, w, 3]) / PGM (P5 → [h, w]) → uint8 array."""
+    _, width, height, channels, pos = _ppm_header(payload)
     arr = np.frombuffer(payload, np.uint8, count=width * height * channels, offset=pos)
     return arr.reshape((height, width, 3) if channels == 3 else (height, width)).copy()
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-PPM/PGM "animation" payload into per-frame
+    blobs — the dependency-free multi-frame container for the frame-sample
+    stage (each frame is self-describing: header + fixed-size pixel data)."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        _, width, height, channels, data_off = _ppm_header(payload, pos)
+        end = data_off + width * height * channels
+        if end > len(payload):
+            raise ValueError("truncated frame in animation payload")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

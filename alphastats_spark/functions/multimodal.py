@@ -8,10 +8,14 @@ per-row).
 Decoder kernels (:mod:`.codecs`) are REAL for every format decodable with
 the standard library + numpy — WAV (8/16/32-bit PCM), BMP (24/32-bit), PPM/
 PGM, and PNG (8-bit, all five scanline filters) — and dispatch on the
-``meta.mime`` column. Entropy-coded formats (JPEG, video containers) stay
-behind an import-try of the optional real libraries. ``decoder="fake"``
-remains for payloads with no parseable format (a deterministic md5-seeded
-vector) and for oracle-comparable tests.
+``meta.mime`` column. The resize stage (:func:`resize_images`) and the
+frame-sampling stage (:func:`sample_frames`, over concatenated-PPM/PGM
+animation payloads) are REAL too — decode → transform → re-encode, all
+three value-hashed by the driver gate. Entropy-coded formats (JPEG, video
+containers) stay behind an import-try of the optional real libraries.
+``decoder="fake"`` remains for payloads with no parseable format (a
+deterministic md5-seeded vector) and for oracle-comparable tests; the
+``*_stub`` variants are metadata-only plumbing kept for API compatibility.
 
 At 100 TB scale the pattern is: keep payloads in their own parquet column
 (column pruning skips them unless needed), ``repartition`` by size-balanced
@@ -76,6 +80,7 @@ def decode_features(
     dim: int = FEATURE_DIM,
     mime_col: str = "meta.mime",
     on_error: str = "raise",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """binary payloads → fixed-size float features via Arrow-batched mapInPandas.
 
@@ -84,19 +89,26 @@ def decode_features(
     raise, or yield a null feature row with ``on_error="null"`` (the
     pipeline-friendly mode: corrupt payloads must not kill a 100 TB job).
     ``decoder="fake"`` keeps the deterministic md5-seeded vector.
+    ``passthrough_cols`` names top-level columns carried through unchanged
+    (e.g. ``frame_idx`` from :func:`sample_frames`, whose id column alone
+    is not unique per row).
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
+    pass_fields = [df.schema[c] for c in passthrough_cols]
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
+            *pass_fields,
             T.StructField("features", T.ArrayType(T.FloatType()), True),
         ]
     )
-    cols = [F.col(id_col), F.col(content_col).alias("__content")]
+    cols = [F.col(id_col)]
+    cols += [F.col(c) for c in passthrough_cols]
+    cols.append(F.col(content_col).alias("__content"))
     if decoder == "real":
         cols.append(F.col(mime_col).alias("__mime"))
 
@@ -117,7 +129,11 @@ def decode_features(
                     if on_error == "raise":
                         raise
                     feats.append(None)
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            out = {id_col: pdf[id_col]}
+            for c in passthrough_cols:
+                out[c] = pdf[c]
+            out["features"] = feats
+            yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(batches, out_schema)
 
@@ -163,6 +179,72 @@ def resize_images(
     return df.select(
         F.col(id_col), F.col(content_col).alias("__content"), F.col("meta.mime").alias("__mime")
     ).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        *MEDIA_SCHEMA.fields[1:],  # content, meta
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every: int = 2,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL frame-sampling stage over concatenated-PPM/PGM animation
+    payloads (the dependency-free multi-frame container): parse the frame
+    boundaries, keep every ``every``-th frame, emit ONE ROW PER SAMPLED
+    FRAME with its standalone image payload and rewritten metadata.
+
+    Same Arrow-batched ``mapInPandas`` shape as the decode/resize stages —
+    this is the row-exploding variant (a batch of n animations yields
+    Σ ceil(frames/every) rows). Downstream stages (:func:`decode_features`,
+    :func:`resize_images`) consume the output unchanged.
+    """
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, contents, metas = [], [], [], []
+            for i in range(len(pdf)):
+                payload = bytes(pdf["__content"].iloc[i] or b"")
+                frames = codecs.split_ppm_frames(payload)
+                for fi in range(0, len(frames), every):
+                    fb = frames[fi]
+                    magic, w, h, _, _ = codecs._ppm_header(fb)
+                    ids.append(pdf[id_col].iloc[i])
+                    idxs.append(fi)
+                    contents.append(fb)
+                    metas.append(
+                        {
+                            "mime": "image/x-portable-pixmap"
+                            if magic == b"P6"
+                            else "image/x-portable-graymap",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "content": pd.Series(contents, dtype="object"),
+                    "meta": pd.Series(metas, dtype="object"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(content_col).alias("__content")
+    ).mapInPandas(batches, FRAME_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -1324,7 +1324,7 @@ _ROUND4_WINDOW = [
     "event_sessionization", "event_session_windows", "event_hourly_counts",
     # (b) new round-4 registrations
     "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
-    "doc_quality_filter", "media_resize_real",
+    "doc_quality_filter", "media_resize_real", "media_frames_real",
     # (c) impl changed after its last green row: corpus_pack_greedy
     # (null-text coalesce + integer-div), the three report queries
     # (metrics() pass orchestration restructured: concurrent
@@ -1355,7 +1355,7 @@ _ROUND4_WINDOW = [
     "win_rate", "profit_factor",
     "gain_to_pain_ratio", "tail_ratio",
     "outlier_win_ratio",
-    "value_at_risk", "cvar",
+    "cvar",
     "max_drawdown", "to_drawdowns", "calmar", "ulcer_index",
     "recovery_factor", "serenity_index", "consecutive_wins",
     "consecutive_losses", "longest_drawdown_days", "avg_drawdown_days",
@@ -2365,6 +2365,53 @@ SELECT doc_id AS media_id,
        CAST(list_sum(list_transform([{', '.join(str(p) for p in _RESIZE_POSITIONS)}],
             i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum
 FROM padded""")
+
+    # REAL frame sampling chained into the REAL decoder: each doc renders a
+    # 4-frame "animation" (concatenated 4×4 P5 frames over successive
+    # 16-char slices of the padded text); sample_frames(every=2) keeps
+    # frames 0 and 2, then decode_features recovers each sampled frame's
+    # exact pixel-byte sum. Three mapInPandas kernels are value-hashed in
+    # one query: container split, per-frame re-emit, decode.
+    def _media_frames(spark, sf_dir):
+        clean = F.rpad(
+            F.regexp_replace(F.substring(F.col("text"), 1, 256), r"[^\x20-\x7e]", ""),
+            64,
+            " ",
+        )
+        header = F.encode(F.lit("P5\n4 4\n255\n"), "utf-8")
+        frames = [
+            F.concat(header, F.encode(F.substring(clean, k * 16 + 1, 16), "utf-8"))
+            for k in range(4)
+        ]
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(*frames).alias("content"),
+            F.struct(
+                F.lit("image/x-portable-graymap").alias("mime"),
+                F.lit(4).alias("width"),
+                F.lit(4).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        sampled = multimodal.sample_frames(media, every=2)
+        feats = multimodal.decode_features(
+            sampled, decoder="real", passthrough_cols=("frame_idx",)
+        )
+        byte_sum = F.round(F.element_at("features", 1) * 255 * 16).cast("bigint")
+        return feats.select("media_id", "frame_idx", byte_sum.alias("byte_sum"))
+
+    add("media_frames_real", _media_frames, """
+WITH padded AS (
+  SELECT doc_id,
+         rpad(regexp_replace(substr(text, 1, 256), '[^ -~]', '', 'g'), 64, ' ') AS p
+  FROM documents
+),
+f AS (SELECT doc_id, p, unnest([0, 2]) AS frame_idx FROM padded)
+SELECT doc_id AS media_id, frame_idx,
+       CAST(list_sum(list_transform(range(1, 17),
+            i -> ascii(substr(p, CAST(frame_idx * 16 + i AS INTEGER), 1)))) AS BIGINT)
+         AS byte_sum
+FROM f""")
 
     # ---- event-stream operators (batch form of the streaming layer) -------
     # epoch-based math throughout so neither engine's session timezone nor

@@ -599,6 +599,51 @@ class TestRealCodecs:
         decoded = codecs.decode_ppm(bytes(row["content"]))
         assert (decoded == codecs.resize_nearest(img, 4, 4)).all()
 
+    def test_split_ppm_frames(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        rng = np.random.RandomState(11)
+        imgs = [rng.randint(0, 256, (4, 4), dtype=np.uint8) for _ in range(3)]
+        payload = b"".join(codecs.encode_ppm(i) for i in imgs)
+        frames = codecs.split_ppm_frames(payload)
+        assert len(frames) == 3
+        for fb, img in zip(frames, imgs):
+            assert (codecs.decode_ppm(fb) == img).all()
+        with pytest.raises(ValueError):
+            codecs.split_ppm_frames(payload[:-3])  # truncated last frame
+
+    def test_spark_sample_frames(self, spark):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs, multimodal
+
+        rng = np.random.RandomState(12)
+        imgs = [rng.randint(0, 256, (4, 4), dtype=np.uint8) for _ in range(5)]
+        payload = b"".join(codecs.encode_ppm(i) for i in imgs)
+        df = spark.createDataFrame(
+            [(7, bytearray(payload), ("animation/x-ppm", 4, 4, None))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        rows = {r["frame_idx"]: r for r in multimodal.sample_frames(df, every=2).collect()}
+        # frames 0, 2, 4 sampled; payload round-trips per frame
+        assert sorted(rows) == [0, 2, 4]
+        for fi, r in rows.items():
+            assert r["media_id"] == 7
+            assert r["meta"]["mime"] == "image/x-portable-graymap"
+            assert (codecs.decode_ppm(bytes(r["content"])) == imgs[fi]).all()
+        # chains into decode_features with the frame index passed through
+        feats = multimodal.decode_features(
+            multimodal.sample_frames(df, every=2),
+            decoder="real",
+            passthrough_cols=("frame_idx",),
+        ).collect()
+        assert {r["frame_idx"] for r in feats} == {0, 2, 4}
+        for r in feats:
+            fi = r["frame_idx"]
+            assert abs(r["features"][0] * 255 - imgs[fi].mean()) < 1e-3
+
 
 class TestCorpusStats:
     def test_term_frequencies(self, spark, docs):
