@@ -945,6 +945,32 @@ class TestPipeline:
         out7 = {r["doc_id"]: r for r in pipeline.pack_documents(df, budget=7).collect()}
         assert out7[2]["pack_id"] == 60 // 7 and out7[2]["pack_offset"] == 60 % 7
 
+    def test_pack_documents_invariants(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (int(i), " ".join(["w"] * int(n)) if n else None)
+            for i, n in enumerate(rng.randint(0, 40, size=60))
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        for budget in (7, 64, 100):
+            out = sorted(
+                pipeline.pack_documents(df, budget=budget).collect(),
+                key=lambda r: r["doc_id"],
+            )
+            cum = 0
+            prev_pack = 0
+            for r in out:
+                # offset in range; pack_id reconstructs the exclusive prefix
+                assert 0 <= r["pack_offset"] < budget
+                assert r["pack_id"] * budget + r["pack_offset"] == cum
+                assert r["pack_id"] >= prev_pack
+                prev_pack = r["pack_id"]
+                cum += r["n_tokens"]
+
     def test_pack_documents_crosses_prefix_buckets(self, spark):
         from alphastats_spark.functions import pipeline
 

@@ -311,3 +311,32 @@ def test_wav_roundtrip_property(n_frames, n_channels, sr):
     assert np.allclose(decoded, samples.astype(np.float64) / 32768.0, atol=1e-9)
     feats = codecs.audio_features(decoded, got_sr)
     assert len(feats) == 16 and all(math.isfinite(f) for f in feats)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    hst.lists(
+        hst.tuples(
+            hst.integers(min_value=1, max_value=6),
+            hst.integers(min_value=1, max_value=6),
+            hst.sampled_from([1, 3]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_split_ppm_frames_roundtrip_property(dims):
+    """Concatenated heterogeneous P5/P6 frames split back bit-for-bit —
+    the frame-sampling container invariant."""
+    from alphastats_spark.functions import codecs
+
+    rng = np.random.RandomState(len(dims) * 7 + sum(h for h, _, _ in dims))
+    imgs = [
+        rng.randint(0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8)
+        for h, w, ch in dims
+    ]
+    payload = b"".join(codecs.encode_ppm(i) for i in imgs)
+    frames = codecs.split_ppm_frames(payload)
+    assert len(frames) == len(imgs)
+    for fb, img in zip(frames, imgs):
+        assert (codecs.decode_ppm(fb) == img).all()
