@@ -2255,7 +2255,7 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
 
     # ---- multimodal plumbing (fake decoder; rows-only) ---------------------
     def _media(spark, sf_dir):
-        media = _docs(spark, sf_dir).select(
+        media = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
             F.col("doc_id").alias("media_id"),
             F.encode(F.col("text"), "utf-8").alias("content"),
             F.struct(
@@ -2281,7 +2281,7 @@ SELECT doc_id AS media_id,
     ((position(substr(md5(text), 1, 1) IN '0123456789abcdef') - 1) * 16
      + position(substr(md5(text), 2, 1) IN '0123456789abcdef') - 1) / 255.0
   AS REAL)::DOUBLE, {ROUND}) AS f0
-FROM documents""")
+FROM documents WHERE text IS NOT NULL""")
 
     # REAL decode path with a value oracle: each document's printable-ASCII
     # prefix becomes an 8×8 PGM (P5) payload; the decoded mean-gray feature
@@ -2294,7 +2294,7 @@ FROM documents""")
             64,
             " ",
         )
-        media = _docs(spark, sf_dir).select(
+        media = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
             F.col("doc_id").alias("media_id"),
             F.concat(
                 F.encode(F.lit("P5\n8 8\n255\n"), "utf-8"), F.encode(clean, "utf-8")
@@ -2316,7 +2316,7 @@ FROM documents""")
 WITH padded AS (
   SELECT doc_id,
          rpad(regexp_replace(substr(text, 1, 256), '[^ -~]', '', 'g'), 64, ' ') AS p
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(range(1, 65),
@@ -2335,7 +2335,7 @@ FROM padded""")
             64,
             " ",
         )
-        media = _docs(spark, sf_dir).select(
+        media = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
             F.col("doc_id").alias("media_id"),
             F.concat(
                 F.encode(F.lit("P5\n8 8\n255\n"), "utf-8"), F.encode(clean, "utf-8")
@@ -2359,7 +2359,7 @@ FROM padded""")
 WITH padded AS (
   SELECT doc_id,
          rpad(regexp_replace(substr(text, 1, 256), '[^ -~]', '', 'g'), 64, ' ') AS p
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id AS media_id,
        CAST(list_sum(list_transform([{', '.join(str(p) for p in _RESIZE_POSITIONS)}],
@@ -2383,7 +2383,7 @@ FROM padded""")
             F.concat(header, F.encode(F.substring(clean, k * 16 + 1, 16), "utf-8"))
             for k in range(4)
         ]
-        media = _docs(spark, sf_dir).select(
+        media = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
             F.col("doc_id").alias("media_id"),
             F.concat(*frames).alias("content"),
             F.struct(
@@ -2404,7 +2404,7 @@ FROM padded""")
 WITH padded AS (
   SELECT doc_id,
          rpad(regexp_replace(substr(text, 1, 256), '[^ -~]', '', 'g'), 64, ' ') AS p
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 f AS (SELECT doc_id, p, unnest([0, 2]) AS frame_idx FROM padded)
 SELECT doc_id AS media_id, frame_idx,
