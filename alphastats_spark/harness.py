@@ -1325,6 +1325,7 @@ _ROUND4_WINDOW = [
     # (b) new round-4 registrations
     "doc_decontaminate", "corpus_source_stats", "ann_knn_join",
     "doc_quality_filter", "media_resize_real", "media_frames_real",
+    "event_hourly_streaming",
     # (c) impl changed after its last green row: corpus_pack_greedy
     # (null-text coalesce + integer-div), the three report queries
     # (metrics() pass orchestration restructured: concurrent
@@ -1354,7 +1355,6 @@ _ROUND4_WINDOW = [
     "expected_return", "skew", "kurtosis", "avg_return",
     "win_rate", "profit_factor",
     "gain_to_pain_ratio", "tail_ratio",
-    "outlier_win_ratio",
     "cvar",
     "max_drawdown", "to_drawdowns", "calmar", "ulcer_index",
     "recovery_factor", "serenity_index", "consecutive_wins",
@@ -2480,6 +2480,61 @@ FROM s GROUP BY user_id, session_id""")
         )
 
     add("event_hourly_counts", _hourly,
+        f"""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
+FROM events GROUP BY 1, 2""")
+
+    # The same hourly rollup through GENUINE Structured Streaming: file
+    # source → watermarked tumbling ``F.window`` aggregation → memory sink.
+    # Complete output mode so every window is emitted at end-of-stream
+    # (append mode would withhold windows the final watermark has not
+    # passed — correct for an unbounded stream, unverifiable for a bounded
+    # gate); state = one row per (hour, type), bounded at gate scale. The
+    # watermark is still set — the production append path relies on it.
+    def _stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        ev = _events(spark, sf_dir)
+        # watermarks demand TIMESTAMP (not NTZ): build the instant from the
+        # tz-independent epoch-µs, so the UTC instant equals the naive
+        # value and every downstream bucket matches the oracle whatever
+        # spark.sql.session.timeZone is
+        ev = ev.select(
+            F.col("event_type"),
+            F.timestamp_micros(_event_us(ev)).alias("ts"),
+            F.col("value"),
+        )
+        src = tempfile.mkdtemp(prefix="as_stream_hr_")
+        ev.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        name = f"stream_hr_{uuid.uuid4().hex[:8]}"
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), ROUND).alias("total_value"),
+            )
+        )
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(600)
+        return spark.table(name).select(
+            (F.expr("unix_micros(w.start)") / F.lit(3600_000_000))
+            .cast("bigint")
+            .alias("hour_bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+
+    add("event_hourly_streaming", _stream_hourly,
         f"""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
 FROM events GROUP BY 1, 2""")
