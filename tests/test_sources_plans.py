@@ -343,3 +343,32 @@ def test_trailing_metrics_keyed_matches_per_key_runs(spark):
         for d, vals in want.items():
             assert got[(key, d)][1] == vals[1], (key, d)
             assert got[(key, d)][0] == pytest.approx(vals[0], rel=1e-12), (key, d)
+
+
+def test_audit_round4_operators(spark):
+    """Plan-audit guardrails for the round-4 operators: no single-partition
+    funnels, no row UDFs, no nested-loop joins anywhere. decontaminate's
+    eval-set carve-out (doc_id % 40 == 7) is a modulo predicate parquet
+    cannot push, so its scan legitimately reports no pushed filters —
+    everything else must be fully clean."""
+    import os
+
+    path = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{path}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    from alphastats_spark import plans
+    from alphastats_spark.functions import pipeline, similarity
+
+    docs = spark.read.parquet(f"{path}/documents.parquet")
+    emb = spark.read.parquet(f"{path}/embeddings.parquet")
+
+    assert plans.audit(pipeline.quality_filter(docs)) == []
+    assert plans.audit(pipeline.source_stats(docs)) == []
+    assert plans.audit(similarity.knn_join(emb, k=5, n_planes=3, n_tables=2)) == []
+    kinds = {
+        f.kind
+        for f in plans.audit(
+            pipeline.decontaminate(docs, docs.where(F.col("doc_id") % 40 == 7), n=3)
+        )
+    }
+    assert kinds <= {"unfiltered-scan"}
