@@ -168,6 +168,7 @@ def knn_join(
     seed: int = 42,
     n_tables: int = 2,
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate k-nearest-neighbour SELF-join: for every vector, its
     top-``k`` cosine neighbours among vectors sharing an LSH bucket in any
@@ -184,7 +185,15 @@ def knn_join(
     window PARTITIONED BY query id (parallel across vectors, no global
     sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`;
     pick ``n_planes`` ∝ log₂(corpus) to keep buckets bounded.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    per table: the query side EXPLODES to its bucket plus ``n_planes``
+    single-bit flips and equi-joins the unexploded side — the standard
+    recall lever when adding whole tables (another shuffle each) is more
+    expensive than ×(planes+1) candidate rows within one.
     """
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1")
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
 
@@ -199,12 +208,26 @@ def knn_join(
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + t)
         with_b = base.withColumn("__b", bucket_expr(F.col("__v"), planes))
-        left = with_b.select(
-            F.col("__b"),
-            F.col("__id").alias("qid"),
-            F.col("__v").alias("qv"),
-            F.col("__nrm").alias("qn"),
-        )
+        if multiprobe:
+            probe_buckets = F.array(
+                F.col("__b"),
+                *[
+                    F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+                ],
+            )
+            left = with_b.select(
+                F.explode(probe_buckets).alias("__b"),
+                F.col("__id").alias("qid"),
+                F.col("__v").alias("qv"),
+                F.col("__nrm").alias("qn"),
+            )
+        else:
+            left = with_b.select(
+                F.col("__b"),
+                F.col("__id").alias("qid"),
+                F.col("__v").alias("qv"),
+                F.col("__nrm").alias("qn"),
+            )
         right = with_b.select(
             F.col("__b"),
             F.col("__id").alias("nid"),

@@ -1758,12 +1758,16 @@ WHERE ivf_list IN ({", ".join(str(p) for p in probes)})
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
-def _knn_join_sql(k: int, n_planes: int, seed: int = 42, n_tables: int = 2) -> str:
+def _knn_join_sql(
+    k: int, n_planes: int, seed: int = 42, n_tables: int = 2, multiprobe: int = 0
+) -> str:
     """Oracle for similarity.knn_join: per-vector top-k within shared LSH
     buckets. Each table's sign-bit bucket is recomputed in SQL from the
     SAME literal hyperplanes the Spark plan ships; a pair is a candidate
-    when the buckets agree in ANY table; DISTINCT collapses multi-table
-    hits (identical rounded cosine by construction)."""
+    when the buckets agree in ANY table (``multiprobe=1``: differ by at
+    most one sign bit — ``bit_count(xor(...)) <= 1`` mirrors the Spark
+    side's exploded single-bit-flip probe set); DISTINCT collapses
+    multi-table hits (identical rounded cosine by construction)."""
     from alphastats_spark.functions import similarity
 
     bucket_cols = []
@@ -1771,7 +1775,10 @@ def _knn_join_sql(k: int, n_planes: int, seed: int = 42, n_tables: int = 2) -> s
     for t in range(n_tables):
         planes = similarity.hyperplanes(_EMB_DIM, n_planes, seed + t)
         bucket_cols.append(f"{_bucket_sql('e', planes)} AS b{t}")
-        join_conds.append(f"a.b{t} = c.b{t}")
+        if multiprobe:
+            join_conds.append(f"bit_count(xor(a.b{t}, c.b{t})) <= 1")
+        else:
+            join_conds.append(f"a.b{t} = c.b{t}")
     any_table = " OR ".join(join_conds)
     return f"""
 WITH v AS (
@@ -2737,17 +2744,20 @@ SELECT source, COUNT(*) AS n_docs,
 FROM t GROUP BY source""")
 
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
-    # among bucket-mates in any of 8 independent LSH tables. Parameters are
-    # corpus-relative (calibrated on the 500-vector gate corpus: 3 planes ×
-    # 8 tables → recall@5 = 0.86-0.87 vs exact, pinned in
-    # tests/test_functions.py; 6 planes × 2 tables measured 0.08 — these
-    # weakly-clustered vectors need coarse buckets). At 10^9+ vectors use
-    # 16-20 planes so each table's buckets stay bounded; recall then comes
-    # from the table count, exactly as in ann_lsh_topk.
+    # among radius-1 bucket-mates in either of 2 independent LSH tables.
+    # Parameters are corpus-relative, calibrated on the 500-vector gate
+    # corpus: 3 planes × 2 tables × multiprobe-1 → recall@5 = 0.89 vs
+    # exact (pinned in tests/test_functions.py) — BEATING 8 tables at
+    # radius 0 (0.87) with a quarter of the shuffles; 6 planes × 2 tables
+    # radius 0 measured 0.08 (weakly-clustered vectors need coarse
+    # buckets). At 10^9+ vectors use 16-20 planes so each table's buckets
+    # stay bounded; recall then comes from tables × probe radius, exactly
+    # as in ann_lsh_topk.
     add("ann_knn_join",
         lambda spark, sf_dir: similarity.knn_join(
-            _embs(spark, sf_dir), k=5, n_planes=3, seed=42, n_tables=8),
-        _knn_join_sql(k=5, n_planes=3, seed=42, n_tables=8))
+            _embs(spark, sf_dir), k=5, n_planes=3, seed=42, n_tables=2,
+            multiprobe=1),
+        _knn_join_sql(k=5, n_planes=3, seed=42, n_tables=2, multiprobe=1))
 
 
 def _stop_list() -> str:

@@ -341,11 +341,13 @@ def test_ann_recall_at_k(spark):
 
 def test_knn_join_recall(spark):
     """Mean recall@5 of the LSH kNN self-join vs exact per-vector top-5 on
-    the driver embeddings, at the GATE parameters (3 planes × 8 tables —
-    measured 0.87; 0.08 at 6 planes × 2 tables, which is why the gate uses
-    coarse buckets on this weakly-clustered corpus). Seeded + fixed data →
-    deterministic; pinned below the measurement so an index regression
-    fails here. Also guards that more tables never lowers recall."""
+    the driver embeddings, at the GATE parameters (3 planes × 2 tables ×
+    multiprobe radius 1 — measured 0.89, beating 8 radius-0 tables at a
+    quarter of the shuffles; 0.08 at 6 planes × 2 tables radius 0, which
+    is why the gate uses coarse buckets on this weakly-clustered corpus).
+    Seeded + fixed data → deterministic; pinned below the measurement so
+    an index regression fails here. Also guards that the multiprobe lever
+    actually lifts recall over the same tables at radius 0."""
     import os
 
     import numpy as np
@@ -366,17 +368,17 @@ def test_knn_join_recall(spark):
 
     emb = spark.read.parquet(path)
 
-    def mean_recall(n_tables):
+    def mean_recall(**kw):
         got = {}
-        rows = similarity.knn_join(emb, k=k, n_planes=3, seed=42, n_tables=n_tables)
+        rows = similarity.knn_join(emb, k=k, n_planes=3, seed=42, **kw)
         for r in rows.collect():
             got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
         return float(np.mean([len(got.get(v, set()) & exact[v]) / k for v in exact]))
 
-    r8 = mean_recall(8)
-    assert r8 >= 0.8, f"kNN-join gate recall@5 {r8:.2f} below pin"
-    r4 = mean_recall(4)
-    assert r8 >= r4, "raising n_tables must not lower recall"
+    gate = mean_recall(n_tables=2, multiprobe=1)
+    assert gate >= 0.8, f"kNN-join gate recall@5 {gate:.2f} below pin"
+    r0 = mean_recall(n_tables=2)
+    assert gate > r0, "multiprobe must lift recall over radius 0"
 
 
 def test_embedding_lsh_gate_recall(spark):
