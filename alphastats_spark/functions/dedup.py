@@ -305,7 +305,7 @@ def embedding_near_dup_pairs_lsh(
     from alphastats_spark.functions import similarity
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = similarity.infer_dim(df, vec_col)
     vecs = _prepared_vectors(df, id_col, vec_col)
 
     tables = []

@@ -30,6 +30,19 @@ def _norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row — a driver job, so
+    callers that know ``dim`` should pass it. Raises a clear error on an
+    empty frame or a null first vector instead of a bare ``TypeError``."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from '{vec_col}': empty input or "
+            "null first vector; pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def cosine_similarity(vec: Column, query: list[float]) -> Column:
     """Cosine similarity against a literal query vector (JVM-side)."""
     q = F.array(*[F.lit(float(x)) for x in query])
@@ -82,7 +95,7 @@ def lsh_buckets(
 ) -> DataFrame:
     """Attach the LSH bucket id; downstream joins group by it."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = infer_dim(df, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
     return df.withColumn("lsh_bucket", bucket_expr(F.col(vec_col), planes))
 
@@ -195,7 +208,7 @@ def knn_join(
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 or 1")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = infer_dim(df, vec_col)
 
     norm = _norm(_as_double(F.col(vec_col)))
     base = df.select(

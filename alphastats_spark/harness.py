@@ -1341,7 +1341,7 @@ _ROUND4_WINDOW = [
     "smart_adjusted_sortino",
     # keyed episode fusion (peak-pos island ids in the long-frame path)
     "multi_asset_metrics_long",
-    # (d) the r1-only block — stalest green rows in the registry. 29 of
+    # (d) the r1-only block — stalest green rows in the registry. 25 of
     # 43 names; every displaced name is a pure COMPOSITION whose machinery
     # is fully exercised by remaining in-window names (cagr_simple~cagr,
     # sharpe_rf~sharpe, adjusted_sortino~sortino,
@@ -1437,6 +1437,21 @@ _ROUND2_WINDOW = [
 # streaming surface (batch-checkable semantics)
 
 
+def _await_stream(sq, src: str) -> None:
+    """Block until an ``availableNow`` gate stream finishes. Raises on
+    timeout instead of letting the caller read a partially populated
+    memory-sink table (a confusing hash mismatch), and removes the parquet
+    staging dir either way."""
+    import shutil
+
+    try:
+        if not sq.awaitTermination(600):
+            sq.stop()
+            raise TimeoutError("streaming gate query did not terminate within 600s")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def _add_streaming(add) -> None:
     """Streaming operators exposed through the correctness gate.
 
@@ -1466,7 +1481,7 @@ def _add_streaming(add) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(600)
+        _await_stream(sq, src)
         return _round_df(
             spark.table(name).select(
                 F.col("d").cast("string").alias("d"), F.col("r_dd").alias("dd")
@@ -1509,7 +1524,7 @@ def _add_streaming(add) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(600)
+        _await_stream(sq, src)
         return _round_df(
             spark.table(name).select(
                 "asset", F.col("d").cast("string").alias("d"), F.col("r_dd").alias("dd")
@@ -2043,7 +2058,7 @@ GROUP BY 1, 2""")
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(600)
+        _await_stream(sq, src)
         return spark.table(name).select("id_a", "id_b").distinct()
 
     add("dedup_streaming_candidates", _stream_dedup, _SHINGLE_CTE + f""",
@@ -2531,7 +2546,7 @@ FROM events GROUP BY 1, 2""")
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(600)
+        _await_stream(sq, src)
         return spark.table(name).select(
             (F.expr("unix_micros(w.start)") / F.lit(3600_000_000))
             .cast("bigint")

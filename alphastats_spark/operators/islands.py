@@ -82,10 +82,16 @@ def drawdown_episode_stats(
     The episode id comes for free from the drawdown machinery itself: the
     running peak's ORDER_COL position is constant within an episode and
     changes exactly when a new peak is set (equal-wealth retraces break to
-    the later position — same boundary as the dd<0-run definition). No
-    separate gaps-and-islands prefix pass is needed, and no persist either:
-    every remaining pass's broadcast branch shares the main branch's
-    shuffle Exchange via ReuseExchange.
+    the later position), and the struct's null counter splits two dd<0 runs
+    separated by a null-return row — together the same boundary as the
+    reference's ``value is not None and value < 0`` run definition
+    (``stats.py:1585``), which the legacy island-sum fallback below also
+    implements (null dd falls through to the run-breaking branch). No
+    separate gaps-and-islands prefix pass is needed, and no caller-side
+    persist either: each prefix pass persists its own windowed frame so
+    both its branches read one materialization (see
+    ``ordered.add_prefix_columns`` for why ReuseExchange cannot be relied
+    on).
     """
     if dd_cols is None:
         df = ordered.add_drawdown_columns(

@@ -57,7 +57,10 @@ def add_prefix_columns_keyed(
     )
     within_cols = [F.sum(col).over(w).alias(f"{out}__in") for out, col in sums.items()]
     within_cols += [F.max(col).over(w).alias(f"{out}__in") for out, col in maxes.items()]
-    df = df.select("*", *within_cols)
+    # persisted for the same single-execution reason as the keyless
+    # ordered.add_prefix_columns: the offsets branch below re-consumes this
+    # frame, and column pruning defeats ReuseExchange between the branches
+    df = df.select("*", *within_cols).persist()
 
     aggs = [F.sum(col).alias(out) for out, col in sums.items()]
     aggs += [F.max(col).alias(out) for out, col in maxes.items()]
@@ -91,16 +94,21 @@ def add_drawdown_columns_keyed(
     :func:`ordered.add_drawdown_columns` (log-space prefix sums with
     sign/zero tracking, then a prefix max).
 
-    ``with_peak_pos=True`` emits ``{out}__pos`` — the per-key ORDER_COL
-    position of the current running peak, from the same prefix pass
-    (``struct(wealth, order)`` running max; equal-wealth ties break to the
-    later position) — a ready-made per-key drawdown-episode id."""
+    ``with_peak_pos=True`` emits ``{out}__pos`` — a struct of (per-key
+    running-peak ORDER_COL position, per-key nulls-so-far), from the same
+    prefix passes (``struct(wealth, order)`` running max; equal-wealth ties
+    break to the later position; the null counter splits episodes at null
+    rows, matching the reference's ``value is not None and value < 0``
+    episode boundary, ``stats.py:1585``) — a ready-made per-key
+    drawdown-episode id."""
     sums: dict[str, Column] = {}
     for out, src in cols.items():
         factor = F.col(src).cast("double") + 1
         sums[f"{out}__ls"] = F.when(factor == 0, F.lit(0.0)).otherwise(F.log(F.abs(factor)))
         sums[f"{out}__neg"] = (factor < 0).cast("long")
         sums[f"{out}__zero"] = (factor == 0).cast("long")
+        if with_peak_pos:
+            sums[f"{out}__nn"] = F.col(src).isNull().cast("long")
     df = add_prefix_columns_keyed(df, key_cols, sums=sums)
 
     wealth_cols = []
@@ -143,7 +151,12 @@ def add_drawdown_columns_keyed(
         )
         dd_cols.append(dd.alias(out))
         if with_peak_pos:
-            dd_cols.append(F.col(f"{out}__pk").getField("p").alias(f"{out}__pos"))
+            dd_cols.append(
+                F.struct(
+                    F.col(f"{out}__pk").getField("p").alias("p"),
+                    F.coalesce(F.col(f"{out}__nn"), F.lit(0)).alias("n"),
+                ).alias(f"{out}__pos")
+            )
     helper = [
         c
         for c in df.columns
@@ -153,6 +166,7 @@ def add_drawdown_columns_keyed(
         or c.endswith("__w")
         or c.endswith("__peak")
         or c.endswith("__pk")
+        or c.endswith("__nn")
     ]
     return df.select(*[c for c in df.columns if c not in helper], *dd_cols)
 

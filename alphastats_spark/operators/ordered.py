@@ -98,16 +98,21 @@ def add_prefix_columns(
         within_cols.append(F.sum(col).over(w).alias(f"{out}__in"))
     for out, col in maxes.items():
         within_cols.append(F.max(col).over(w).alias(f"{out}__in"))
-    df = df.select("*", *within_cols)
+    df = df.select("*", *within_cols).persist()
 
-    # Bucket totals come FROM the windowed frame, not the source: the
-    # within-bucket running aggregate at a bucket's LAST row IS the bucket
-    # total (window aggregates skip nulls, so this holds with nulls too; an
-    # all-null bucket yields null either way). This makes the broadcast
-    # branch's plan share the exact shuffle Exchange of the main branch, so
-    # Catalyst's ReuseExchange executes the upstream lineage ONCE — without
-    # it, each prefix pass re-ran the whole input plan (or forced callers to
-    # persist+count, an extra materialization job per pass).
+    # Bucket totals come FROM the windowed frame: the within-bucket running
+    # aggregate at a bucket's LAST row IS the bucket total (window
+    # aggregates skip nulls, so this holds with nulls too; an all-null
+    # bucket yields null either way). The windowed frame is persist()ed —
+    # no count() job; the offsets branch materializes the cache as a side
+    # effect of its broadcast job and the main branch then reads it — so
+    # the upstream lineage executes ONCE per pass. Catalyst's ReuseExchange
+    # can NOT be relied on here: column pruning gives the offsets branch a
+    # narrower projection under its Exchange than the main branch keeps, so
+    # the two never canonicalize equal and each branch would re-execute the
+    # full input plan (fatal for chained passes, and for the keyless
+    # monotonically_increasing_id order, where re-execution has nothing
+    # pinning row ids). Pinned by tests/test_sources_plans.py.
     aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in sums]
     aggs += [F.max(F.col(f"{out}__in")).alias(out) for out in maxes]
     bucket_totals = df.groupBy(BUCKET_COL).agg(*aggs)
@@ -138,11 +143,12 @@ def add_ffill_columns(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     within_cols = [F.last(col, ignorenulls=True).over(w).alias(f"{out}__in") for out, col in cols.items()]
-    df = df.select("*", *within_cols)
+    df = df.select("*", *within_cols).persist()
 
     # Bucket-last from the windowed frame (within-ffill at the bucket's last
-    # row = last non-null in the bucket) — shares the main branch's shuffle
-    # Exchange via ReuseExchange, like add_prefix_columns.
+    # row = last non-null in the bucket) — persisted so both branches read
+    # one materialization (see add_prefix_columns for why ReuseExchange
+    # cannot be relied on).
     aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in cols]
     bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
     wb = _bucket_prefix_window()
@@ -163,7 +169,9 @@ def add_lag_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     ``cols`` maps output name → source column *name*.
     """
     w = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
-    df = df.select("*", *[F.lag(src).over(w).alias(f"{out}__in") for out, src in cols.items()])
+    df = df.select(
+        "*", *[F.lag(src).over(w).alias(f"{out}__in") for out, src in cols.items()]
+    ).persist()
 
     aggs = [F.max_by(F.col(src), F.col(ORDER_COL)).alias(out) for out, src in cols.items()]
     bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
@@ -199,14 +207,17 @@ def add_drawdown_columns(
     Null returns produce null drawdowns and are skipped by the running
     product/max, exactly like Polars' null-skipping cumulative ops.
 
-    ``with_peak_pos=True`` additionally emits ``{out}__pos`` — the ORDER_COL
-    position where the current running peak was set — from the SAME prefix
-    pass (the running max tracks ``struct(wealth, order)``; Spark's struct
-    ordering breaks equal-wealth ties to the LATER position, so a wealth
-    path that exactly retraces its old peak starts a new position there).
-    That column is a ready-made drawdown-episode id: rows with dd<0 share
-    one ``__pos`` per episode, letting episode stats skip their own island
-    prefix pass entirely.
+    ``with_peak_pos=True`` additionally emits ``{out}__pos`` — a struct of
+    (peak position, nulls-so-far) computed in the SAME prefix passes (the
+    running max tracks ``struct(wealth, order)``; Spark's struct ordering
+    breaks equal-wealth ties to the LATER position, so a wealth path that
+    exactly retraces its old peak starts a new position there; the null
+    counter splits runs separated by a null-return row, because the
+    reference ends an episode at any row whose drawdown is not ``< 0`` —
+    ``value is not None and value < 0``, ``stats.py:1585`` — and a null row
+    never advances the running peak). That column is a ready-made
+    drawdown-episode id: rows with dd<0 share one ``__pos`` per episode,
+    letting episode stats skip their own island prefix pass entirely.
     """
     sums: dict[str, Column] = {}
     for out, src in cols.items():
@@ -214,6 +225,8 @@ def add_drawdown_columns(
         sums[f"{out}__ls"] = F.when(factor == 0, F.lit(0.0)).otherwise(F.log(F.abs(factor)))
         sums[f"{out}__neg"] = (factor < 0).cast("long")
         sums[f"{out}__zero"] = (factor == 0).cast("long")
+        if with_peak_pos:
+            sums[f"{out}__nn"] = F.col(src).isNull().cast("long")
     df = add_prefix_columns(df, sums=sums)
 
     wealth_cols = []
@@ -257,7 +270,12 @@ def add_drawdown_columns(
         )
         dd_cols.append(dd.alias(out))
         if with_peak_pos:
-            dd_cols.append(F.col(f"{out}__pk").getField("p").alias(f"{out}__pos"))
+            dd_cols.append(
+                F.struct(
+                    F.col(f"{out}__pk").getField("p").alias("p"),
+                    F.coalesce(F.col(f"{out}__nn"), F.lit(0)).alias("n"),
+                ).alias(f"{out}__pos")
+            )
     helper = [
         c
         for c in df.columns
@@ -267,6 +285,7 @@ def add_drawdown_columns(
         or c.endswith("__w")
         or c.endswith("__peak")
         or c.endswith("__pk")
+        or c.endswith("__nn")
     ]
     return df.select(*[c for c in df.columns if c not in helper], *dd_cols)
 

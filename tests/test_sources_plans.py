@@ -345,6 +345,37 @@ def test_trailing_metrics_keyed_matches_per_key_runs(spark):
             assert got[(key, d)][0] == pytest.approx(vals[0], rel=1e-12), (key, d)
 
 
+def test_prefix_pass_single_execution(spark):
+    """The prefix machinery's offsets branch must read the SAME
+    materialization as the main branch — ReuseExchange cannot be relied on
+    (column pruning gives the offsets branch a narrower projection under
+    its Exchange, so the two never canonicalize equal), so the windowed
+    frame is persist()ed inside each pass. Regression-pin that the cache is
+    actually wired into both branches: without it, the keyless
+    monotonically_increasing_id path re-executes an unpinned lineage per
+    branch and the one-scan cost model silently regresses to
+    scan-per-pass."""
+    from alphastats_spark.operators import ordered
+    from alphastats_spark.plans.audit import explain_string
+
+    df = spark.range(0, 10_000, 1, 4).selectExpr("cast(id as double) / 1e6 as r")
+
+    # keyless (mono-id) path: correctness, not just cost, needs the pin
+    out = ordered.add_prefix_columns(
+        ordered.with_order(df, None), sums={"__s": F.col("r")}
+    )
+    plan = explain_string(out, "simple")
+    # one InMemoryRelation feeding ≥2 scans: main branch + offsets branch
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+    # chained passes (the drawdown shape): every pass pins its frame
+    dd = ordered.add_drawdown_columns(
+        ordered.with_order(df, None), {"dd": "r"}, with_peak_pos=True
+    )
+    plan = explain_string(dd, "simple")
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
 def test_audit_round4_operators(spark):
     """Plan-audit guardrails for the round-4 operators: no single-partition
     funnels, no row UDFs, no nested-loop joins anywhere. decontaminate's

@@ -322,6 +322,48 @@ class TestDrawdownEpisodes:
         assert one_row(stats.longest_drawdown_days(df))["asset"] == 2
         assert one_row(stats.avg_drawdown_days(df))["asset"] == approx(2.0)
 
+    def test_episode_null_breaks(self, spark):
+        """A null return mid-drawdown ends the episode (reference
+        ``stats.py:1585``: ``value is not None and value < 0``) — the fused
+        peak-pos path, the legacy island-sum fallback, and the keyed path
+        must all split the two dd<0 runs around the null row."""
+        import datetime as dt
+
+        from alphastats_spark.operators import islands, keyed, ordered
+
+        dates = [dt.date(2023, 1, i) for i in range(1, 10)]
+        vals = [0.02, -0.01, -0.02, None, -0.01, -0.01, 0.06, -0.02, 0.01]
+        df = spark.createDataFrame(list(zip(dates, vals)), "date date, asset double")
+
+        # three 2-day episodes (Jan2-3, Jan5-6, Jan8-9); a merged null-run
+        # would instead report a 5-day longest (Jan2-6)
+        assert one_row(stats.longest_drawdown_days(df))["asset"] == 2
+        assert one_row(stats.avg_drawdown_days(df))["asset"] == approx(2.0)
+
+        # legacy island fallback (externally supplied dd, no pos columns)
+        # agrees with the fused path on the same frame
+        odf = ordered.with_order(df, "date")
+        odf = ordered.add_drawdown_columns(odf, {"__dd_asset": "asset"})
+        legacy = islands.drawdown_episode_stats(
+            odf, ["asset"], "date", dd_cols={"asset": "__dd_asset"}
+        )
+        assert legacy["asset"]["longest_days"] == 2
+        assert legacy["asset"]["avg_days"] == approx(2.0)
+
+        # keyed path: same series under one key, peak-pos episode ids
+        long_rows = [("k", d, v) for d, v in zip(dates, vals)]
+        ldf = spark.createDataFrame(long_rows, "key string, date date, value double")
+        ldf = keyed.with_order_keyed(ldf, "date", ["key"])
+        ldf = keyed.add_drawdown_columns_keyed(
+            ldf, ["key"], {"__dd": "value"}, with_peak_pos=True
+        )
+        got = keyed.episode_stats_keyed(
+            ldf, ["key"], "__dd", length_mode="days",
+            temporal_name="date", pos_col="__dd__pos",
+        ).first()
+        assert got["longest_days"] == 2
+        assert got["avg_days"] == approx(2.0)
+
     def test_ulcer(self, spark, simple_returns_series):
         dd = [0.0, -0.020000000000000018, 0.0, -0.01000000000000012, 0.0]
         expected = math.sqrt(sum(d * d for d in dd) / (len(dd) - 1))
