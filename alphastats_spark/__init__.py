@@ -23,6 +23,7 @@ from alphastats_spark import (
     streaming,
 )
 from alphastats_spark.session import build_session
+from alphastats_spark.operators.ordered import release_pass_caches
 from alphastats_spark.exceptions import (
     AlphaStatsError,
     AmbiguousBenchmarkReturnsError,
@@ -42,6 +43,7 @@ __all__ = [
     "streaming",
     "plans",
     "functions",
+    "release_pass_caches",
     "AlphaStatsError",
     "AmbiguousBenchmarkReturnsError",
     "MultipleTemporalColumnsError",

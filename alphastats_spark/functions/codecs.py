@@ -14,9 +14,14 @@ codec dependencies:
   per-pixel loop — acceptable inside an Arrow-batched kernel, and most
   encoders emit None/Sub/Up for the synthetic data these pipelines carry.
 
-JPEG and video containers stay behind an import-try of the optional real
-libraries (``pillow`` etc.) — entropy-coded formats are out of scope for a
-dependency-free kernel.
+* **JPEG** (``image/jpeg``) — baseline sequential DCT: huffman tables read
+  from the file, numpy dequant + matrix IDCT, grayscale/YCbCr with any
+  integer sampling factors and restart intervals (progressive and
+  arithmetic coding raise). A matching 4:4:4 encoder exists for fixture
+  generation.
+
+Video containers stay behind an import-try of the optional real libraries
+(``pillow`` etc.).
 
 Everything here is driver-independent pure functions over ``bytes`` so the
 Spark layer (:mod:`.multimodal`) can call them inside ``mapInPandas``
@@ -34,6 +39,7 @@ import numpy as np
 SUPPORTED_IMAGE_MIMES = {
     "image/bmp",
     "image/png",
+    "image/jpeg",
     "image/x-portable-pixmap",
     "image/x-portable-graymap",
 }
@@ -263,14 +269,16 @@ def decode_image(payload: bytes, mime: str) -> np.ndarray:
         return decode_png(payload)
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
         return decode_ppm(payload)
-    try:  # optional real library for entropy-coded formats
+    if mime == "image/jpeg":
+        return decode_jpeg(payload)
+    try:  # optional real library for formats beyond the built-in kernels
         from PIL import Image  # type: ignore[import-not-found]
 
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError:
         raise ValueError(
             f"unsupported image mime {mime!r}; dependency-free codecs cover "
-            f"{sorted(SUPPORTED_IMAGE_MIMES)} (install pillow for JPEG etc.)"
+            f"{sorted(SUPPORTED_IMAGE_MIMES)} (install pillow for WEBP etc.)"
         ) from None
 
 
@@ -280,6 +288,410 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.clip(((np.arange(height) + 0.5) * h / height).astype(np.int64), 0, h - 1)
     xs = np.clip(((np.arange(width) + 0.5) * w / width).astype(np.int64), 0, w - 1)
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU T.81), dependency-free
+#
+# Entropy-coded but still tractable without native libraries: huffman
+# tables are read from the file's DHT segments, blocks are huffman-decoded
+# in Python (small fixed alphabets), and dequant + 2-D IDCT are numpy
+# matrix products. Supported: 8-bit baseline (SOF0), grayscale and YCbCr,
+# arbitrary integer sampling factors (replication upsampling), restart
+# intervals. Not supported (raises): progressive (SOF2), arithmetic
+# coding, 12-bit precision.
+#
+# The encoder emits 4:4:4 baseline with the Annex-K huffman tables and —
+# by default — an all-ones quantization table: for smooth content the
+# DCT→quant→IDCT roundtrip is then within ±1/LSB, and for CONSTANT blocks
+# it is bit-exact (only the integer DC coefficient is non-zero), which is
+# what lets a driver gate query check real JPEG decode against a SQL
+# oracle.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 typical huffman tables (luminance set; the encoder uses them
+# for every component, which is legal — components just reference table 0)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_basis() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT_C = _dct_basis()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment: symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Decoder-side map: (length, code) → symbol."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over UNSTUFFED entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 array (H, W) grayscale or (H, W, 3) RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    i = 2
+    scan: bytes | None = None
+    scan_comps: list[dict] = []
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                if pq:
+                    tbl = np.frombuffer(seg[j + 1 : j + 129], dtype=">u2").astype(np.int64)
+                    j += 129
+                else:
+                    tbl = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int64)
+                    j += 65
+                nat = np.empty(64, dtype=np.int64)
+                nat[_ZIGZAG] = tbl
+                qt[tq] = nat.reshape(8, 8)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext. seq.)
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nf = seg[5]
+            comps = []
+            for k in range(nf):
+                cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_lookup(bits, vals)
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows the segment
+            ns = seg[0]
+            scan_comps = []
+            for k in range(ns):
+                cs, tda = seg[1 + 2 * k : 3 + 2 * k]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append({**comp, "td": tda >> 4, "ta": tda & 0xF})
+            j = i + 2 + seg_len
+            start = j
+            while j < len(payload) - 1:
+                if payload[j] == 0xFF and payload[j + 1] not in (0x00,) and not (
+                    0xD0 <= payload[j + 1] <= 0xD7
+                ):
+                    break
+                j += 1
+            scan = payload[start:j]
+            i = j
+            continue
+        i += 2 + seg_len
+    if scan is None or not comps:
+        raise ValueError("JPEG missing SOS/SOF")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # split on restart markers; unstuff 0xFF00 within each interval
+    intervals = []
+    j = 0
+    cur_start = 0
+    while j < len(scan) - 1:
+        if scan[j] == 0xFF and 0xD0 <= scan[j + 1] <= 0xD7:
+            intervals.append(scan[cur_start:j])
+            cur_start = j + 2
+            j += 2
+        else:
+            j += 1
+    intervals.append(scan[cur_start:])
+    intervals = [iv.replace(b"\xff\x00", b"\xff") for iv in intervals]
+
+    planes = {
+        ci: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for ci, c in enumerate(scan_comps)
+    }
+    pred = [0] * len(scan_comps)
+    reader = _BitReader(intervals[0])
+    interval_idx = 0
+    mcu_in_interval = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_interval == restart_interval:
+                interval_idx += 1
+                reader = _BitReader(intervals[interval_idx])
+                pred = [0] * len(scan_comps)
+                mcu_in_interval = 0
+            for ci, c in enumerate(scan_comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = reader.read_symbol(huff[(0, c["td"])])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(huff[(1, c["ta"])])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index out of range")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        nat = np.empty(64, dtype=np.int64)
+                        nat[_ZIGZAG] = zz
+                        block = nat.reshape(8, 8) * qt[c["tq"]]
+                        px = _DCT_C.T @ block @ _DCT_C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_in_interval += 1
+
+    # upsample to full resolution and crop
+    full = []
+    for ci, c in enumerate(scan_comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Baseline 4:4:4 JPEG encoder (grayscale or RGB uint8 input).
+
+    ``quant`` is an 8×8 table in natural order; the default all-ones table
+    makes the roundtrip near-lossless (bit-exact for constant blocks —
+    only the integer DC survives the DCT)."""
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int64)
+    quant = quant.astype(np.int64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ncomp = 1 if gray else 3
+    if not gray:
+        px = img.astype(np.float64)
+        y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        cb = -0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2] + 128.0
+        cr = 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2] + 128.0
+        channels = [y, cb, cr]
+    else:
+        channels = [img.astype(np.float64)]
+
+    # pad to 8×8 multiples by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    channels = [
+        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in channels
+    ]
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(ncomp):
+                block = channels[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_C @ block @ _DCT_C.T
+                q = np.rint(coef / quant).astype(np.int64)
+                zz = q.reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = int(abs(diff)).bit_length()
+                code, ln = dc_codes[size]
+                wtr.write(code, ln)
+                if size:
+                    bits = diff if diff > 0 else diff + (1 << size) - 1
+                    wtr.write(bits, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if k > last_nz:
+                        code, ln = ac_codes[0x00]  # EOB
+                        wtr.write(code, ln)
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        wtr.write(code, ln)
+                        run -= 16
+                    size = int(abs(v)).bit_length()
+                    code, ln = ac_codes[(run << 4) | size]
+                    wtr.write(code, ln)
+                    bits = v if v > 0 else v + (1 << size) - 1
+                    wtr.write(bits, size)
+                    run = 0
+    entropy = wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = quant.reshape(64)[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

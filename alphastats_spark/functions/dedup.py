@@ -469,6 +469,7 @@ def deduplicate(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    lineage: bool = False,
 ) -> DataFrame:
     """End-to-end corpus deduplication: keep one representative per
     near-duplicate cluster.
@@ -480,10 +481,36 @@ def deduplicate(
     via a LEFT ANTI join (representative = min id per cluster). Output is
     the input frame minus dropped rows — schema unchanged, no payload
     columns ever shuffled except by the anti-join key.
+
+    ``lineage=True`` instead returns the decision audit a production dedup
+    run needs — one row per INPUT document:
+    ``(id_col, kept_id, cluster_id, reason)`` where ``kept_id`` is the
+    surviving representative whose cluster absorbed the doc (itself when it
+    survives), ``cluster_id`` is ``-1`` for docs in no near-dup cluster
+    (a sentinel rather than null: nullable ints coerce to float NaN in
+    arrow/pandas interchange, poisoning downstream equality checks), and
+    ``reason`` is ``unique`` / ``representative`` / ``near_dup_dropped``.
+    Survivors = rows with reason != 'near_dup_dropped', so the lineage is a
+    strict superset of the default output's information.
     """
     pairs = lsh_verified_pairs(df, id_col, text_col, threshold=threshold)
     clusters = duplicate_clusters(pairs)
-    drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
+    if not lineage:
+        drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, on=id_col, how="left_anti")
+    cl = clusters.select(F.col("id").alias(id_col), "cluster_id")
+    return (
+        df.select(id_col)
+        .join(cl, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("kept_id"),
+            F.coalesce(F.col("cluster_id"), F.lit(-1).cast("long")).alias("cluster_id"),
+            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+            .when(F.col("cluster_id") == F.col(id_col), F.lit("representative"))
+            .otherwise(F.lit("near_dup_dropped"))
+            .alias("reason"),
+        )
     )
-    return df.join(drop, on=id_col, how="left_anti")

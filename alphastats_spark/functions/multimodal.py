@@ -14,8 +14,7 @@ animation payloads) are REAL too — decode → transform → re-encode, all
 three value-hashed by the driver gate. Entropy-coded formats (JPEG, video
 containers) stay behind an import-try of the optional real libraries.
 ``decoder="fake"`` remains for payloads with no parseable format (a
-deterministic md5-seeded vector) and for oracle-comparable tests; the
-``*_stub`` variants are metadata-only plumbing kept for API compatibility.
+deterministic md5-seeded vector) and for determinism tests.
 
 At 100 TB scale the pattern is: keep payloads in their own parquet column
 (column pruning skips them unless needed), ``repartition`` by size-balanced
@@ -181,6 +180,57 @@ def resize_images(
     ).mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def transcode_images(
+    df: DataFrame,
+    to_mime: str = "image/jpeg",
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL format-transcode stage: decode (mime-dispatched codec kernels)
+    → re-encode to ``to_mime`` (jpeg / png / ppm), meta rewritten. The
+    standard normalization step when a crawled corpus carries a mix of
+    formats and downstream kernels want exactly one. Same Arrow-batched
+    ``mapInPandas`` shape as :func:`resize_images`.
+    """
+    encoders = {
+        "image/jpeg": codecs.encode_jpeg,
+        "image/png": codecs.encode_png,
+        "image/x-portable-pixmap": codecs.encode_ppm,
+        "image/x-portable-graymap": codecs.encode_ppm,
+    }
+    if to_mime not in encoders:
+        raise ValueError(f"no encoder for {to_mime!r} (have {sorted(encoders)})")
+    encode = encoders[to_mime]
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            contents, metas = [], []
+            for i in range(len(pdf)):
+                payload = bytes(pdf["__content"].iloc[i] or b"")
+                img = codecs.decode_image(payload, pdf["__mime"].iloc[i])
+                contents.append(encode(img))
+                h, w = img.shape[:2]
+                mime = to_mime
+                if encode is codecs.encode_ppm:  # P6 vs P5 follows the data
+                    mime = (
+                        "image/x-portable-pixmap"
+                        if img.ndim == 3
+                        else "image/x-portable-graymap"
+                    )
+                metas.append(
+                    {"mime": mime, "width": w, "height": h, "duration_ms": None}
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "content": contents, "meta": metas}
+            )
+
+    return df.select(
+        F.col(id_col), F.col(content_col).alias("__content"), F.col("meta.mime").alias("__mime")
+    ).mapInPandas(batches, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -245,30 +295,3 @@ def sample_frames(
     return df.select(
         F.col(id_col), F.col(content_col).alias("__content")
     ).mapInPandas(batches, FRAME_SCHEMA)
-
-
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Plumbing for an image-resize stage: passes payloads through and
-    rewrites metadata (the real kernel would transform the bytes)."""
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.mime").alias("mime"),
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-        ),
-    )
-
-
-def sample_frames_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one output row per
-    sampled timestamp (frame decode itself is the stubbed kernel)."""
-    n_frames = F.greatest(
-        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int"), F.lit(1)
-    )
-    return df.select(
-        "media_id",
-        "meta",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
-    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

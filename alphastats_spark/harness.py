@@ -1613,6 +1613,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_nulled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with DETERMINISTIC null/empty text injection
+    (doc_id % 13 == 4 → NULL, % 13 == 9 → '').
+
+    The sf corpora contain no null or empty texts, so without injection the
+    extension operators' null paths are never driver-checked — the round-3
+    pack_documents null-text divergence stayed latent for two rounds for
+    exactly this reason. One ``*_nulls`` gate query per extension family
+    (text / dedup / pipeline) runs its operator over this frame against an
+    oracle with the same SQL injection.
+    """
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 4, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 13 == 9, F.lit(""))
+        .otherwise(F.col("text")),
+    )
+
+
+# DuckDB mirror of _docs_nulled: a CTE that SHADOWS the registered
+# ``documents`` view, so an existing oracle body can be reused verbatim by
+# prefixing this (the base view is reached schema-qualified to avoid any
+# self-reference ambiguity).
+_NULLS_DOCS_CTE = """documents AS (
+  SELECT * REPLACE (CASE WHEN doc_id % 13 = 4 THEN NULL
+                         WHEN doc_id % 13 = 9 THEN ''
+                         ELSE text END AS text)
+  FROM main.documents
+)"""
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1884,15 +1916,16 @@ def _add_extensions(add) -> None:
        len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]+')) AS n_subword_tokens
 FROM documents""")
 
-    add("doc_text_stats",
-        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+    def _text_stats(docs: DataFrame) -> DataFrame:
+        return docs.select(
             "doc_id",
             F.round(text.punct_ratio(F.col("text")), ROUND).alias("punct_ratio"),
             F.round(text.digit_ratio(F.col("text")), ROUND).alias("digit_ratio"),
             F.round(text.stopword_ratio(F.col("text")), ROUND).alias("stopword_ratio"),
             F.round(text.avg_token_len(F.col("text")), ROUND).alias("avg_token_len"),
-        ),
-        f"""SELECT doc_id,
+        )
+
+    _text_stats_sql = f"""SELECT doc_id,
   ROUND(CASE WHEN length(text) > 0 THEN
     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
     ELSE 0 END, {ROUND}) AS punct_ratio,
@@ -1905,7 +1938,18 @@ FROM documents""")
   ROUND(CASE WHEN len({_TOKS_SQL}) > 0 THEN
     list_sum(list_transform({_TOKS_SQL}, t -> length(t))) * 1.0 / len({_TOKS_SQL})
     ELSE 0 END, {ROUND}) AS avg_token_len
-FROM documents""")
+FROM documents"""
+
+    add("doc_text_stats",
+        lambda spark, sf_dir: _text_stats(_docs(spark, sf_dir)),
+        _text_stats_sql)
+
+    # adversarial null sweep, text family: same operator over the
+    # deterministic null/empty injection (see _docs_nulled) — the null path
+    # (ratios all 0.0) is driver-checked, not latent
+    add("doc_text_stats_nulls",
+        lambda spark, sf_dir: _text_stats(_docs_nulled(spark, sf_dir)),
+        f"WITH {_NULLS_DOCS_CTE}\n{_text_stats_sql}")
 
     add("doc_quality",
         lambda spark, sf_dir: _docs(spark, sf_dir).select(
@@ -2008,11 +2052,20 @@ SELECT doc_id,
 FROM documents""")
 
     # ---- deduplication ----------------------------------------------------
+    _exact_sql = f"""SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS representative, COUNT(*) AS copies
+FROM documents GROUP BY 1"""
+
     add("dedup_exact",
         lambda spark, sf_dir: dedup.exact_duplicates(_docs(spark, sf_dir)),
-        f"""SELECT md5({_NORM_SQL}) AS fingerprint,
-       MIN(doc_id) AS representative, COUNT(*) AS copies
-FROM documents GROUP BY 1""")
+        _exact_sql)
+
+    # adversarial null sweep, dedup family: null texts hash to a null
+    # fingerprint (one group — both engines group nulls together), empty
+    # texts to md5('') — both boundaries driver-checked
+    add("dedup_exact_nulls",
+        lambda spark, sf_dir: dedup.exact_duplicates(_docs_nulled(spark, sf_dir)),
+        f"WITH {_NULLS_DOCS_CTE}\n{_exact_sql}")
 
     mh_sql = ", ".join(
         f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
@@ -2154,13 +2207,15 @@ reach AS (
 SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src""")
 
     # Composed end-to-end dedup: LSH candidates → verified pairs → CC
-    # clusters → anti-join keeps one representative per cluster. The
-    # oracle rebuilds the identical pipeline (deterministic md5 minhash →
-    # recursive-CTE closure) and checks the SURVIVING doc ids.
+    # clusters → per-document LINEAGE (kept_id, cluster_id, reason) — the
+    # audit shape a production dedup run needs; survivors are the rows with
+    # reason != 'near_dup_dropped'. The oracle rebuilds the identical
+    # pipeline (deterministic md5 minhash → recursive-CTE closure) and
+    # value-hashes the full lineage, not just the surviving ids.
     add("dedup_corpus",
         lambda spark, sf_dir: dedup.deduplicate(
-            _docs(spark, sf_dir), threshold=0.5
-        ).select("doc_id"),
+            _docs(spark, sf_dir), threshold=0.5, lineage=True
+        ),
         _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
 sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
 bands AS (
@@ -2195,8 +2250,13 @@ reach AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
 cls AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src)
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT id FROM cls WHERE id <> cluster_id)""")
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS kept_id,
+       COALESCE(c.cluster_id, -1) AS cluster_id,
+       CASE WHEN c.cluster_id IS NULL THEN 'unique'
+            WHEN c.cluster_id = d.doc_id THEN 'representative'
+            ELSE 'near_dup_dropped' END AS reason
+FROM documents d LEFT JOIN cls c ON d.doc_id = c.id""")
 
     # Embedding near-dups run the LSH-bucketed pipeline as the GATE query —
     # the 100 TB shape (per-bucket equi-joins, no all-pairs join anywhere).
@@ -2275,35 +2335,12 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
     # recall@20 = 0.85 at sf0.01 (nprobe=4 was 0.50).
     add("ann_ivf_topk", _ann_ivf, _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8))
 
-    # ---- multimodal plumbing (fake decoder; rows-only) ---------------------
-    def _media(spark, sf_dir):
-        media = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
-            F.col("doc_id").alias("media_id"),
-            F.encode(F.col("text"), "utf-8").alias("content"),
-            F.struct(
-                F.lit("text/plain").alias("mime"),
-                F.lit(None).cast("int").alias("width"),
-                F.lit(None).cast("int").alias("height"),
-                F.lit(None).cast("long").alias("duration_ms"),
-            ).alias("meta"),
-        )
-        feats = multimodal.decode_features(media)
-        return feats.select(
-            "media_id", F.round(F.element_at("features", 1).cast("double"), ROUND).alias("f0")
-        )
-
-    # Value-hashed: the fake decoder's first feature is md5(payload)[0]/255
-    # (multimodal._fake_features) — DuckDB recomputes the digest byte from
-    # md5()'s hex string, and the REAL cast replicates the float32
-    # quantization of the ArrayType(FloatType) feature column (25 of the
-    # 256 possible byte values round differently at 7 decimals without it).
-    add("media_decode_features", _media, f"""
-SELECT doc_id AS media_id,
-  ROUND(CAST(
-    ((position(substr(md5(text), 1, 1) IN '0123456789abcdef') - 1) * 16
-     + position(substr(md5(text), 2, 1) IN '0123456789abcdef') - 1) / 255.0
-  AS REAL)::DOUBLE, {ROUND}) AS f0
-FROM documents WHERE text IS NOT NULL""")
+    # The fake-decoder gate entry (media_decode_features, r1-r3) was retired
+    # once the real decode/resize/frame-sample triad became value-hashed:
+    # media_decode_real / media_resize_real / media_frames_real below cover
+    # the mapInPandas plumbing with REAL kernels. ``decoder="fake"`` remains
+    # in the API for payloads with no parseable format (determinism-tested
+    # in pytest, not driver-gated).
 
     # REAL decode path with a value oracle: each document's printable-ASCII
     # prefix becomes an 8×8 PGM (P5) payload; the decoded mean-gray feature
@@ -2344,6 +2381,51 @@ SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(range(1, 65),
             i -> ascii(substr(p, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum
 FROM padded""")
+
+    # REAL JPEG path: a constant 8×8 PGM (value = the first printable char
+    # of the text) is TRANSCODED to baseline JPEG (real DCT + huffman
+    # encoder) and decoded back through the real JPEG decoder — three
+    # chained Arrow-batched kernels. For a constant block only the integer
+    # DC coefficient survives the flat-quant DCT, so the roundtrip is
+    # BIT-EXACT and the decoded pixel sum is 64 × ascii(first char) — which
+    # DuckDB recomputes from the text. Entropy coding, huffman tables, and
+    # the IDCT all sit on the checked path.
+    def _media_jpeg(spark, sf_dir):
+        cleaned = F.regexp_replace(
+            F.substring(F.col("text"), 1, 64), r"[^\x20-\x7e]", ""
+        )
+        first = F.when(F.length(cleaned) > 0, F.substring(cleaned, 1, 1)).otherwise(
+            F.lit(" ")
+        )
+        media = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.encode(F.lit("P5\n8 8\n255\n"), "utf-8"),
+                F.encode(F.repeat(first, 64), "utf-8"),
+            ).alias("content"),
+            F.struct(
+                F.lit("image/x-portable-graymap").alias("mime"),
+                F.lit(8).alias("width"),
+                F.lit(8).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+        jpeg = multimodal.transcode_images(media, "image/jpeg")
+        feats = multimodal.decode_features(jpeg, decoder="real")
+        return feats.select(
+            "media_id",
+            F.round(F.element_at("features", 1) * 255 * 64).cast("bigint").alias("byte_sum"),
+        )
+
+    add("media_decode_jpeg", _media_jpeg, """
+WITH c AS (
+  SELECT doc_id, regexp_replace(substr(text, 1, 64), '[^ -~]', '', 'g') AS cl
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id AS media_id,
+       CAST(64 * CASE WHEN length(cl) > 0 THEN ascii(substr(cl, 1, 1))
+                      ELSE 32 END AS BIGINT) AS byte_sum
+FROM c""")
 
     # REAL resize stage chained into the REAL decoder — two Arrow-batched
     # mapInPandas kernels back to back (decode PGM → nearest-neighbor 8×8 →
@@ -2561,6 +2643,69 @@ FROM events GROUP BY 1, 2""")
        event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
 FROM events GROUP BY 1, 2""")
 
+    # Keyed sessionization through GENUINE Structured Streaming: the same
+    # streaming-shared ``session_metrics`` (native ``F.session_window``) run
+    # as a stream — file source → watermarked session-window aggregation →
+    # memory sink. State partitions by user_id (the 100 TB shape: sessions
+    # for different users never co-reside). Complete output mode for the
+    # bounded gate, same rationale as event_hourly_streaming; the
+    # production append path closes a session when the watermark passes its
+    # end. session_start is emitted as epoch seconds so no session-timezone
+    # string formatting can skew the compare.
+    def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import session_metrics
+
+        ev = _events(spark, sf_dir)
+        ev = ev.select(
+            F.col("user_id"),
+            F.timestamp_micros(_event_us(ev)).alias("ts"),
+        )
+        src = tempfile.mkdtemp(prefix="as_stream_sess_")
+        ev.coalesce(4).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        agg = session_metrics(
+            stream, gap="30 minutes", key_col="user_id", temporal="ts",
+            watermark="1 hour",
+        )
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(sq, src)
+        return spark.table(name).select(
+            "user_id",
+            (F.expr("unix_micros(session_start)") / F.lit(1_000_000))
+            .cast("bigint")
+            .alias("session_start_s"),
+            "n_events",
+            "duration_s",
+        )
+
+    add("event_session_streaming", _stream_sessions, """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800.0 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start_s,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id""")
+
     # ---- training-data pipeline (sampling / chunking / packing / quality) -
     from alphastats_spark.functions import pipeline
 
@@ -2701,10 +2846,7 @@ LEFT JOIN hit ON d.doc_id = hit.doc_id""")
     # corpus-relative so three of the five rules genuinely fire at sf0.01
     # (tokens 10-99, mean word length 3.7-5.3, stopwords 0-14):
     # min_tokens=30, word_len >= 4.0, stopwords >= 2.
-    add("doc_quality_filter",
-        lambda spark, sf_dir: pipeline.quality_filter(
-            _docs(spark, sf_dir), min_tokens=30, min_mean_word_len=4.0),
-        f"""
+    _qf_sql = f"""
 WITH t AS (
   SELECT doc_id,
          COALESCE(len({_TOKS_SQL}), 0) AS n,
@@ -2741,7 +2883,19 @@ SELECT doc_id,
     CASE WHEN mean_len < 4.0 OR mean_len > 10.0 THEN 'word_len' END,
     CASE WHEN alpha_frac < 0.8 THEN 'alpha_frac' END,
     CASE WHEN stop < 2 THEN 'stopwords' END) = '') AS keep
-FROM m""")
+FROM m"""
+
+    add("doc_quality_filter",
+        lambda spark, sf_dir: pipeline.quality_filter(
+            _docs(spark, sf_dir), min_tokens=30, min_mean_word_len=4.0),
+        _qf_sql)
+
+    # adversarial null sweep, pipeline family: null/empty texts take the
+    # all-rules-fail path (n=0, ratios 0.0, keep=false) in both engines
+    add("doc_quality_filter_nulls",
+        lambda spark, sf_dir: pipeline.quality_filter(
+            _docs_nulled(spark, sf_dir), min_tokens=30, min_mean_word_len=4.0),
+        "WITH " + _NULLS_DOCS_CTE + ",\n" + _qf_sql.lstrip().removeprefix("WITH "))
 
     # Per-source rollup: the accounting table a domain-mixing run reads
     # before setting stratified_sample rates.

@@ -29,34 +29,37 @@ def longest_streaks(df: DataFrame, cols: list[str], winning: bool) -> dict[str, 
     """Longest run of r>0 (wins) or r<0 (losses); nulls and zeros break runs
     (reference ``_consecutive_count``, ``stats.py:1249-1261``).
 
-    No persist needed: every prefix pass's broadcast branch shares the main
-    branch's shuffle Exchange (``ordered.add_prefix_columns`` aggregates
-    bucket totals from the windowed frame), so the upstream lineage
-    executes once via ReuseExchange.
+    Each prefix pass persists its own windowed frame (single-execution —
+    see ``ordered.add_prefix_columns``); since this function fully
+    materializes its result, those caches are released before returning.
     """
-    df = ordered.add_row_index(df, "__idx")
+    mark = ordered.pass_cache_mark()
+    try:
+        df = ordered.add_row_index(df, "__idx")
 
-    brk_exprs = {}
-    for c in cols:
-        pred = (F.col(c) > 0) if winning else (F.col(c) < 0)
-        # null predicate falls through to otherwise(1): null breaks the run,
-        # matching the reference's `current = 0` on None.
-        brk_exprs[c] = F.when(pred, F.lit(0)).otherwise(F.lit(1))
+        brk_exprs = {}
+        for c in cols:
+            pred = (F.col(c) > 0) if winning else (F.col(c) < 0)
+            # null predicate falls through to otherwise(1): null breaks the
+            # run, matching the reference's `current = 0` on None.
+            brk_exprs[c] = F.when(pred, F.lit(0)).otherwise(F.lit(1))
 
-    df = ordered.add_prefix_columns(
-        df,
-        maxes={
-            f"__lastbrk_{c}": F.when(brk_exprs[c] == 1, F.col("__idx")) for c in cols
-        },
-    )
-    aggs = []
-    for c in cols:
-        streak = F.when(
-            brk_exprs[c] == 0, F.col("__idx") - F.coalesce(F.col(f"__lastbrk_{c}"), F.lit(0))
-        ).otherwise(F.lit(0))
-        aggs.append(F.coalesce(F.max(streak), F.lit(0)).alias(c))
-    row = df.agg(*aggs).first()
-    return {c: int(row[c]) for c in cols}
+        df = ordered.add_prefix_columns(
+            df,
+            maxes={
+                f"__lastbrk_{c}": F.when(brk_exprs[c] == 1, F.col("__idx")) for c in cols
+            },
+        )
+        aggs = []
+        for c in cols:
+            streak = F.when(
+                brk_exprs[c] == 0, F.col("__idx") - F.coalesce(F.col(f"__lastbrk_{c}"), F.lit(0))
+            ).otherwise(F.lit(0))
+            aggs.append(F.coalesce(F.max(streak), F.lit(0)).alias(c))
+        row = df.agg(*aggs).first()
+        return {c: int(row[c]) for c in cols}
+    finally:
+        ordered.release_pass_caches(mark)
 
 
 def drawdown_episode_stats(
@@ -92,7 +95,25 @@ def drawdown_episode_stats(
     both its branches read one materialization (see
     ``ordered.add_prefix_columns`` for why ReuseExchange cannot be relied
     on).
+    Fully materializes its result, so any pass caches created here are
+    released before returning (a caller that passed precomputed
+    ``dd_cols``/``pos_cols`` created its caches outside this scope — those
+    are untouched).
     """
+    mark = ordered.pass_cache_mark()
+    try:
+        return _episode_stats(df, cols, temporal_name, dd_cols, pos_cols)
+    finally:
+        ordered.release_pass_caches(mark)
+
+
+def _episode_stats(
+    df: DataFrame,
+    cols: list[str],
+    temporal_name: str | None,
+    dd_cols: dict[str, str] | None,
+    pos_cols: dict[str, str] | None,
+) -> dict[str, dict[str, float]]:
     if dd_cols is None:
         df = ordered.add_drawdown_columns(
             df, {f"__dd_{c}": c for c in cols}, with_peak_pos=True

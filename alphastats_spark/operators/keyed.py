@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from alphastats_spark.expressions import NAN, fdiv
+from alphastats_spark.operators import ordered as ordered_mod
 from alphastats_spark.operators.ordered import BUCKET_COL, ORDER_COL
 
 
@@ -60,7 +61,7 @@ def add_prefix_columns_keyed(
     # persisted for the same single-execution reason as the keyless
     # ordered.add_prefix_columns: the offsets branch below re-consumes this
     # frame, and column pruning defeats ReuseExchange between the branches
-    df = df.select("*", *within_cols).persist()
+    df = ordered_mod._persist_pass(df.select("*", *within_cols))
 
     aggs = [F.sum(col).alias(out) for out, col in sums.items()]
     aggs += [F.max(col).alias(out) for out, col in maxes.items()]

@@ -40,6 +40,38 @@ BUCKET_COL = "__as_bucket"
 
 _TEMPORAL_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
+# Every prefix pass persists its windowed frame (see add_prefix_columns for
+# why ReuseExchange cannot provide the single-execution guarantee). The
+# registry lets fully-materializing callers release those caches when done —
+# without it a long-lived session accumulates cache entries (and, under
+# memory pressure, their disk-spilled blocks) per pass. Lazily-returning
+# APIs intentionally do NOT auto-release: the cache must outlive the
+# caller's eventual action, and repeated identical queries legitimately
+# re-hit it via plan canonicalization.
+_PASS_CACHES: list[DataFrame] = []
+
+
+def _persist_pass(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PASS_CACHES.append(df)
+    return df
+
+
+def pass_cache_mark() -> int:
+    """Registry position; pass to :func:`release_pass_caches` to release
+    only the caches created after this point (scoped cleanup)."""
+    return len(_PASS_CACHES)
+
+
+def release_pass_caches(from_mark: int = 0) -> None:
+    """Unpersist prefix-pass caches created since ``from_mark`` (all, by
+    default). Only call once every query derived from them has been fully
+    materialized; not safe against other threads still building plans."""
+    tail = _PASS_CACHES[from_mark:]
+    del _PASS_CACHES[from_mark:]
+    for df in tail:
+        df.unpersist()
+
 
 def with_order(df: DataFrame, temporal_name: str | None) -> DataFrame:
     """Attach ``__as_order`` / ``__as_bucket`` columns.
@@ -98,7 +130,7 @@ def add_prefix_columns(
         within_cols.append(F.sum(col).over(w).alias(f"{out}__in"))
     for out, col in maxes.items():
         within_cols.append(F.max(col).over(w).alias(f"{out}__in"))
-    df = df.select("*", *within_cols).persist()
+    df = _persist_pass(df.select("*", *within_cols))
 
     # Bucket totals come FROM the windowed frame: the within-bucket running
     # aggregate at a bucket's LAST row IS the bucket total (window
@@ -143,7 +175,7 @@ def add_ffill_columns(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     within_cols = [F.last(col, ignorenulls=True).over(w).alias(f"{out}__in") for out, col in cols.items()]
-    df = df.select("*", *within_cols).persist()
+    df = _persist_pass(df.select("*", *within_cols))
 
     # Bucket-last from the windowed frame (within-ffill at the bucket's last
     # row = last non-null in the bucket) — persisted so both branches read
@@ -169,9 +201,9 @@ def add_lag_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     ``cols`` maps output name → source column *name*.
     """
     w = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
-    df = df.select(
-        "*", *[F.lag(src).over(w).alias(f"{out}__in") for out, src in cols.items()]
-    ).persist()
+    df = _persist_pass(
+        df.select("*", *[F.lag(src).over(w).alias(f"{out}__in") for out, src in cols.items()])
+    )
 
     aggs = [F.max_by(F.col(src), F.col(ORDER_COL)).alias(out) for out, src in cols.items()]
     bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)

@@ -104,150 +104,167 @@ def metrics(
     # from — so MEMORY_AND_DISK is safe at any scale.
     frame.persist()
 
-    # ---- job A: date metadata (pre-fill null pattern) --------------------
-    # Submitted as a future: nothing before the main aggregation needs it —
-    # the enrichment (order/drawdown prefix) passes are metadata-free, so
-    # the meta job overlaps their materialization below.
+    # Pool + persisted frames are released on EVERY exit path: an
+    # exception mid-report must not leak the executor threads or cached
+    # RDDs (the per-chunk rdf persists below are also registered here;
+    # their success-path unpersist makes the finally a no-op for them).
+    # The prefix passes inside the chunk loop persist their own windowed
+    # frames — the report fully materializes everything it returns, so
+    # those are released too, via the scoped pass-cache mark.
     pool = ThreadPoolExecutor(max_workers=6)
-    meta_aggs = []
-    if temporal:
-        meta_aggs.append(F.max(F.col(temporal)).alias("__max_ts"))
-        for c in output_names:
-            meta_aggs.append(
-                F.min(F.when(F.col(c).isNotNull(), F.col(temporal))).alias(f"start_{c}")
-            )
-            meta_aggs.append(
-                F.max(F.when(F.col(c).isNotNull(), F.col(temporal))).alias(f"end_{c}")
-            )
-    meta_fut = pool.submit(lambda: frame.agg(*meta_aggs).first()) if meta_aggs else None
+    _persisted = [frame]
+    _cache_mark = ordered.pass_cache_mark()
+    try:
 
-    # ---- fill nulls with 0 (report-only policy) --------------------------
-    filled = frame.select(
-        *([F.col(temporal)] if temporal else []),
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in output_names],
-    )
-
-    # ---- enrichment + aggregation, chunked over asset-column groups ------
-    # A single pass over a WIDE frame explodes Janino codegen superlinearly
-    # (~35 aggregate expressions per column incl. exact-percentile object
-    # aggregates, plus 4 window/prefix expressions per column in the
-    # drawdown machinery): measured driver OOM at 30 columns on a 4 GB
-    # heap, and minutes of compile time just below that. Processing groups
-    # of ``agg_chunk_columns`` (default 8) bounds every generated method,
-    # at the cost of ceil(cols/chunk) scans of the CACHED base frame —
-    # versus the reference's O(rows × cols) collects. The benchmark column
-    # rides along in every group so benchmark-relative aggregates stay
-    # single-pass.
-    chunk = max(1, int(kwargs.get("agg_chunk_columns", 8)))
-    main: dict[str, Any] = {}
-    stage2: dict[str, Any] = {}
-    episodes: dict[str, dict[str, float]] = {}
-
-    # Independent report passes run as CONCURRENT Spark jobs (submitted
-    # from threads — the standard Spark multi-job pattern): the calendar
-    # aggregates depend only on the filled frame, so they overlap the whole
-    # chunk loop; within a chunk, the enrichment materialization overlaps
-    # the meta job, then the episode islands pass (which never reads the
-    # main aggregate) overlaps the main aggregation, and the stage-2
-    # CVaR agg (literal thresholds from main) runs while episodes finish.
-    # Per-asset report frames are tiny, so each pass is dominated by fixed
-    # job/stage overhead — overlapping them buys wall-clock roughly equal
-    # to the sum of the shorter passes, and on a real cluster concurrent
-    # small jobs interleave harmlessly under FIFO scheduling.
-    cal_futs = {}
-    if temporal:
-        cal_futs["month"] = pool.submit(
-            _calendar_agg, filled, temporal, output_names, "month", rf
-        )
-        if full:
-            cal_futs["quarter"] = pool.submit(
-                _calendar_agg, filled, temporal, output_names, "quarter", rf
-            )
-            cal_futs["year"] = pool.submit(
-                _calendar_agg, filled, temporal, output_names, "year", rf
-            )
-
-    windows = None
-    meta = None
-    max_ts = None
-    for start in range(0, len(output_names), chunk):
-        group = list(output_names[start : start + chunk])
-        sel = ([F.col(temporal)] if temporal else []) + [F.col(c) for c in group]
-        if full and has_bench and benchmark_name not in group:
-            sel.append(F.col(benchmark_name))
-        gframe = filled.select(*sel)
-
-        rdf = ordered.with_order(gframe, temporal)
-        # peak positions ride along in the same prefix pass — they are the
-        # episode ids, so the episode stats below need no island pass
-        rdf = ordered.add_drawdown_columns(
-            rdf, {f"__dd_{c}": c for c in group}, with_peak_pos=True
-        )
-        if full:
-            rdf = ordered.add_row_index(rdf, "__idx")
-            brk = {}
-            for c in group:
-                brk[f"__lbw_{c}"] = F.when(F.col(c) > 0, F.lit(None)).otherwise(F.col("__idx"))
-                brk[f"__lbl_{c}"] = F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
-            rdf = ordered.add_prefix_columns(rdf, maxes=brk)
-            rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in group})
-        rdf.persist()
-        # materialize the enrichment concurrently with the meta job; the
-        # main agg and episode pass below then both read one cached copy
-        mat_fut = pool.submit(rdf.count)
-
-        if meta_fut is not None and meta is None:
-            meta = meta_fut.result()
-            max_ts = meta["__max_ts"]
-            if isinstance(max_ts, dt.datetime):
-                max_ts = max_ts.date()
-            windows = _window_bounds(max_ts) if temporal else None
-
-        aggs: list = []
-        for c in group:
-            aggs.extend(_column_aggs(c, rf, compounded, periods_per_year, full, windows))
-            if full and has_bench and c != benchmark_name:
-                aggs.extend(_bench_aggs(c, benchmark_name))
-        mat_fut.result()
-
-        # episodes never read the main aggregate — overlap it with the
-        # main aggregation on the now-cached enrichment frame
-        eps_fut = pool.submit(
-            islands.drawdown_episode_stats,
-            rdf, group, None,
-            {c: f"__dd_{c}" for c in group},
-            {c: f"__dd_{c}__pos" for c in group},
-        )
-        main.update(rdf.agg(*aggs).first().asDict())
-
-        # dependent pass: CVaR + serenity (serenity is in basic mode too)
-        s2_aggs = []
-        for c in group:
-            ddvar = main[f"ddvar_{c}"]
-            if ddvar is not None and not math.isnan(ddvar):
-                dd = F.col(f"__dd_{c}")
-                s2_aggs.append(
-                    F.coalesce(
-                        F.mean(X.when_pl(dd < F.lit(ddvar), dd, None)), F.lit(ddvar)
-                    ).alias(f"ddcvar_{c}")
+        # ---- job A: date metadata (pre-fill null pattern) --------------------
+        # Submitted as a future: nothing before the main aggregation needs it —
+        # the enrichment (order/drawdown prefix) passes are metadata-free, so
+        # the meta job overlaps their materialization below.
+        meta_aggs = []
+        if temporal:
+            meta_aggs.append(F.max(F.col(temporal)).alias("__max_ts"))
+            for c in output_names:
+                meta_aggs.append(
+                    F.min(F.when(F.col(c).isNotNull(), F.col(temporal))).alias(f"start_{c}")
                 )
+                meta_aggs.append(
+                    F.max(F.when(F.col(c).isNotNull(), F.col(temporal))).alias(f"end_{c}")
+                )
+        meta_fut = pool.submit(lambda: frame.agg(*meta_aggs).first()) if meta_aggs else None
+
+        # ---- fill nulls with 0 (report-only policy) --------------------------
+        filled = frame.select(
+            *([F.col(temporal)] if temporal else []),
+            *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in output_names],
+        )
+
+        # ---- enrichment + aggregation, chunked over asset-column groups ------
+        # A single pass over a WIDE frame explodes Janino codegen superlinearly
+        # (~35 aggregate expressions per column incl. exact-percentile object
+        # aggregates, plus 4 window/prefix expressions per column in the
+        # drawdown machinery): measured driver OOM at 30 columns on a 4 GB
+        # heap, and minutes of compile time just below that. Processing groups
+        # of ``agg_chunk_columns`` (default 8) bounds every generated method,
+        # at the cost of ceil(cols/chunk) scans of the CACHED base frame —
+        # versus the reference's O(rows × cols) collects. The benchmark column
+        # rides along in every group so benchmark-relative aggregates stay
+        # single-pass.
+        chunk = max(1, int(kwargs.get("agg_chunk_columns", 8)))
+        main: dict[str, Any] = {}
+        stage2: dict[str, Any] = {}
+        episodes: dict[str, dict[str, float]] = {}
+
+        # Independent report passes run as CONCURRENT Spark jobs (submitted
+        # from threads — the standard Spark multi-job pattern): the calendar
+        # aggregates depend only on the filled frame, so they overlap the whole
+        # chunk loop; within a chunk, the enrichment materialization overlaps
+        # the meta job, then the episode islands pass (which never reads the
+        # main aggregate) overlaps the main aggregation, and the stage-2
+        # CVaR agg (literal thresholds from main) runs while episodes finish.
+        # Per-asset report frames are tiny, so each pass is dominated by fixed
+        # job/stage overhead — overlapping them buys wall-clock roughly equal
+        # to the sum of the shorter passes, and on a real cluster concurrent
+        # small jobs interleave harmlessly under FIFO scheduling.
+        cal_futs = {}
+        if temporal:
+            cal_futs["month"] = pool.submit(
+                _calendar_agg, filled, temporal, output_names, "month", rf
+            )
             if full:
-                v = main[f"var_{c}"]
-                if v is not None and not math.isnan(v):
-                    col = F.col(c)
+                cal_futs["quarter"] = pool.submit(
+                    _calendar_agg, filled, temporal, output_names, "quarter", rf
+                )
+                cal_futs["year"] = pool.submit(
+                    _calendar_agg, filled, temporal, output_names, "year", rf
+                )
+
+        windows = None
+        meta = None
+        max_ts = None
+        for start in range(0, len(output_names), chunk):
+            group = list(output_names[start : start + chunk])
+            sel = ([F.col(temporal)] if temporal else []) + [F.col(c) for c in group]
+            if full and has_bench and benchmark_name not in group:
+                sel.append(F.col(benchmark_name))
+            gframe = filled.select(*sel)
+
+            rdf = ordered.with_order(gframe, temporal)
+            # peak positions ride along in the same prefix pass — they are the
+            # episode ids, so the episode stats below need no island pass
+            rdf = ordered.add_drawdown_columns(
+                rdf, {f"__dd_{c}": c for c in group}, with_peak_pos=True
+            )
+            if full:
+                rdf = ordered.add_row_index(rdf, "__idx")
+                brk = {}
+                for c in group:
+                    brk[f"__lbw_{c}"] = F.when(F.col(c) > 0, F.lit(None)).otherwise(F.col("__idx"))
+                    brk[f"__lbl_{c}"] = F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
+                rdf = ordered.add_prefix_columns(rdf, maxes=brk)
+                rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in group})
+            rdf.persist()
+            _persisted.append(rdf)
+            # materialize the enrichment concurrently with the meta job; the
+            # main agg and episode pass below then both read one cached copy
+            mat_fut = pool.submit(rdf.count)
+
+            if meta_fut is not None and meta is None:
+                meta = meta_fut.result()
+                max_ts = meta["__max_ts"]
+                if isinstance(max_ts, dt.datetime):
+                    max_ts = max_ts.date()
+                windows = _window_bounds(max_ts) if temporal else None
+
+            aggs: list = []
+            for c in group:
+                aggs.extend(_column_aggs(c, rf, compounded, periods_per_year, full, windows))
+                if full and has_bench and c != benchmark_name:
+                    aggs.extend(_bench_aggs(c, benchmark_name))
+            mat_fut.result()
+
+            # episodes never read the main aggregate — overlap it with the
+            # main aggregation on the now-cached enrichment frame
+            eps_fut = pool.submit(
+                islands.drawdown_episode_stats,
+                rdf, group, None,
+                {c: f"__dd_{c}" for c in group},
+                {c: f"__dd_{c}__pos" for c in group},
+            )
+            main.update(rdf.agg(*aggs).first().asDict())
+
+            # dependent pass: CVaR + serenity (serenity is in basic mode too)
+            s2_aggs = []
+            for c in group:
+                ddvar = main[f"ddvar_{c}"]
+                if ddvar is not None and not math.isnan(ddvar):
+                    dd = F.col(f"__dd_{c}")
                     s2_aggs.append(
                         F.coalesce(
-                            F.mean(X.when_pl(col < F.lit(v), col, None)), F.lit(v)
-                        ).alias(f"cvar_{c}")
+                            F.mean(X.when_pl(dd < F.lit(ddvar), dd, None)), F.lit(ddvar)
+                        ).alias(f"ddcvar_{c}")
                     )
-        if s2_aggs:
-            stage2.update(rdf.agg(*s2_aggs).first().asDict())
-        episodes.update(eps_fut.result())
-        rdf.unpersist()
+                if full:
+                    v = main[f"var_{c}"]
+                    if v is not None and not math.isnan(v):
+                        col = F.col(c)
+                        s2_aggs.append(
+                            F.coalesce(
+                                F.mean(X.when_pl(col < F.lit(v), col, None)), F.lit(v)
+                            ).alias(f"cvar_{c}")
+                        )
+            if s2_aggs:
+                stage2.update(rdf.agg(*s2_aggs).first().asDict())
+            episodes.update(eps_fut.result())
+            rdf.unpersist()
+            _persisted.remove(rdf)
 
-    # ---- calendar passes (submitted before the chunk loop) ----------------
-    cal: dict[str, Any] = {k: f.result() for k, f in cal_futs.items()}
-    pool.shutdown(wait=True)
+        # ---- calendar passes (submitted before the chunk loop) ----------------
+        cal: dict[str, Any] = {k: f.result() for k, f in cal_futs.items()}
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
+        for _p in _persisted:
+            _p.unpersist()
+        ordered.release_pass_caches(_cache_mark)
 
     # ---- assemble ----------------------------------------------------------
     rows: list[tuple[str, dict[str, Any]]] = []
@@ -435,7 +452,6 @@ def metrics(
                 bench_row(lambda c: (g("comp", c) - rf) / g("beta", c) * pct if g("beta", c) else math.nan),
             )
 
-    frame.unpersist()
     if numeric:
         return _build_numeric_df(rows, output_names)
     result_rows = [

@@ -265,15 +265,6 @@ class TestMultimodal:
         }
         assert out == {0: None, 1: None, 2: None}
 
-    def test_resize_rewrites_meta(self, spark, media):
-        out = multimodal.resize_stub(media, 224, 224).select("meta.width", "meta.height").collect()
-        assert all(r["width"] == 224 and r["height"] == 224 for r in out)
-
-    def test_frame_sampling(self, spark, media):
-        frames = multimodal.sample_frames_stub(media.where("media_id = 2"), every_ms=1000).collect()
-        assert len(frames) == 4  # 4500ms / 1000ms
-        assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
-
 
 def test_jaccard_shingle_df_cap(spark):
     # a boilerplate shingle shared by ALL docs is dropped by the cap;
@@ -600,6 +591,49 @@ class TestRealCodecs:
         assert row["meta"]["width"] == 4 and row["meta"]["mime"] == "image/x-portable-pixmap"
         decoded = codecs.decode_ppm(bytes(row["content"]))
         assert (decoded == codecs.resize_nearest(img, 4, 4)).all()
+
+    def test_jpeg_roundtrip(self):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs
+
+        rng = np.random.RandomState(13)
+        # constant blocks: bit-exact (only the integer DC survives)
+        for v in (0, 37, 128, 255):
+            img = np.full((8, 8), v, dtype=np.uint8)
+            assert np.array_equal(codecs.decode_jpeg(codecs.encode_jpeg(img)), img)
+        # arbitrary grayscale with the flat quant table: within 1 LSB
+        img = rng.randint(0, 256, (40, 56), dtype=np.uint8)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+        # RGB with non-multiple-of-8 dims: YCbCr rounds both ways
+        img = rng.randint(0, 256, (33, 41, 3), dtype=np.uint8)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 6
+        # lossy quant table still decodes to the right shape
+        q = np.clip(np.arange(64).reshape(8, 8) + 8, 1, 255)
+        img = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+        assert codecs.decode_jpeg(codecs.encode_jpeg(img, quant=q)).shape == (24, 24)
+        # non-JPEG payload rejected
+        with pytest.raises(ValueError, match="SOI"):
+            codecs.decode_jpeg(b"P5\n8 8\n255\n" + b" " * 64)
+
+    def test_spark_transcode_jpeg(self, spark):
+        import numpy as np
+
+        from alphastats_spark.functions import codecs, multimodal
+
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(3, bytearray(codecs.encode_ppm(img)), ("image/x-portable-graymap", 8, 8, None))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        row = multimodal.transcode_images(df, "image/jpeg").first()
+        assert row["meta"]["mime"] == "image/jpeg"
+        assert bytes(row["content"])[:2] == b"\xff\xd8"
+        assert np.array_equal(codecs.decode_jpeg(bytes(row["content"])), img)
 
     def test_split_ppm_frames(self):
         import numpy as np

@@ -187,6 +187,31 @@ class TestReportBasic:
         assert [l for l in labels if l] == LEGACY_BASIC
 
 
+class TestFailureCleanup:
+    def test_midreport_exception_leaks_no_caches(self, spark, daily_df, monkeypatch):
+        """An exception mid-report must release the thread pool and every
+        persisted frame — both the report's own persists and the prefix
+        passes' internal caches — so a long-lived session that survives
+        report failures does not accumulate cached RDDs."""
+        before = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+
+        def boom(*a, **k):
+            raise RuntimeError("injected calendar failure")
+
+        monkeypatch.setattr(reports, "_calendar_agg", boom)
+        with pytest.raises(RuntimeError, match="injected calendar failure"):
+            reports.metrics(daily_df, display=False)
+
+        after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+        assert after == before
+
+    def test_success_path_leaks_no_caches(self, spark, daily_df):
+        before = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+        reports.metrics(daily_df, display=False).collect()
+        after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+        assert after == before
+
+
 class TestNumericReport:
     def test_numeric_basic_rows_and_values(self, spark):
         """numeric=True returns the pre-formatting scalar table: every
