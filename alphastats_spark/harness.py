@@ -1299,24 +1299,54 @@ SELECT Metric, Strategy FROM (
     _add_extensions(add)
 
     # Registration-order policy: the driver's correctness gate evaluates the
-    # FIRST 50 registered queries each round. Rounds 1-3 each verified a
-    # rotating 50-query block (r1: scalar/order-dependent/monthly 50/50;
-    # r2: calendar/benchmark/report/streaming/extension 42/50; r3: 47/50 —
-    # the 3 events queries failed on the ts physical-type change, fixed this
-    # round by the adaptive _event_us/_event_ts readers). Round 4
-    # front-loads (a) those 3 repaired events queries, (b) the 3 queries
-    # registered this round (doc_decontaminate, corpus_source_stats,
-    # ann_knn_join), (c) corpus_pack_greedy, whose plan changed after its
-    # r3 green row (null-text coalesce + integer-div pack assignment), and
-    # (d) the entire 43-name block whose only green row is from round 1 —
-    # the stalest verifications in the registry (code unchanged, but three
-    # rounds old). (a)+(b)+(c)+(d) = 50 exactly. Names outside this window
-    # hold a green row from r2/r3 on code unchanged since that row.
-    front = [n for n in _ROUND4_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND4_WINDOW]
+    # FIRST 50 registered queries each round. Each round's window is
+    # priority-ordered: (a) repaired failures, (b) queries registered or
+    # whose oracle changed this round, (c) queries whose implementation
+    # changed since their last green row, (d) the stalest remaining green
+    # rows. History: r1 scalar/order/monthly 50/50; r2 42/50; r3 47/50
+    # (3 events ts-type failures, repaired r4); r4 50/50. Round 5
+    # front-loads (b) the 6 new/changed-oracle queries (JPEG, streaming
+    # sessions, the three *_nulls injections, and dedup_corpus whose output
+    # became the lineage schema), (c) 21 queries over machinery revised
+    # this round — the episode-id null-boundary fix (episode stats, the
+    # three reports, the keyed long frame) and the prefix-pass persist
+    # rework (drawdown/streak/lag/as-of families), and (d) the ENTIRE
+    # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
+    # compositions + 5 r2 text queries) — after this window no registered
+    # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
+    front = [n for n in _ROUND5_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND5_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND5_WINDOW = [
+    # (b) new registrations / changed oracles
+    "media_decode_jpeg", "event_session_streaming", "dedup_corpus",
+    "doc_text_stats_nulls", "dedup_exact_nulls", "doc_quality_filter_nulls",
+    # (c) episode null-boundary fix (peak-pos id now splits at null rows)
+    "longest_drawdown_days", "avg_drawdown_days", "avg_drawdown",
+    "multi_asset_metrics_long",
+    "report_numeric", "report_basic", "report_full_bench",
+    # (c) prefix-pass persist rework (single-execution now pinned by cache,
+    # not by the ReuseExchange assumption): drawdown, streak, lag/autocorr
+    # and as-of-join families
+    "to_drawdowns", "max_drawdown", "calmar",
+    "consecutive_wins", "consecutive_losses",
+    "autocorr_penalty", "smart_sharpe", "smart_sortino",
+    "smart_adjusted_sortino",
+    "greeks", "information_ratio", "correlation", "r_squared",
+    "treynor_ratio",
+    # (d) the stale backlog: 18 names green only in r1 ...
+    "adjusted_sortino", "avg_loss", "avg_win", "best", "cagr_simple",
+    "common_sense_ratio", "cpc_index", "exposure", "gain_to_pain_ratio_1m",
+    "kelly_criterion", "omega", "outlier_loss_ratio", "outlier_win_ratio",
+    "payoff_ratio", "risk_of_ruin", "sharpe_rf", "value_at_risk", "worst",
+    # (d) ... and 5 green only in r2
+    "doc_token_counts", "doc_text_stats", "doc_quality", "doc_lang_id",
+    "doc_fingerprint",
+]
 
 
 _ROUND4_WINDOW = [

@@ -111,6 +111,14 @@ def metrics(
     # The prefix passes inside the chunk loop persist their own windowed
     # frames — the report fully materializes everything it returns, so
     # those are released too, via the scoped pass-cache mark.
+    # Cap rendered-plan text: the chunk loop chains ~6 persisted prefix
+    # passes, and each InMemoryRelation prints its whole cached adaptive
+    # subtree — listener-event plan strings grow geometrically with pass
+    # depth and can OOM the driver (the query itself is fine). Sessions
+    # from build_session already carry this; set it here too because the
+    # report must survive on a caller-provided session.
+    frame.sparkSession.conf.set("spark.sql.maxPlanStringLength", "1048576")
+
     pool = ThreadPoolExecutor(max_workers=6)
     _persisted = [frame]
     _cache_mark = ordered.pass_cache_mark()

@@ -60,6 +60,13 @@ def build_session(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.parquet.filterPushdown": "true",
+        # Plan STRINGS, not plans: deep pass-chained queries (the report
+        # runs ~6 persisted prefix passes per chunk) print each cached
+        # relation's whole adaptive subtree, so the rendered text — built
+        # for listener events even with the UI off — grows geometrically
+        # and can OOM the driver while the query itself is healthy. 1 MB
+        # of plan text is plenty for debugging.
+        "spark.sql.maxPlanStringLength": "1048576",
         # parquet.aggregatePushdown deliberately NOT enabled: measured a
         # ~60% wall-clock regression on the headline bench (24.2s -> 15.3s
         # without it at sf0.1) — it only helps bare MIN/MAX/COUNT over a
