@@ -10,6 +10,15 @@ Each headline query exercises a different part of the engine:
   q_greeks     — as-of join + benchmark CAPM aggregates
   q_monthly    — calendar re-bucketing
   q_report     — full batched 36-row report
+
+Scale validation (round 5, scripts/scale_run.py, local[32]): on a
+synthetic sf1 (10x these inputs: 1.5M orders / 6M lineitem) the same six
+queries total 9.13s vs 7.95s at sf0.1 — wall-time exponent ~0.06 in data
+size (scans scale and parallelize; the derived analytics frame is
+calendar-shaped). The keyed long-frame path (long_frame.metrics_by_key)
+at 200 -> 2000 assets x ~2520 days (0.5M -> 5M rows) runs 12.97s -> 31.0s
+— exponent 0.38, strongly sub-linear: per-key windows parallelize across
+the added keys instead of deepening any single partition.
 """
 
 from __future__ import annotations

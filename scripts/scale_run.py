@@ -90,7 +90,7 @@ def long_frame_run(spark, n_assets: int, n_days: int = 2520) -> tuple[float, int
 
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/as_scale"
-    sf_dir = f"{work}/sfsynth1"
+    sf_dir = f"{work}/sf1.0"
     os.makedirs(sf_dir, exist_ok=True)
 
     from alphastats_spark.session import build_session
@@ -114,6 +114,19 @@ def main() -> None:
 
     exponent = round(math.log(t_big / t_small) / math.log(10), 3)
     spark.stop()
+    print(
+        json.dumps(
+            {
+                "long_frame": {
+                    "assets_200_rows_504k_sec": t_small,
+                    "assets_2000_rows_5040k_sec": t_big,
+                    "keys_out": [n_small, n_big],
+                    "scaling_exponent_base10": exponent,
+                }
+            }
+        ),
+        flush=True,
+    )
 
     # headline bench at synthetic sf1 through the UNMODIFIED bench harness
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -121,8 +134,11 @@ def main() -> None:
         [sys.executable, f"{REPO}/bench.py"], env=env, capture_output=True, text=True,
         timeout=3600,
     )
-    bench_line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    bench = json.loads(bench_line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise SystemExit("bench.py produced no JSON at the synthetic SF")
+    bench = json.loads(lines[-1])
 
     print(
         json.dumps(
