@@ -416,3 +416,140 @@ def repetition_stats(
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-self-trained bigram LM scoring (perplexity-style quality signal)
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Mean bigram log-likelihood of each document under an add-α smoothed
+    bigram model trained on the corpus itself (the CCNet/KenLM-style
+    quality signal: documents whose token transitions are improbable under
+    the corpus LM are noise / wrong-language / garbled candidates, and the
+    too-probable tail is boilerplate — both tails get filtered).
+
+    ``P(cur|prev) = (c(prev cur) + α) / (c(prev) + α·V)`` with corpus-wide
+    occurrence counts and ``V`` the corpus vocabulary size. Output one row
+    per input document: ``n_bigrams`` and ``avg_logprob`` (0.0 for
+    documents with fewer than two tokens).
+
+    Plan shape at 100 TB: two map-side-combinable count tables (bigram and
+    unigram — the shuffle carries one row per gram per map partition), the
+    1-row vocabulary count broadcast, and the per-document bigram stream
+    hash-joined to the counts on their natural keys. No driver
+    materialization, no UDFs, no global sort.
+    """
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    uni = (
+        base.select(F.explode("__toks").alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+
+    pair_structs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("prev"),
+                F.element_at("__toks", i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    pairs = base.select(F.col(id_col), F.explode(pair_structs).alias("__bg")).select(
+        F.col(id_col),
+        F.col("__bg.prev").alias("__prev"),
+        F.concat_ws(" ", "__bg.prev", "__bg.cur").alias("__gram"),
+    )
+
+    big = pairs.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c2"))
+
+    scored = (
+        pairs.join(big, "__gram")
+        .join(uni.withColumnRenamed("__tok", "__prev"), "__prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("__c2") + F.lit(float(alpha)))
+                / (F.col("__c1") + F.lit(float(alpha)) * F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.avg("__lp").alias("__avg")
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(F.coalesce("__avg", F.lit(0.0)), 7).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget domain mixing (DoReMi/Pile-style)
+
+
+def mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic token-budget domain mixing: allocate ``token_budget``
+    across sources proportionally to ``weights``, convert each source's
+    allocation into a keep-rate against its ACTUAL token mass, and decide
+    membership with the content-keyed md5 bucket (:func:`hash_bucket`) —
+    reproducible across runs, engines, and corpus growth.
+
+    Sources absent from ``weights`` get weight 0 (dropped). A source whose
+    allocation exceeds its mass is kept whole — the budget is NOT
+    redistributed; the emitted ``keep_rate`` column makes any shortfall
+    visible (join :func:`source_stats` on the output for achieved-mix
+    accounting).
+
+    Plan shape: one map-side-combinable groupBy for per-source token mass
+    (10²–10⁴ rows), rates broadcast-joined back, then a scan-level hash
+    predicate — the corpus itself never shuffles.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    share = F.create_map(
+        *[F.lit(x) for k, w in weights.items() for x in (k, w / total_w)]
+    )
+    n_tok = F.coalesce(text.token_count(F.col(text_col)), F.lit(0)).cast("bigint")
+    masses = (
+        df.select(F.col(strata_col), n_tok.alias("__n"))
+        .groupBy(strata_col)
+        .agg(F.sum("__n").alias("__mass"))
+    )
+    rates = masses.select(
+        F.col(strata_col),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * F.coalesce(share[F.col(strata_col)], F.lit(0.0))
+            / F.col("__mass"),
+        ).alias("keep_rate"),
+    )
+    out = df.join(F.broadcast(rates), strata_col, "left")
+    return out.where(
+        hash_bucket(F.col(id_col), n_buckets) < F.col("keep_rate") * n_buckets
+    )

@@ -1322,9 +1322,14 @@ SELECT Metric, Strategy FROM (
 
 
 _ROUND5_WINDOW = [
-    # (b) new registrations / changed oracles
+    # (b) new registrations / changed oracles. To stay at exactly 50, the
+    # two LM/mixing additions displace `correlation` and `r_squared` from
+    # the (c) as-of rechecks: both are r4-green, share their ffill/as-of
+    # machinery with the in-window `greeks`/`information_ratio`/
+    # `treynor_ratio`, and r_squared is definitionally correlation².
     "media_decode_jpeg", "event_session_streaming", "dedup_corpus",
     "doc_text_stats_nulls", "dedup_exact_nulls", "doc_quality_filter_nulls",
+    "doc_lm_score", "corpus_mix_sample",
     # (c) episode null-boundary fix (peak-pos id now splits at null rows)
     "longest_drawdown_days", "avg_drawdown_days", "avg_drawdown",
     "multi_asset_metrics_long",
@@ -1336,8 +1341,7 @@ _ROUND5_WINDOW = [
     "consecutive_wins", "consecutive_losses",
     "autocorr_penalty", "smart_sharpe", "smart_sortino",
     "smart_adjusted_sortino",
-    "greeks", "information_ratio", "correlation", "r_squared",
-    "treynor_ratio",
+    "greeks", "information_ratio", "treynor_ratio",
     # (d) the stale backlog: 18 names green only in r1 ...
     "adjusted_sortino", "avg_loss", "avg_win", "best", "cagr_simple",
     "common_sense_ratio", "cpc_index", "exposure", "gain_to_pain_ratio_1m",
@@ -2941,6 +2945,63 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(median(n), {ROUND}) AS median_tokens,
        COUNT(DISTINCT lang) AS n_langs
 FROM t GROUP BY source""")
+
+    # Corpus-self-trained bigram LM score (CCNet/KenLM-style): add-0.1
+    # smoothed P(cur|prev) from corpus-wide counts; per-doc mean log-prob.
+    # Both engines train the identical "model" (two count tables + the
+    # vocab size), so the approximation-free check covers tokenization,
+    # the count joins, and the smoothing arithmetic end to end.
+    add("doc_lm_score",
+        lambda spark, sf_dir: pipeline.lm_score(_docs(spark, sf_dir), alpha=0.1),
+        f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+           FROM documents),
+uni AS (SELECT tok, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, toks[i] AS prev, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+big AS (SELECT gram, COUNT(*) AS c2 FROM pairs GROUP BY 1),
+sc AS (
+  SELECT p.doc_id, ln((b.c2 + 0.1) / (u.c1 + 0.1 * v.v)) AS lp
+  FROM pairs p JOIN big b USING (gram) JOIN uni u ON p.prev = u.tok, v
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS a FROM sc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(agg.a, 0.0), {ROUND}) AS avg_logprob
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
+
+    # Token-budget domain mixing: src1 over-weighted so its allocation
+    # exceeds its mass (rate caps at 1 — kept whole), src0/src2 land at
+    # fractional rates, the other 17 sources get weight 0 (dropped) — all
+    # three regimes of the rate formula are driver-checked.
+    add("corpus_mix_sample",
+        lambda spark, sf_dir: pipeline.mix_sample(
+            _docs(spark, sf_dir),
+            weights={"src0": 1.0, "src1": 8.0, "src2": 1.0},
+            token_budget=2000,
+        ).select("doc_id", "source", F.round("keep_rate", ROUND).alias("keep_rate")),
+        f"""
+WITH m AS (
+  SELECT source, SUM(len({_TOKS_SQL})) AS mass FROM documents GROUP BY 1
+),
+r AS (
+  SELECT source,
+         LEAST(1.0, 2000.0 * (CASE source WHEN 'src0' THEN 0.1
+                                          WHEN 'src1' THEN 0.8
+                                          WHEN 'src2' THEN 0.1
+                                          ELSE 0.0 END) / mass) AS keep_rate
+  FROM m
+)
+SELECT d.doc_id, d.source, ROUND(r.keep_rate, {ROUND}) AS keep_rate
+FROM documents d JOIN r USING (source)
+WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000 < r.keep_rate * 10000""")
 
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
     # among radius-1 bucket-mates in either of 2 independent LSH tables.

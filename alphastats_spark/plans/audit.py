@@ -63,6 +63,27 @@ def scan_info(df: DataFrame) -> list[dict[str, str]]:
     return scans
 
 
+def _op_depth(line: str) -> int:
+    """Tree depth of a plan line = length of its branch-drawing prefix
+    (spaces, ``:``, ``+-``, ``*(n)`` codegen tags) before the operator."""
+    m = re.match(r"^[\s:+\-*()0-9]*", line)
+    return len(m.group(0)) if m else 0
+
+
+def _subtree(plan: str, pos: int) -> str:
+    """The plan text of the operator at ``pos`` plus all its descendants
+    (every following line printed deeper than it)."""
+    start = plan.rfind("\n", 0, pos) + 1
+    lines = plan[start:].split("\n")
+    depth = _op_depth(lines[0])
+    out = [lines[0]]
+    for line in lines[1:]:
+        if line.strip() and _op_depth(line) <= depth:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
 def audit(df: DataFrame) -> list[Finding]:
     """Heuristic scale-hazard findings for the physical plan of ``df``."""
     simple = explain_string(df, "simple")
@@ -85,6 +106,15 @@ def audit(df: DataFrame) -> list[Finding]:
     for m in re.finditer(r"BatchEvalPython[^\n]*", simple):
         findings.append(Finding("python-row-udf", m.group(0)[:160]))
     for m in re.finditer(r"(BroadcastNestedLoopJoin|CartesianProduct)[^\n]*", simple):
+        # A broadcast cross against a GLOBAL aggregate (keys=[] → exactly
+        # one row) is the standard way to attach a corpus-level scalar
+        # (vocabulary size, grand total) to every row — O(n·1), not O(n·m).
+        # Only flag nested loops whose build side is a real relation. The
+        # join's subtree is every following line printed deeper than the
+        # join line (the probe lineage prints first, so a fixed lookahead
+        # window would miss the build side).
+        if "HashAggregate(keys=[], functions=" in _subtree(simple, m.start()):
+            continue
         findings.append(Finding("nested-loop-join", m.group(0)[:160]))
 
     if re.search(r"\bFilter\b", simple):

@@ -922,6 +922,62 @@ class TestPipeline:
         assert "word_len" in out[2]["failed_rules"]  # mean len 1 < 2.0
         assert out[3]["n_tokens"] == 0 and not out[3]["keep"]
 
+    def test_lm_score(self, spark):
+        import math
+
+        from alphastats_spark.functions import pipeline
+
+        # corpus: "a b" x2 docs and one "a c" doc -> c(a)=3, c(b)=2? no:
+        # tokens: doc0 "a b a b", doc1 "a b", doc2 "a c", doc3 "" (no pairs)
+        df = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b"), (2, "a c"), (3, "x")],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in pipeline.lm_score(df, alpha=0.5).collect()}
+        # corpus counts: unigrams a=4, b=3, c=1, x=1 (V=4);
+        # bigrams: "a b"=3, "b a"=1, "a c"=1
+        def lp(c2, c1):
+            return math.log((c2 + 0.5) / (c1 + 0.5 * 4))
+
+        exp0 = (lp(3, 4) + lp(1, 3) + lp(3, 4)) / 3  # a b, b a, a b
+        assert out[0]["n_bigrams"] == 3
+        assert out[0]["avg_logprob"] == pytest.approx(round(exp0, 7), abs=1e-7)
+        assert out[1]["avg_logprob"] == pytest.approx(round(lp(3, 4), 7), abs=1e-7)
+        assert out[2]["avg_logprob"] == pytest.approx(round(lp(1, 4), 7), abs=1e-7)
+        # single-token doc: no bigrams, sentinel 0.0
+        assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] == 0.0
+        # the common transition scores higher than the rare one
+        assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+    def test_mix_sample(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [(i, "web" if i < 80 else "books", "tok " * 10) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        # books (20 docs x 10 tokens = 200 mass) gets 8/10 of a 1000-token
+        # budget -> 800 > 200 -> capped at rate 1.0 (kept whole);
+        # web (800 mass) gets 200 -> rate 0.25; unknown sources dropped
+        out = pipeline.mix_sample(
+            df, weights={"books": 8.0, "web": 2.0}, token_budget=1000
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        assert len(by_src["books"]) == 20  # capped source kept whole
+        assert all(r["keep_rate"] == 1.0 for r in by_src["books"])
+        assert 0 < len(by_src["web"]) < 80  # fractional source subsampled
+        assert all(r["keep_rate"] == pytest.approx(0.25) for r in by_src["web"])
+        # determinism + growth stability: rerun yields identical membership
+        again = {r["doc_id"] for r in pipeline.mix_sample(
+            df, weights={"books": 8.0, "web": 2.0}, token_budget=1000
+        ).collect()}
+        assert again == {r["doc_id"] for r in out}
+        # zero-weight source is dropped entirely
+        none_kept = pipeline.mix_sample(
+            df, weights={"books": 1.0}, token_budget=100
+        ).where("source = 'web'").count()
+        assert none_kept == 0
+
     def test_source_stats(self, spark):
         from alphastats_spark.functions import pipeline
 

@@ -403,3 +403,12 @@ def test_audit_round4_operators(spark):
         )
     }
     assert kinds <= {"unfiltered-scan"}
+
+    # round-5 operators: lm_score's 1-row vocab broadcast must NOT flag as
+    # a nested-loop hazard; join-key isnotnull filters on derived token
+    # columns legitimately cannot push to the parquet scan
+    kinds = {f.kind for f in plans.audit(pipeline.lm_score(docs))}
+    assert kinds <= {"unfiltered-scan"}, kinds
+    assert plans.audit(
+        pipeline.mix_sample(docs, weights={"src0": 1.0, "src1": 2.0}, token_budget=500)
+    ) == []
