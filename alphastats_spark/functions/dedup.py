@@ -514,3 +514,109 @@ def deduplicate(
             .alias("reason"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication at token k-gram granularity.
+
+    The Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr operation, re-expressed for Spark: instead of a
+    monolithic suffix array, duplicated spans are found by hashing every
+    token ``k``-gram and removing each token covered by a k-gram that occurs
+    more than once in the corpus (within- OR cross-document — a verbatim
+    self-repeat is boilerplate too). Suffix arrays find variable-length
+    repeats ≥ k; the k-gram formulation finds exactly the same *covered
+    positions* for repeats of length ≥ k, because any such repeat is a chain
+    of duplicated k-grams — the removal sets coincide.
+
+    Plan shape (the 100 TB argument):
+
+    1. one projection builds the token array per document (no shuffle);
+    2. ``explode`` of k-gram start positions → groupBy(gram) count —
+       map-side combinable, one shuffle keyed by gram;
+    3. start positions of duplicated grams rejoin the gram stream on the
+       gram key (shuffled hash join — the duplicated-gram table is
+       corpus-sized, never collected or broadcast);
+    4. per-token coverage = running max of the duplicate-start flag over a
+       bounded ``ROWS BETWEEN k-1 PRECEDING`` window partitioned by
+       document — state is O(k), partitions are documents, no skew beyond
+       document length;
+    5. surviving tokens reassemble with one groupBy(doc).
+
+    Every hash is the gram text itself (no seeded hash), so the DuckDB
+    oracle replicates the computation exactly.
+
+    Output: one row per input document —
+    ``(id_col, n_tokens, n_removed, deduped_text)`` where ``deduped_text``
+    is the whitespace-rejoined surviving tokens ('' when everything was
+    removed or the document was empty/null).
+    """
+    from pyspark.sql import Window
+
+    from alphastats_spark.functions import text as _text
+
+    toks = _text.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+
+    grams = (
+        base.where(F.col("__n") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
+                )
+            ).alias("__p0", "gram"),
+        )
+        .select(id_col, (F.col("__p0") + 1).alias("p"), "gram")
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("gram")
+    )
+    dup_starts = grams.join(dup_grams, on="gram").select(id_col, "p")
+
+    tok_pos = base.select(
+        id_col, F.posexplode(F.col("__t")).alias("__p0", "tok")
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "tok")
+    flagged = tok_pos.join(
+        dup_starts.withColumnRenamed("p", "pos").withColumn("__f", F.lit(1)),
+        on=[id_col, "pos"],
+        how="left",
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), 0)
+    kept = (
+        flagged.withColumn("__cov", F.max("__f").over(w))
+        .where(F.col("__cov").isNull())
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("deduped_text"),
+        )
+    )
+    return (
+        base.select(id_col, "__n")
+        .join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            (F.col("__n") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+        )
+    )

@@ -1330,6 +1330,11 @@ _ROUND5_WINDOW = [
     "media_decode_jpeg", "event_session_streaming", "dedup_corpus",
     "doc_text_stats_nulls", "dedup_exact_nulls", "doc_quality_filter_nulls",
     "doc_lm_score", "corpus_mix_sample",
+    # ... and the exact-substring dedup (Lee et al. ExactSubstr), which
+    # displaces `smart_adjusted_sortino` from the (c) rechecks: it is
+    # definitionally smart_sortino/sqrt(2) and smart_sortino stays
+    # in-window, so the autocorr-penalty machinery remains fully covered.
+    "doc_substring_dedup",
     # (c) episode null-boundary fix (peak-pos id now splits at null rows)
     "longest_drawdown_days", "avg_drawdown_days", "avg_drawdown",
     "multi_asset_metrics_long",
@@ -1340,7 +1345,6 @@ _ROUND5_WINDOW = [
     "to_drawdowns", "max_drawdown", "calmar",
     "consecutive_wins", "consecutive_losses",
     "autocorr_penalty", "smart_sharpe", "smart_sortino",
-    "smart_adjusted_sortino",
     "greeks", "information_ratio", "treynor_ratio",
     # (d) the stale backlog: 18 names green only in r1 ...
     "adjusted_sortino", "avg_loss", "avg_win", "best", "cagr_simple",
@@ -2291,6 +2295,52 @@ SELECT d.doc_id,
             WHEN c.cluster_id = d.doc_id THEN 'representative'
             ELSE 'near_dup_dropped' END AS reason
 FROM documents d LEFT JOIN cls c ON d.doc_id = c.id""")
+
+    # Exact substring dedup (Lee et al. 2021 ExactSubstr at token-k-gram
+    # granularity): every token covered by a k-gram occurring >1 time in
+    # the corpus is removed. The gram IS the hash (raw text key), so the
+    # oracle replicates the full pipeline — gram counts, duplicate-start
+    # join, the bounded k-1-preceding coverage window, and the surviving
+    # text reassembly — with zero approximation. At sf0.001 this already
+    # fires for real: 45/500 docs lose 2697 tokens.
+    _ssd_k = 8
+    add("doc_substring_dedup",
+        lambda spark, sf_dir: dedup.substring_dedup(_docs(spark, sf_dir), k=_ssd_k),
+        f"""
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                 t -> t <> '') AS t
+              FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n FROM base),
+gs AS (
+  SELECT doc_id, unnest(generate_series(1, n - {_ssd_k} + 1)) AS p, t
+  FROM sized WHERE n >= {_ssd_k}
+),
+grams AS (SELECT doc_id, p,
+                 array_to_string(list_slice(t, p, p + {_ssd_k} - 1), ' ') AS gram
+          FROM gs),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+starts AS (SELECT doc_id, p FROM grams WHERE gram IN (SELECT gram FROM dup)),
+tp AS (SELECT doc_id, unnest(generate_series(1, n)) AS pos, t
+       FROM sized WHERE n >= 1),
+tok AS (SELECT doc_id, pos, t[pos] AS tok FROM tp),
+fl AS (
+  SELECT tok.doc_id, tok.pos, tok.tok,
+         CASE WHEN s.p IS NOT NULL THEN 1 END AS f
+  FROM tok LEFT JOIN starts s ON s.doc_id = tok.doc_id AND s.p = tok.pos
+),
+cov AS (
+  SELECT doc_id, pos, tok,
+         MAX(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_ssd_k - 1} PRECEDING AND CURRENT ROW) AS c
+  FROM fl
+),
+kept AS (SELECT doc_id, COUNT(*) AS nk, string_agg(tok, ' ' ORDER BY pos) AS dt
+         FROM cov WHERE c IS NULL GROUP BY doc_id)
+SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(s.n - COALESCE(k.nk, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.dt, '') AS deduped_text
+FROM sized s LEFT JOIN kept k USING (doc_id)""")
 
     # Embedding near-dups run the LSH-bucketed pipeline as the GATE query —
     # the 100 TB shape (per-bucket equi-joins, no all-pairs join anywhere).

@@ -756,6 +756,33 @@ def test_deduplicate_keeps_representatives(spark, docs):
     assert out.columns == docs.columns
 
 
+def test_substring_dedup_semantics(spark):
+    # doc 0 and 1 share an 8-token span (cross-doc repeat); doc 2 repeats
+    # its own 8-token opening (within-doc repeat); doc 3 is short; doc 4 is
+    # null text. k=4 keeps the fixture small.
+    rows = [
+        (0, "a b c d e f g h unique0 tail0"),
+        (1, "prefix1 a b c d e f g h tail1"),
+        (2, "r s t u r s t u"),
+        (3, "x y"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in dedup.substring_dedup(df, k=4).collect()}
+    assert len(out) == 5
+    # the duplicated 4-gram chain "a b c d e f g h" covers those 8 tokens in
+    # both docs; surrounding unique tokens survive
+    assert out[0]["deduped_text"] == "unique0 tail0"
+    assert out[0]["n_tokens"] == 10 and out[0]["n_removed"] == 8
+    assert out[1]["deduped_text"] == "prefix1 tail1"
+    # within-doc repeat: "r s t u" occurs twice -> the whole doc is covered
+    assert out[2]["n_removed"] == 8 and out[2]["deduped_text"] == ""
+    # shorter than k: no grams, nothing removed
+    assert out[3]["n_removed"] == 0 and out[3]["deduped_text"] == "x y"
+    # null text -> empty doc, not a crash
+    assert out[4]["n_tokens"] == 0 and out[4]["deduped_text"] == ""
+
+
 class TestReportFormatOracle:
     """The formatted-string report oracle (_fmt_sql) must replicate the
     report's Python formatter (reports._format_value) bit-for-bit — this is
