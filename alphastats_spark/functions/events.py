@@ -1,0 +1,139 @@
+"""Event-log analytics: sequential funnels and cohort retention.
+
+The batch product-analytics layer over the ``events`` table, complementing
+the sessionization operators in :mod:`alphastats_spark.streaming.metrics`.
+Neither exists in the reference (a single-frame stats library); both are
+standard warehouse workloads a Spark-native engine must cover.
+
+Scale design
+------------
+* **Funnel** — the ClickHouse-``windowFunnel``-style sequence match is a
+  per-user FOLD, not a per-step self-join: one shuffle collects each user's
+  events, ``array_sort`` + ``F.aggregate`` run the step machine JVM-side
+  (whole-stage codegen, no Python), and the per-user state is a 2-field
+  struct. A k-step funnel over 100 TB is therefore one groupBy(user) plus a
+  driver-free one-row summary agg — versus k shuffled self-joins in the
+  naive translation. Per-user event counts bound the array; heavy hitters
+  (bot users) are the only skew and can be pre-capped with a count filter.
+* **Retention** — cohort = each user's first active week; activity is
+  de-duplicated to (user, week) BEFORE the cohort join, so the join and the
+  final rollup run on |users| × |weeks-active| rows, not raw events. All
+  three aggregations are map-side combinable; the cohort join is
+  co-partitioned on ``user_id`` with the groupBy that produced it, so AQE
+  plans no extra shuffle for it.
+
+Time is **integer epoch microseconds** end to end (the caller converts its
+timestamp physical type once): no float epochs in boundary comparisons, no
+session-timezone or week-start locale dependence (weeks are
+``floor(us / 604800e6)`` since the epoch), and the DuckDB oracles mirror
+the arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+US_PER_WEEK = 7 * 24 * 3600 * 1_000_000
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    max_gap_s: int = 86_400,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered k-step conversion funnel with a per-step gap cap.
+
+    A user converts to step ``i`` when an event of type ``steps[i]`` occurs
+    STRICTLY after their step ``i-1`` conversion and within ``max_gap_s``
+    seconds of it; the conversion instant is the earliest such event
+    (chained-min semantics — deterministic, tie-break-free: simultaneous
+    events never chain because the comparison is strict).
+
+    Implemented as a sorted fold per user: ``collect_list`` the (us, type)
+    pairs, ``array_sort``, then ``F.aggregate`` advances a
+    ``(level, last_ts)`` accumulator — ascending order makes "first
+    qualifying event" equal "min qualifying event", so the fold reproduces
+    the chained-min definition in one pass. The summary is a single global
+    aggregation of conditional counters, unpivoted to one row per step —
+    no window over a single partition anywhere.
+
+    Output: ``(step int, event_type string, n_users bigint)`` — one row per
+    step, n_users non-increasing.
+    """
+    gap_us = F.lit(int(max_gap_s) * 1_000_000)
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col(us_col).alias("us"), F.col(type_col).alias("et")))
+    )
+
+    def advance(acc: Column, e: Column) -> Column:
+        out = F.struct(acc["lvl"].alias("lvl"), acc["t"].alias("t"))
+        for i, s in enumerate(steps):
+            ok = (acc["lvl"] == i) & (e["et"] == s)
+            if i > 0:
+                ok = ok & (e["us"] > acc["t"]) & (e["us"] - acc["t"] <= gap_us)
+            out = F.when(
+                ok,
+                F.struct(
+                    (acc["lvl"] + 1).alias("lvl"), e["us"].cast("long").alias("t")
+                ),
+            ).otherwise(out)
+        return out
+
+    zero = F.struct(F.lit(0).alias("lvl"), F.lit(0).cast("long").alias("t"))
+    levels = (
+        df.select(user_col, us_col, type_col)
+        .groupBy(user_col)
+        .agg(F.aggregate(seq, zero, advance)["lvl"].alias("lvl"))
+    )
+    counters = [
+        F.count(F.when(F.col("lvl") >= i + 1, True)).alias(f"s{i}")
+        for i in range(len(steps))
+    ]
+    stack = ", ".join(f"{i + 1}, '{s}', s{i}" for i, s in enumerate(steps))
+    return (
+        levels.agg(*counters)
+        .select(
+            F.expr(
+                f"stack({len(steps)}, {stack}) AS (step, event_type, n_users)"
+            )
+        )
+        .select(F.col("step").cast("int").alias("step"), "event_type", "n_users")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    bucket_us: int = US_PER_WEEK,
+    user_col: str = "user_id",
+    us_col: str = "us",
+) -> DataFrame:
+    """Cohort retention: users active N buckets after their first activity.
+
+    Cohort = ``floor(first_activity_us / bucket_us)`` (epoch-anchored
+    buckets — no calendar/locale dependence; default weekly, pass
+    ``bucket_us=86_400_000_000`` for daily cohorts). Activity collapses to
+    distinct (user, bucket) first, so everything downstream of the raw scan
+    is user×bucket-sized. Output:
+    ``(cohort_bucket bigint, bucket_offset bigint, n_users bigint)`` where
+    the ``bucket_offset`` 0 row counts the cohort itself.
+    """
+    act = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.expr(f"CAST({us_col} AS BIGINT) div {int(bucket_us)}").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("u").agg(F.min("wk").alias("cw"))
+    return (
+        act.join(cohort, on="u")
+        .groupBy(
+            F.col("cw").alias("cohort_bucket"),
+            (F.col("wk") - F.col("cw")).alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -1335,6 +1335,11 @@ _ROUND5_WINDOW = [
     # definitionally smart_sortino/sqrt(2) and smart_sortino stays
     # in-window, so the autocorr-penalty machinery remains fully covered.
     "doc_substring_dedup",
+    # ... and the two event-analytics registrations. event_funnel displaces
+    # `calmar` (cagr over |max_drawdown|; both constituents in-window) and
+    # event_retention displaces `treynor_ratio` (the as-of/ffill machinery
+    # stays covered by in-window greeks + information_ratio).
+    "event_funnel", "event_retention",
     # (c) episode null-boundary fix (peak-pos id now splits at null rows)
     "longest_drawdown_days", "avg_drawdown_days", "avg_drawdown",
     "multi_asset_metrics_long",
@@ -1342,10 +1347,10 @@ _ROUND5_WINDOW = [
     # (c) prefix-pass persist rework (single-execution now pinned by cache,
     # not by the ReuseExchange assumption): drawdown, streak, lag/autocorr
     # and as-of-join families
-    "to_drawdowns", "max_drawdown", "calmar",
+    "to_drawdowns", "max_drawdown",
     "consecutive_wins", "consecutive_losses",
     "autocorr_penalty", "smart_sharpe", "smart_sortino",
-    "greeks", "information_ratio", "treynor_ratio",
+    "greeks", "information_ratio",
     # (d) the stale backlog: 18 names green only in r1 ...
     "adjusted_sortino", "avg_loss", "avg_win", "best", "cagr_simple",
     "common_sense_ratio", "cpc_index", "exposure", "gain_to_pain_ratio_1m",
@@ -2671,6 +2676,58 @@ FROM s GROUP BY user_id, session_id""")
         f"""SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
 FROM events GROUP BY 1, 2""")
+
+    # Ordered conversion funnel (ClickHouse-windowFunnel-style), chained-min
+    # semantics with a 24h per-step gap cap. Spark runs the one-shuffle
+    # sorted-fold formulation (array_sort + F.aggregate step machine); the
+    # oracle runs the independent chained-min CTE formulation — agreement
+    # checks the fold machinery, not a shared shape. At sf0.01 the funnel is
+    # genuinely selective: 150 signup -> 65 click -> 29 purchase.
+    def _funnel(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev))
+        return ev_ops.funnel(
+            ev, steps=["signup", "click", "purchase"], max_gap_s=86_400
+        )
+
+    add("event_funnel", _funnel, """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+t1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1.t AND us - t1.t <= 86400000000
+       GROUP BY 1),
+t3 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2.t AND us - t2.t <= 86400000000
+       GROUP BY 1)
+SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type,
+       (SELECT COUNT(*) FROM t1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)""")
+
+    # Cohort retention on epoch-anchored buckets (no calendar / locale
+    # dependence; pure integer-microsecond arithmetic both engines). The
+    # gate runs DAILY cohorts: the sf corpus spans only ~30 days, so weekly
+    # grain would collapse to one cohort, while daily grain exercises many
+    # cohort × offset cells.
+    def _retention(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev))
+        return ev_ops.cohort_retention(ev, bucket_us=86_400_000_000)
+
+    add("event_retention", _retention, """
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS wk FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cw FROM act GROUP BY 1)
+SELECT CAST(c.cw AS BIGINT) AS cohort_bucket,
+       CAST(a.wk - c.cw AS BIGINT) AS bucket_offset,
+       COUNT(*) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY 1, 2""")
 
     # The same hourly rollup through GENUINE Structured Streaming: file
     # source → watermarked tumbling ``F.window`` aggregation → memory sink.

@@ -1168,3 +1168,63 @@ def test_pipeline_plans_scale(spark, docs):
     packed = pipeline.pack_documents(docs, budget=8, bucket_width=4)
     bad = [f for f in plan_audit(packed) if f.kind in ("python-row-udf", "nested-loop-join")]
     assert not bad, bad
+
+
+class TestEventAnalytics:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, us bigint, event_type string"
+        )
+
+    def test_funnel_semantics(self, spark):
+        from alphastats_spark.functions import events as ev_ops
+
+        M = 1_000_000  # one second in microseconds
+        rows = [
+            # user 1: full conversion within gaps
+            (1, 0 * M, "a"), (1, 10 * M, "b"), (1, 20 * M, "c"),
+            # user 2: step-2 event BEFORE step 1 -> never chains
+            (2, 0 * M, "b"), (2, 10 * M, "a"), (2, 20 * M, "c"),
+            # user 3: simultaneous a and b -> strict > rejects the chain
+            (3, 5 * M, "a"), (3, 5 * M, "b"),
+            # user 4: b beyond the 30s gap cap
+            (4, 0 * M, "a"), (4, 40 * M, "b"),
+            # user 5: first qualifying b is the MIN, later c chains off it
+            (5, 0 * M, "a"), (5, 1 * M, "b"), (5, 25 * M, "b"), (5, 9 * M, "c"),
+        ]
+        out = ev_ops.funnel(
+            self._ev(spark, rows), steps=["a", "b", "c"], max_gap_s=30
+        ).collect()
+        by_step = {r["step"]: r["n_users"] for r in out}
+        assert [r["event_type"] for r in sorted(out, key=lambda r: r["step"])] == ["a", "b", "c"]
+        # reached a: users 1,2,3,4,5 ... user 2 reaches 'a' at t=10
+        assert by_step[1] == 5
+        # reached b after a within 30s: users 1, 5 (user 2's b precedes a;
+        # user 3 simultaneous; user 4 beyond cap)
+        assert by_step[2] == 2
+        # reached c: user 1 (20s after b) and 5 (c at 9s > b at 1s)
+        assert by_step[3] == 2
+
+    def test_funnel_user2_c_does_not_skip_levels(self, spark):
+        from alphastats_spark.functions import events as ev_ops
+
+        # c present but b never reached -> funnel stops at level 1
+        rows = [(7, 0, "a"), (7, 1_000_000, "c")]
+        out = {r["step"]: r["n_users"]
+               for r in ev_ops.funnel(self._ev(spark, rows), ["a", "b", "c"]).collect()}
+        assert out == {1: 1, 2: 0, 3: 0}
+
+    def test_cohort_retention(self, spark):
+        from alphastats_spark.functions import events as ev_ops
+
+        B = 100  # tiny bucket for the test
+        rows = [
+            (1, 5, "x"), (1, 150, "x"), (1, 160, "x"), (1, 350, "x"),
+            (2, 120, "x"), (2, 250, "x"),
+            (3, 20, "x"),
+        ]
+        out = {(r["cohort_bucket"], r["bucket_offset"]): r["n_users"]
+               for r in ev_ops.cohort_retention(self._ev(spark, rows), bucket_us=B).collect()}
+        # user 1 cohort 0 active buckets {0,1,3}; user 3 cohort 0 bucket {0};
+        # user 2 cohort 1 active {1,2}
+        assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
