@@ -553,3 +553,40 @@ def mix_sample(
     return out.where(
         hash_bucket(F.col(id_col), n_buckets) < F.col("keep_rate") * n_buckets
     )
+
+
+def topk_by_quality(
+    df: DataFrame,
+    k: int = 25,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the k highest-quality documents per stratum (FineWeb-style
+    per-domain curation).
+
+    Rank = ``row_number`` over (stratum, quality DESC, id ASC) — the id
+    tiebreak makes selection deterministic under equal scores, and the
+    quality score is rounded to 7 decimals BEFORE ordering so the oracle's
+    independently-computed doubles order identically. One rank window
+    partitioned by stratum: per-partition state is O(1) (running counter),
+    work is bounded by per-stratum cardinality. For pathologically hot
+    strata (one domain = half the corpus) the two-phase shape — per-Spark-
+    partition top-k with ``slice(sort_array(collect_list(...)), 1, k)``
+    then a merge — bounds the shuffle at k rows per partition; at the gate
+    scale the plain window IS the right plan.
+
+    Output: ``(strata_col, rank int, id_col, quality double)``.
+    """
+    from pyspark.sql import Window
+
+    q = F.round(text.quality_score(F.col(text_col)), 7)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return (
+        df.select(F.col(strata_col), F.col(id_col), q.alias("quality"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(strata_col, "rank", id_col, "quality")
+    )

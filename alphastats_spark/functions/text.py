@@ -155,6 +155,46 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+# Markup-stripping pipeline, applied in order. All patterns are
+# RE2-compatible (no lookarounds, `(?s)` dotall only) so Spark's Java regex
+# and DuckDB's RE2 produce identical results for the oracle. Entity
+# unescapes run AFTER tag removal, with `&amp;` last so `&amp;lt;` decodes
+# to the literal `&lt;` (single unescape, the lossless order).
+MARKUP_BLOCK_PATTERNS: list[str] = [
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+MARKUP_TAG_PATTERN = r"</?[A-Za-z][^>]*>"
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/markup removal — the extraction step between a raw web crawl and
+    every text operator in this module.
+
+    script/style/comment blocks are deleted wholesale (their content is
+    code, not prose), remaining tags become spaces (so ``a<br>b`` stays two
+    tokens), the common entities are unescaped, and whitespace collapses.
+    A pure ``regexp_replace``/``replace`` chain: JVM-side, codegen-friendly,
+    no shuffle — the same per-row shape as :func:`redact_pii`.
+    """
+    out = text
+    for pattern in MARKUP_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pattern, " ")
+    out = F.regexp_replace(out, MARKUP_TAG_PATTERN, " ")
+    for entity, char in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(char))
+    return F.trim(F.regexp_replace(out, _WS, " "))
+
+
 def term_frequencies(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1340,6 +1340,13 @@ _ROUND5_WINDOW = [
     # event_retention displaces `treynor_ratio` (the as-of/ffill machinery
     # stays covered by in-window greeks + information_ratio).
     "event_funnel", "event_retention",
+    # ... and the curation pair: doc_strip_markup (html-injection
+    # extraction pass) displaces `consecutive_losses` (sign-flipped mirror
+    # of in-window consecutive_wins, same islands machinery) and
+    # doc_topk_quality (per-source rank curation) displaces `smart_sharpe`
+    # (penalty machinery covered by in-window autocorr_penalty +
+    # smart_sortino).
+    "doc_strip_markup", "doc_topk_quality",
     # (c) episode null-boundary fix (peak-pos id now splits at null rows)
     "longest_drawdown_days", "avg_drawdown_days", "avg_drawdown",
     "multi_asset_metrics_long",
@@ -1348,8 +1355,8 @@ _ROUND5_WINDOW = [
     # not by the ReuseExchange assumption): drawdown, streak, lag/autocorr
     # and as-of-join families
     "to_drawdowns", "max_drawdown",
-    "consecutive_wins", "consecutive_losses",
-    "autocorr_penalty", "smart_sharpe", "smart_sortino",
+    "consecutive_wins",
+    "autocorr_penalty", "smart_sortino",
     "greeks", "information_ratio",
     # (d) the stale backlog: 18 names green only in r1 ...
     "adjusted_sortino", "avg_loss", "avg_win", "best", "cagr_simple",
@@ -1994,14 +2001,9 @@ FROM documents"""
         lambda spark, sf_dir: _text_stats(_docs_nulled(spark, sf_dir)),
         f"WITH {_NULLS_DOCS_CTE}\n{_text_stats_sql}")
 
-    add("doc_quality",
-        lambda spark, sf_dir: _docs(spark, sf_dir).select(
-            "doc_id",
-            F.round(text.quality_score(F.col("text")), ROUND).alias("quality_score"),
-        ),
-        f"""
-WITH parts AS (
-  SELECT doc_id,
+    _quality_cte = f"""
+parts AS (
+  SELECT doc_id, source,
     len({_TOKS_SQL}) * 1.0 AS n_tok,
     CASE WHEN len({_TOKS_SQL}) > 0 THEN
       list_sum(list_transform({_TOKS_SQL}, t -> length(t))) * 1.0 / len({_TOKS_SQL})
@@ -2016,13 +2018,94 @@ WITH parts AS (
       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text)
       ELSE 0 END AS noise
   FROM documents
+),
+scored AS (
+  SELECT doc_id, source, ROUND(
+      0.3 * LEAST(n_tok / 50.0, 1.0)
+    + 0.2 * (CASE WHEN atl >= 3 AND atl <= 10 THEN 1.0 ELSE 0.5 END)
+    + 0.2 * LEAST(stop_ratio * 5, 1.0)
+    + 0.3 * GREATEST(1.0 - 2 * noise, 0.0), {ROUND}) AS quality_score
+  FROM parts
+)"""
+
+    add("doc_quality",
+        lambda spark, sf_dir: _docs(spark, sf_dir).select(
+            "doc_id",
+            F.round(text.quality_score(F.col("text")), ROUND).alias("quality_score"),
+        ),
+        f"WITH {_quality_cte}\nSELECT doc_id, quality_score FROM scored")
+
+    # Per-source top-k curation (FineWeb-style "best K docs per domain"):
+    # rank window partitioned by source over the 7dp-rounded quality score
+    # with a doc_id tiebreak, so both engines order identical doubles
+    # deterministically.
+    add("doc_topk_quality",
+        lambda spark, sf_dir: pipeline.topk_by_quality(_docs(spark, sf_dir), k=10),
+        f"""WITH {_quality_cte}
+SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, quality_score AS quality
+FROM (
+  SELECT source, doc_id, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rank
+  FROM scored
 )
-SELECT doc_id, ROUND(
-    0.3 * LEAST(n_tok / 50.0, 1.0)
-  + 0.2 * (CASE WHEN atl >= 3 AND atl <= 10 THEN 1.0 ELSE 0.5 END)
-  + 0.2 * LEAST(stop_ratio * 5, 1.0)
-  + 0.3 * GREATEST(1.0 - 2 * noise, 0.0), {ROUND}) AS quality_score
-FROM parts""")
+WHERE rank <= 10""")
+
+    # Markup stripping over a DETERMINISTIC html injection (the corpus has
+    # no markup, so — like the PII and null injections — the operator would
+    # be vacuous on raw documents): doc_id%3==0 wraps the text in
+    # div/b tags plus a script block whose content must vanish wholesale;
+    # doc_id%3==1 prepends escaped entities (unescaped AFTER tag removal,
+    # so `&lt;p&gt;` survives as literal `<p>` content) and appends an html
+    # comment; doc_id%3==2 is passthrough. Both engines run the identical
+    # injection + RE2-compatible pattern chain.
+    _mk0_pre = '<div class="c"><b>'
+    _mk0_post = '</b><script type="text/javascript">var x = 1 < 2;</script></div>'
+    _mk1_pre = "&lt;p&gt; &amp;amp; &nbsp;"
+    _mk1_post = " <!-- note -->"
+
+    def _docs_marked(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        m = F.col("doc_id") % 3
+        marked = (
+            F.when(m == 0, F.concat(F.lit(_mk0_pre), F.col("text"), F.lit(_mk0_post)))
+            .when(m == 1, F.concat(F.lit(_mk1_pre), F.col("text"), F.lit(_mk1_post)))
+            .otherwise(F.col("text"))
+        )
+        return d.select("doc_id", marked.alias("text"))
+
+    add("doc_strip_markup",
+        lambda spark, sf_dir: _docs_marked(spark, sf_dir).select(
+            "doc_id", text.strip_markup(F.col("text")).alias("clean_text")
+        ),
+        f"""
+WITH marked AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN '{_mk0_pre.replace("'", "''")}' || text || '{_mk0_post.replace("'", "''")}'
+           WHEN 1 THEN '{_mk1_pre}' || text || '{_mk1_post}'
+           ELSE text END AS text
+  FROM documents
+),
+noblock AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g') AS t
+  FROM marked
+),
+notag AS (SELECT doc_id, regexp_replace(t, '</?[A-Za-z][^>]*>', ' ', 'g') AS t
+          FROM noblock),
+unesc AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM notag
+)
+SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text
+FROM unesc""")
 
     add("doc_lang_id",
         lambda spark, sf_dir: _docs(spark, sf_dir).select(

@@ -1228,3 +1228,52 @@ class TestEventAnalytics:
         # user 1 cohort 0 active buckets {0,1,3}; user 3 cohort 0 bucket {0};
         # user 2 cohort 1 active {1,2}
         assert out == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+class TestMarkupAndCuration:
+    def test_strip_markup(self, spark):
+        rows = [
+            (0, '<div class="c"><b>hello</b> <script>var x = 1 < 2;</script>world</div>'),
+            (1, "&lt;p&gt; is literal &amp;amp; stays escaped-once"),
+            (2, "a<br>b<!-- gone -->c"),
+            (3, "plain text unchanged"),
+            (4, "<style>p { color: red }</style>body"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r["t"]
+               for r in df.select("doc_id", text.strip_markup(F.col("text")).alias("t")).collect()}
+        assert out[0] == "hello world"
+        # entities unescape AFTER tag removal: escaped markup is content
+        assert out[1] == "<p> is literal &amp; stays escaped-once"
+        assert out[2] == "a b c"
+        assert out[3] == "plain text unchanged"
+        assert out[4] == "body"
+
+    def test_topk_by_quality(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = []
+        for s in ("a", "b"):
+            for i in range(5):
+                # longer docs score higher on the length component
+                rows.append((len(rows), "word " * (10 * (i + 1)), s))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = pipeline.topk_by_quality(df, k=2).collect()
+        assert len(out) == 4
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        for s, docs in by_src.items():
+            ranks = sorted(r["rank"] for r in docs)
+            assert ranks == [1, 2]
+            qs = [r["quality"] for r in sorted(docs, key=lambda r: r["rank"])]
+            assert qs[0] >= qs[1]
+
+    def test_topk_tiebreak_deterministic(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        # identical texts -> equal scores -> doc_id breaks ties
+        rows = [(i, "same text here", "s") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+        out = sorted(pipeline.topk_by_quality(df, k=3).collect(), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in out] == [0, 1, 2]
