@@ -910,6 +910,45 @@ FROM wide""")
             )
         )
 
+    # Cross-asset correlation matrix over a genuinely multi-key long frame:
+    # five assets = daily revenue returns per o_orderpriority, keyed lag
+    # windows partitioned by asset. Upper triangle (10 pairs), pairwise-
+    # complete observations via the date equi-join.
+    def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from alphastats_spark.long_frame import correlation_matrix
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        daily = orders.groupBy(
+            F.col("o_orderpriority").alias("asset"),
+            F.to_date("o_orderdate").alias("d"),
+        ).agg(F.sum("o_totalprice").alias("rev"))
+        w = Window.partitionBy("asset").orderBy("d")
+        rets = (
+            daily.withColumn("r", F.col("rev") / F.lag("rev").over(w) - 1)
+            .where(F.col("r").isNotNull())
+            .select("asset", "d", "r")
+        )
+        return _round_df(correlation_matrix(rets))
+
+    add("asset_correlation_matrix", _corr_matrix, f"""
+WITH kdaily AS (
+  SELECT o_orderpriority AS asset, CAST(o_orderdate AS DATE) AS d,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+),
+krets0 AS (
+  SELECT asset, d,
+         rev / LAG(rev) OVER (PARTITION BY asset ORDER BY d) - 1 AS r
+  FROM kdaily
+),
+krets AS (SELECT asset, d, r FROM krets0 WHERE r IS NOT NULL)
+SELECT a.asset AS asset_a, b.asset AS asset_b,
+       ROUND(corr(a.r, b.r), {ROUND}) AS corr, COUNT(*) AS n_obs
+FROM krets a JOIN krets b ON a.d = b.d AND a.asset < b.asset
+GROUP BY 1, 2""")
+
     add("multi_asset_metrics_long", _multi_long, RETURNS_CTE + BENCH_CTE + f""",
 long_f AS (
   SELECT 'a' AS asset, d, r FROM rets

@@ -237,3 +237,49 @@ def benchmark_metrics_by_key(
         F.pow(F.corr(c, b), 2).alias("r_squared"),
         X.fdiv(X.comp(c) - F.lit(rf), beta).alias("treynor_ratio"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    key_col: str = "asset",
+    temporal: str | None = None,
+    value_col: str = "r",
+) -> DataFrame:
+    """Pairwise Pearson correlation across every asset in the long frame —
+    the cross-sectional extension of the reference's single-benchmark
+    ``correlation`` (/root/reference/alphastats/stats.py: benchmark-relative
+    metrics take exactly one benchmark; a portfolio engine needs the full
+    matrix).
+
+    Upper triangle only (``key_a < key_b``; the diagonal is 1 by
+    definition). Plan: self-equi-join on the date key — co-partitioned by
+    date, so each date's K rows meet locally — then one map-side-combinable
+    groupBy on the unordered pair. Correlation pairs only align where BOTH
+    assets observe the date (inner join = pairwise-complete observations,
+    the standard estimator). At K assets the join emits ~K²/2 rows per
+    date; for K in the tens of thousands move to a block-matrix scheme
+    (bucket keys into B blocks, join block pairs) — for portfolio-scale K
+    (hundreds) this single join IS the right plan.
+
+    Output: ``(asset_a, asset_b, corr double, n_obs bigint)``; ``corr`` is
+    null when fewer than 2 paired observations exist.
+    """
+    if temporal is None:
+        temporal = get_temporal_column_name(df)
+        if temporal is None:
+            raise NoTemporalColumnError()
+    left = df.select(
+        F.col(key_col).alias("__ka"), F.col(temporal).alias("__d"),
+        F.col(value_col).alias("__ra"),
+    ).where(F.col("__ra").isNotNull())
+    right = df.select(
+        F.col(key_col).alias("__kb"), F.col(temporal).alias("__d"),
+        F.col(value_col).alias("__rb"),
+    ).where(F.col("__rb").isNotNull())
+    pairs = left.join(right, on="__d").where(F.col("__ka") < F.col("__kb"))
+    return pairs.groupBy(
+        F.col("__ka").alias("asset_a"), F.col("__kb").alias("asset_b")
+    ).agg(
+        F.corr("__ra", "__rb").alias("corr"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

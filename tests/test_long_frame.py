@@ -154,3 +154,28 @@ def test_benchmark_metrics_by_key_match_wide_api(spark, long_and_wide):
         )
         close(out[key]["correlation"], stats.correlation(wide, bench).first()["r"], (key, "corr"))
         close(out[key]["treynor_ratio"], stats.treynor_ratio(wide, bench).first()["r"], (key, "tr"))
+
+
+def test_correlation_matrix(spark):
+    import datetime as dt
+
+    from alphastats_spark.long_frame import correlation_matrix
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        d = d0 + dt.timedelta(days=i)
+        r = 0.01 * (i % 3 - 1)
+        rows.append(("a", d, r))
+        rows.append(("b", d, 2 * r))        # perfectly correlated with a
+        rows.append(("c", d, -r))           # perfectly anti-correlated
+    # d overlaps a on only 4 dates
+    for i in range(4):
+        rows.append(("d", d0 + dt.timedelta(days=i), [0.05, -0.01, 0.02, 0.0][i]))
+    df = spark.createDataFrame(rows, "asset string, d date, r double")
+    out = {(r["asset_a"], r["asset_b"]): r for r in correlation_matrix(df).collect()}
+    assert len(out) == 6  # C(4,2) pairs
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0)
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0)
+    assert out[("a", "b")]["n_obs"] == 10
+    assert out[("a", "d")]["n_obs"] == 4  # pairwise-complete on overlap only
