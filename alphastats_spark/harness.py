@@ -2969,6 +2969,67 @@ SELECT user_id, CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS session_start_s,
        CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_s
 FROM s GROUP BY user_id, session_id""")
 
+    # The conversion funnel through GENUINE stateful Structured Streaming:
+    # applyInPandasWithState keyed by user, state = (level, frontier
+    # instant) — two scalars per user however long the history. The staged
+    # feed is a single file → a single availableNow micro-batch, where the
+    # in-batch (us, type) sort makes the stateful fold exactly equal the
+    # batch chained-min semantics, so the SAME oracle as event_funnel
+    # value-hashes the result end to end.
+    def _stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming.metrics import streaming_funnel_levels
+
+        steps = ["signup", "click", "purchase"]
+        ev = _events(spark, sf_dir)
+        ev = ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            _event_us(ev).alias("us"),
+            F.col("event_type"),
+        )
+        src = tempfile.mkdtemp(prefix="as_stream_funnel_")
+        ev.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+        levels = streaming_funnel_levels(stream, steps=steps, max_gap_s=86_400)
+        sq = (
+            levels.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(sq, src)
+        counters = [
+            F.count(F.when(F.col("lvl") >= i + 1, True)).alias(f"s{i}")
+            for i in range(len(steps))
+        ]
+        stack = ", ".join(f"{i + 1}, '{s}', s{i}" for i, s in enumerate(steps))
+        return (
+            spark.table(name)
+            .agg(*counters)
+            .select(F.expr(
+                f"stack({len(steps)}, {stack}) AS (step, event_type, n_users)"
+            ))
+            .select(F.col("step").cast("int").alias("step"), "event_type", "n_users")
+        )
+
+    add("event_funnel_streaming", _stream_funnel, """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+t1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1.t AND us - t1.t <= 86400000000
+       GROUP BY 1),
+t3 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2.t AND us - t2.t <= 86400000000
+       GROUP BY 1)
+SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type,
+       (SELECT COUNT(*) FROM t1) AS n_users
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)""")
+
     # ---- training-data pipeline (sampling / chunking / packing / quality) -
     from alphastats_spark.functions import pipeline
 

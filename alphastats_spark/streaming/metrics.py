@@ -330,3 +330,75 @@ def streaming_dedup_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel_levels(
+    df: DataFrame,
+    steps: list[str],
+    max_gap_s: int = 86_400,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progression over an event stream — the stateful
+    mirror of :func:`alphastats_spark.functions.events.funnel`.
+
+    State per user is TWO scalars — (level, last conversion instant) —
+    regardless of history length: the O(1)-state shape that makes a
+    billion-user funnel feasible where the batch fold would re-collect
+    every user's history per run. Each micro-batch sorts its rows by
+    (us, type) and advances the step machine from the stored frontier,
+    emitting the user's current level; the latest emission per user is the
+    funnel position.
+
+    Exactness contract: identical to the batch chained-min semantics when
+    events arrive in order across batches (single-batch `availableNow`, or
+    a time-partitioned feed). A late event BEHIND the stored frontier
+    cannot rewind state — the standard stateful-streaming trade, same as
+    ``streaming_drawdowns``.
+    """
+    gap_us = int(max_gap_s) * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("lvl", T.IntegerType()),
+            T.StructField("t", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("lvl", T.IntegerType()), T.StructField("t", T.LongType())]
+    )
+    n_steps = len(steps)
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        lvl, t = (state.get if state.exists else (0, 0))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([us_col, type_col], kind="mergesort")
+        for us, et in zip(batch[us_col].astype("int64"), batch[type_col]):
+            if lvl >= n_steps:
+                break
+            if et != steps[lvl]:
+                continue
+            if lvl > 0 and not (us > t and us - t <= gap_us):
+                continue
+            lvl += 1
+            t = int(us)
+        state.update((int(lvl), int(t)))
+        yield pd.DataFrame({"user_id": [key[0]], "lvl": [lvl], "t": [t]})
+
+    return (
+        df.select(
+            F.col(user_col).cast("long").alias(user_col),
+            F.col(us_col).cast("long").alias(us_col),
+            F.col(type_col),
+        )
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

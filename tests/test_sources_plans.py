@@ -412,3 +412,48 @@ def test_audit_round4_operators(spark):
     assert plans.audit(
         pipeline.mix_sample(docs, weights={"src0": 1.0, "src1": 2.0}, token_budget=500)
     ) == []
+
+
+def test_audit_round5_operators(spark):
+    """Plan-audit guardrails for this round's operators: substring dedup,
+    funnel/retention, markup strip, per-source top-k, correlation matrix.
+    None may contain a row-UDF, nested-loop join, or raw-row
+    single-partition funnel. Derived-column join keys (gram/pair hashes)
+    legitimately cannot push to the parquet scan."""
+    import datetime as date_mod
+    import os
+
+    path = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{path}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    from alphastats_spark import plans
+    from alphastats_spark.functions import dedup, events, pipeline, text
+    from alphastats_spark.long_frame import correlation_matrix
+
+    docs = spark.read.parquet(f"{path}/documents.parquet")
+
+    kinds = {f.kind for f in plans.audit(dedup.substring_dedup(docs, k=8))}
+    assert kinds <= {"unfiltered-scan"}, kinds
+
+    kinds = {f.kind for f in plans.audit(pipeline.topk_by_quality(docs, k=10))}
+    assert kinds <= {"unfiltered-scan"}, kinds
+
+    assert plans.audit(
+        docs.select("doc_id", text.strip_markup(F.col("text")).alias("t"))
+    ) == []
+
+    ev = spark.createDataFrame(
+        [(1, 1_000_000, "a"), (1, 2_000_000, "b")],
+        "user_id bigint, us bigint, event_type string",
+    )
+    # the funnel's one-row summary agg is the whitelisted scalar-aggregate
+    # shape — the audit is fully clean
+    assert plans.audit(events.funnel(ev, ["a", "b"])) == []
+    assert plans.audit(events.cohort_retention(ev)) == []
+
+    d0 = date_mod.date(2024, 1, 1)
+    long_df = spark.createDataFrame(
+        [("a", d0, 0.01), ("b", d0, 0.02)], "asset string, d date, r double"
+    )
+    kinds = {f.kind for f in plans.audit(correlation_matrix(long_df))}
+    assert kinds <= {"unfiltered-scan"}, kinds

@@ -353,3 +353,49 @@ def test_streaming_drawdowns_extreme_factors(spark, tmp_path):
             assert g is None or math.isnan(g), (d, g, b)
         else:
             assert g == pytest.approx(b, rel=1e-12), (d, g, b)
+
+
+def test_streaming_funnel_cross_batch_state(spark, tmp_path):
+    """The per-user (level, frontier) state must carry across micro-batches:
+    step 1 arrives in batch 1, steps 2-3 in batch 2; a second user's late
+    out-of-order step-2 event (behind the frontier) must not chain."""
+    from alphastats_spark.streaming.metrics import streaming_funnel_levels
+
+    src = str(tmp_path / "funnel_src")
+    M = 1_000_000
+    b1 = spark.createDataFrame(
+        [(1, 10 * M, "a"), (2, 50 * M, "a")],
+        "user_id bigint, us bigint, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 20 * M, "b"), (1, 30 * M, "c"), (2, 40 * M, "b")],
+        "user_id bigint, us bigint, event_type string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, us bigint, event_type string"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    sq = (
+        streaming_funnel_levels(stream, steps=["a", "b", "c"], max_gap_s=60)
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    rows = spark.sql("select * from funnel_test").collect()
+    # latest emission per user = max level seen (levels never rewind)
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = max(latest.get(r["user_id"], 0), r["lvl"])
+    # user 1 converts a(b1) -> b -> c across the batch boundary
+    assert latest[1] == 3
+    # user 2's b at t=40 precedes its frontier (a at t=50): cannot chain
+    assert latest[2] == 1
