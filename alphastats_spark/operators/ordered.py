@@ -105,53 +105,87 @@ def _bucket_prefix_window() -> Window:
     return Window.orderBy(BUCKET_COL).rowsBetween(Window.unboundedPreceding, -1)
 
 
-def add_prefix_columns(
+def add_ordered_columns(
     df: DataFrame,
     sums: dict[str, Column] | None = None,
     maxes: dict[str, Column] | None = None,
+    lags: dict[str, str] | None = None,
+    ffills: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """Add running-total / running-max columns over the global row order.
+    """ONE two-phase ordered pass computing any mix of running sums,
+    running maxes, lag(1)s and forward-fills.
 
-    ``sums``/``maxes`` map output column name → source expression. Null
-    inputs are skipped (output is the prefix over non-null values so far,
-    null until the first non-null appears) — matching Polars ``cum_sum`` /
-    ``cum_max`` null semantics.
+    Every kind shares the same (bucket, order) sort, so all the within-
+    bucket window expressions evaluate in a single windowed select over one
+    shuffle, the bucket boundary values come from ONE per-bucket aggregate,
+    and one broadcast join carries them across boundaries. Callers that
+    need several kinds (the report's full-mode enrichment needs all four)
+    previously chained one pass per kind — 4-5 persists, bucket aggregates
+    and joins where this does one of each.
+
+    Per-kind semantics (identical to the former dedicated passes):
+
+    * ``sums``/``maxes`` map output → source *expression*; null inputs are
+      skipped (prefix over non-nulls so far, null before the first
+      non-null) — Polars ``cum_sum``/``cum_max`` null semantics.
+    * ``lags`` map output → source column *name*; the first row of a bucket
+      takes the previous bucket's last-row value.
+    * ``ffills`` map output → source expression; last non-null so far.
+
+    Bucket totals come FROM the windowed frame: the within-bucket running
+    aggregate at a bucket's LAST row IS the bucket total (window
+    aggregates skip nulls, so this holds with nulls too; an all-null
+    bucket yields null either way). The windowed frame is persist()ed —
+    no count() job; the offsets branch materializes the cache as a side
+    effect of its broadcast job and the main branch then reads it — so
+    the upstream lineage executes ONCE per pass. Catalyst's ReuseExchange
+    can NOT be relied on here: column pruning gives the offsets branch a
+    narrower projection under its Exchange than the main branch keeps, so
+    the two never canonicalize equal and each branch would re-execute the
+    full input plan (fatal for chained passes, and for the keyless
+    monotonically_increasing_id order, where re-execution has nothing
+    pinning row ids). Pinned by tests/test_sources_plans.py.
     """
     sums = sums or {}
     maxes = maxes or {}
+    lags = lags or {}
+    ffills = ffills or {}
     w = (
         Window.partitionBy(BUCKET_COL)
         .orderBy(ORDER_COL)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_plain = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
 
     within_cols = []
     for out, col in sums.items():
         within_cols.append(F.sum(col).over(w).alias(f"{out}__in"))
     for out, col in maxes.items():
         within_cols.append(F.max(col).over(w).alias(f"{out}__in"))
+    for out, src in lags.items():
+        within_cols.append(F.lag(src).over(w_plain).alias(f"{out}__in"))
+    for out, col in ffills.items():
+        within_cols.append(F.last(col, ignorenulls=True).over(w).alias(f"{out}__in"))
+    if lags:
+        # bucket-first marker for the lag boundary fill; rides the same sort
+        within_cols.append(F.row_number().over(w_plain).alias("__as_rn"))
     df = _persist_pass(df.select("*", *within_cols))
 
-    # Bucket totals come FROM the windowed frame: the within-bucket running
-    # aggregate at a bucket's LAST row IS the bucket total (window
-    # aggregates skip nulls, so this holds with nulls too; an all-null
-    # bucket yields null either way). The windowed frame is persist()ed —
-    # no count() job; the offsets branch materializes the cache as a side
-    # effect of its broadcast job and the main branch then reads it — so
-    # the upstream lineage executes ONCE per pass. Catalyst's ReuseExchange
-    # can NOT be relied on here: column pruning gives the offsets branch a
-    # narrower projection under its Exchange than the main branch keeps, so
-    # the two never canonicalize equal and each branch would re-execute the
-    # full input plan (fatal for chained passes, and for the keyless
-    # monotonically_increasing_id order, where re-execution has nothing
-    # pinning row ids). Pinned by tests/test_sources_plans.py.
     aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in sums]
     aggs += [F.max(F.col(f"{out}__in")).alias(out) for out in maxes]
+    # lag boundary = previous bucket's last SOURCE value
+    aggs += [F.max_by(F.col(src), F.col(ORDER_COL)).alias(out) for out, src in lags.items()]
+    aggs += [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in ffills]
     bucket_totals = df.groupBy(BUCKET_COL).agg(*aggs)
 
     wb = _bucket_prefix_window()
+    wb_lag = Window.orderBy(BUCKET_COL)
     offset_cols = [F.sum(out).over(wb).alias(f"{out}__prev") for out in sums]
     offset_cols += [F.max(out).over(wb).alias(f"{out}__prev") for out in maxes]
+    offset_cols += [F.lag(out).over(wb_lag).alias(f"{out}__prev") for out in lags]
+    offset_cols += [
+        F.last(out, ignorenulls=True).over(wb).alias(f"{out}__prev") for out in ffills
+    ]
     offsets = bucket_totals.select(BUCKET_COL, *offset_cols)
 
     df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
@@ -162,70 +196,50 @@ def add_prefix_columns(
         final.append(F.coalesce(a + p, a, p).alias(out))
     for out in maxes:
         final.append(F.greatest(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out))
-    keep = [c for c in df.columns if not (c.endswith("__in") or c.endswith("__prev"))]
+    for out in lags:
+        final.append(
+            F.when(F.col("__as_rn") == 1, F.col(f"{out}__prev"))
+            .otherwise(F.col(f"{out}__in"))
+            .alias(out)
+        )
+    for out in ffills:
+        final.append(F.coalesce(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out))
+    keep = [
+        c
+        for c in df.columns
+        if not (c.endswith("__in") or c.endswith("__prev") or c == "__as_rn")
+    ]
     return df.select(*keep, *final)
+
+
+def add_prefix_columns(
+    df: DataFrame,
+    sums: dict[str, Column] | None = None,
+    maxes: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Running-total / running-max columns over the global row order (see
+    :func:`add_ordered_columns` for the pass machinery and null semantics)."""
+    return add_ordered_columns(df, sums=sums, maxes=maxes)
 
 
 def add_ffill_columns(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
-    """Forward-fill (last non-null so far) per global row order — same
-    two-phase shape as ``add_prefix_columns``."""
-    w = (
-        Window.partitionBy(BUCKET_COL)
-        .orderBy(ORDER_COL)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    within_cols = [F.last(col, ignorenulls=True).over(w).alias(f"{out}__in") for out, col in cols.items()]
-    df = _persist_pass(df.select("*", *within_cols))
-
-    # Bucket-last from the windowed frame (within-ffill at the bucket's last
-    # row = last non-null in the bucket) — persisted so both branches read
-    # one materialization (see add_prefix_columns for why ReuseExchange
-    # cannot be relied on).
-    aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in cols]
-    bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
-    wb = _bucket_prefix_window()
-    offsets = bucket_last.select(
-        BUCKET_COL,
-        *[F.last(out, ignorenulls=True).over(wb).alias(f"{out}__prev") for out in cols],
-    )
-    df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
-    final = [F.coalesce(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out) for out in cols]
-    keep = [c for c in df.columns if not (c.endswith("__in") or c.endswith("__prev"))]
-    return df.select(*keep, *final)
+    """Forward-fill (last non-null so far) per global row order."""
+    return add_ordered_columns(df, ffills=cols)
 
 
 def add_lag_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
-    """lag(1) per global row order: within-bucket ``F.lag`` plus a tiny join
-    carrying each bucket's last row value across the boundary.
-
-    ``cols`` maps output name → source column *name*.
-    """
-    w = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
-    df = _persist_pass(
-        df.select("*", *[F.lag(src).over(w).alias(f"{out}__in") for out, src in cols.items()])
-    )
-
-    aggs = [F.max_by(F.col(src), F.col(ORDER_COL)).alias(out) for out, src in cols.items()]
-    bucket_last = df.groupBy(BUCKET_COL).agg(*aggs)
-    wb = Window.orderBy(BUCKET_COL)
-    offsets = bucket_last.select(
-        BUCKET_COL, *[F.lag(out).over(wb).alias(f"{out}__prev") for out in cols]
-    )
-    df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
-
-    w_first = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
-    rn = F.row_number().over(w_first)
-    df = df.withColumn("__as_rn", rn)
-    final = [
-        F.when(F.col("__as_rn") == 1, F.col(f"{out}__prev")).otherwise(F.col(f"{out}__in")).alias(out)
-        for out in cols
-    ]
-    keep = [c for c in df.columns if not (c.endswith("__in") or c.endswith("__prev") or c == "__as_rn")]
-    return df.select(*keep, *final)
+    """lag(1) per global row order; ``cols`` maps output name → source
+    column *name*."""
+    return add_ordered_columns(df, lags=cols)
 
 
 def add_drawdown_columns(
-    df: DataFrame, cols: dict[str, str], with_peak_pos: bool = False
+    df: DataFrame,
+    cols: dict[str, str],
+    with_peak_pos: bool = False,
+    extra_sums: dict[str, Column] | None = None,
+    extra_maxes: dict[str, Column] | None = None,
+    extra_lags: dict[str, str] | None = None,
 ) -> DataFrame:
     """Add per-row drawdown columns (reference ``_drawdowns``, ``stats.py:412-416``).
 
@@ -250,8 +264,15 @@ def add_drawdown_columns(
     never advances the running peak). That column is a ready-made
     drawdown-episode id: rows with dd<0 share one ``__pos`` per episode,
     letting episode stats skip their own island prefix pass entirely.
+
+    ``extra_sums``/``extra_lags`` ride the FIRST prefix pass and
+    ``extra_maxes`` the second (peak) pass — callers needing sibling
+    ordered columns (the report's row index, streak-break maxes and lag
+    columns) fuse them here instead of chaining dedicated passes; an
+    ``extra_maxes`` expression may reference any ``extra_sums`` output,
+    which exists by the time the second pass selects it.
     """
-    sums: dict[str, Column] = {}
+    sums: dict[str, Column] = dict(extra_sums or {})
     for out, src in cols.items():
         factor = F.col(src).cast("double") + 1
         sums[f"{out}__ls"] = F.when(factor == 0, F.lit(0.0)).otherwise(F.log(F.abs(factor)))
@@ -259,7 +280,7 @@ def add_drawdown_columns(
         sums[f"{out}__zero"] = (factor == 0).cast("long")
         if with_peak_pos:
             sums[f"{out}__nn"] = F.col(src).isNull().cast("long")
-    df = add_prefix_columns(df, sums=sums)
+    df = add_ordered_columns(df, sums=sums, lags=extra_lags)
 
     wealth_cols = []
     for out, src in cols.items():
@@ -275,21 +296,20 @@ def add_drawdown_columns(
     if with_peak_pos:
         # null wealth → −inf in the struct so a null row can never become
         # the peak (the plain-max path gets this from max's null-skipping)
-        df = add_prefix_columns(
-            df,
-            maxes={
-                f"{out}__pk": F.struct(
-                    F.coalesce(F.col(f"{out}__w"), F.lit(float("-inf"))).alias("v"),
-                    F.col(ORDER_COL).alias("p"),
-                )
-                for out in cols
-            },
-        )
+        maxes2 = {
+            f"{out}__pk": F.struct(
+                F.coalesce(F.col(f"{out}__w"), F.lit(float("-inf"))).alias("v"),
+                F.col(ORDER_COL).alias("p"),
+            )
+            for out in cols
+        }
+        maxes2.update(extra_maxes or {})
+        df = add_ordered_columns(df, maxes=maxes2)
         peak = {out: F.col(f"{out}__pk").getField("v") for out in cols}
     else:
-        df = add_prefix_columns(
-            df, maxes={f"{out}__peak": F.col(f"{out}__w") for out in cols}
-        )
+        maxes2 = {f"{out}__peak": F.col(f"{out}__w") for out in cols}
+        maxes2.update(extra_maxes or {})
+        df = add_ordered_columns(df, maxes=maxes2)
         peak = {out: F.col(f"{out}__peak") for out in cols}
 
     dd_cols = []

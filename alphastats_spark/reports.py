@@ -197,19 +197,34 @@ def metrics(
             gframe = filled.select(*sel)
 
             rdf = ordered.with_order(gframe, temporal)
-            # peak positions ride along in the same prefix pass — they are the
-            # episode ids, so the episode stats below need no island pass
-            rdf = ordered.add_drawdown_columns(
-                rdf, {f"__dd_{c}": c for c in group}, with_peak_pos=True
-            )
+            # ONE fused enrichment: peak positions (= episode ids, so the
+            # episode stats below need no island pass), the full-mode row
+            # index and lag columns all ride the drawdown SUMS pass, and the
+            # streak-break maxes (which read the row index) ride the PEAK
+            # pass — two ordered passes total where the naive chain runs
+            # five (drawdowns×2, row index, streak maxes, lags), each with
+            # its own persist, bucket aggregate and broadcast join.
+            extra_sums: dict = {}
+            extra_maxes: dict = {}
+            extra_lags: dict = {}
             if full:
-                rdf = ordered.add_row_index(rdf, "__idx")
-                brk = {}
+                extra_sums["__idx"] = F.lit(1).cast("long")
                 for c in group:
-                    brk[f"__lbw_{c}"] = F.when(F.col(c) > 0, F.lit(None)).otherwise(F.col("__idx"))
-                    brk[f"__lbl_{c}"] = F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
-                rdf = ordered.add_prefix_columns(rdf, maxes=brk)
-                rdf = ordered.add_lag_columns(rdf, {f"__prev_{c}": c for c in group})
+                    extra_maxes[f"__lbw_{c}"] = (
+                        F.when(F.col(c) > 0, F.lit(None)).otherwise(F.col("__idx"))
+                    )
+                    extra_maxes[f"__lbl_{c}"] = (
+                        F.when(F.col(c) < 0, F.lit(None)).otherwise(F.col("__idx"))
+                    )
+                    extra_lags[f"__prev_{c}"] = c
+            rdf = ordered.add_drawdown_columns(
+                rdf,
+                {f"__dd_{c}": c for c in group},
+                with_peak_pos=True,
+                extra_sums=extra_sums,
+                extra_maxes=extra_maxes,
+                extra_lags=extra_lags,
+            )
             rdf.persist()
             _persisted.append(rdf)
             # materialize the enrichment concurrently with the meta job; the
