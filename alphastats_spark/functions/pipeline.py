@@ -590,3 +590,40 @@ def topk_by_quality(
         .where(F.col("rank") <= k)
         .select(strata_col, "rank", id_col, "quality")
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    strata_col: str = "source",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum token-length distribution summary — the corpus-shape
+    profile a mixing/curation decision reads (context-window fit, truncation
+    rates, outlier spotting).
+
+    ``exact=True`` uses sort-based linear-interpolation percentiles (parity
+    with DuckDB ``quantile_cont``); at 100 TB pass ``exact=False`` for the
+    KLL-sketch ``approx_percentile`` — bounded memory, mergeable partial
+    state, one map-side-combinable pass either way.
+    """
+    from alphastats_spark import expressions as X
+
+    n = text.token_count(F.col(text_col))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__n"), 7).alias("mean_tokens"),
+        F.max("__n").alias("max_tokens"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.round(
+                X.percentile(F.col("__n").cast("double"), q, exact=exact), 7
+            ).alias(f"p{int(q * 100)}_tokens")
+        )
+    return (
+        df.select(F.col(strata_col), n.cast("long").alias("__n"))
+        .groupBy(strata_col)
+        .agg(*aggs)
+    )

@@ -3236,6 +3236,24 @@ SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT lang) AS n_langs
 FROM t GROUP BY source""")
 
+    # Per-source token-length distribution profile: exact interpolated
+    # percentiles (parity with quantile_cont; the exact=False KLL path is
+    # the 100 TB variant).
+    add("corpus_length_quantiles",
+        lambda spark, sf_dir: pipeline.length_quantiles(_docs(spark, sf_dir)),
+        f"""
+WITH t AS (SELECT source,
+                  CAST(COALESCE(len({_TOKS_SQL}), 0) AS BIGINT) AS n
+           FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(n), {ROUND}) AS mean_tokens,
+       MAX(n) AS max_tokens,
+       ROUND(quantile_cont(n, 0.25), {ROUND}) AS p25_tokens,
+       ROUND(quantile_cont(n, 0.5), {ROUND}) AS p50_tokens,
+       ROUND(quantile_cont(n, 0.75), {ROUND}) AS p75_tokens,
+       ROUND(quantile_cont(n, 0.95), {ROUND}) AS p95_tokens
+FROM t GROUP BY source""")
+
     # Corpus-self-trained bigram LM score (CCNet/KenLM-style): add-0.1
     # smoothed P(cur|prev) from corpus-wide counts; per-doc mean log-prob.
     # Both engines train the identical "model" (two count tables + the

@@ -1277,3 +1277,15 @@ class TestMarkupAndCuration:
         df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
         out = sorted(pipeline.topk_by_quality(df, k=3).collect(), key=lambda r: r["rank"])
         assert [r["doc_id"] for r in out] == [0, 1, 2]
+
+
+def test_length_quantiles(spark):
+    from alphastats_spark.functions import pipeline
+
+    rows = [(i, "w " * (i + 1), "s") for i in range(9)]  # 1..9 tokens
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = pipeline.length_quantiles(df).collect()[0]
+    assert out["n_docs"] == 9 and out["max_tokens"] == 9
+    assert out["p50_tokens"] == 5.0   # exact interpolated median of 1..9
+    assert out["p25_tokens"] == 3.0
+    assert out["mean_tokens"] == 5.0
