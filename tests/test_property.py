@@ -340,3 +340,52 @@ def test_split_ppm_frames_roundtrip_property(dims):
     assert len(frames) == len(imgs)
     for fb, img in zip(frames, imgs):
         assert (codecs.decode_ppm(fb) == img).all()
+
+
+@given(series_strategy)
+@SETTINGS
+def test_fused_ordered_pass_matches_python(spark, xs):
+    """add_ordered_columns computing all four kinds AT ONCE must equal the
+    per-kind pure-Python definitions (running sum/max with null-skip,
+    lag(1), forward-fill) on a dated series with nulls — the fused pass is
+    the substrate of every order-dependent operator, so pin its semantics
+    directly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.operators import ordered
+
+    d0 = dt.date(2023, 11, 20)  # spans a month boundary -> multiple buckets
+    rows = [(d0 + dt.timedelta(days=i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "d date, r double")
+    out = ordered.add_ordered_columns(
+        ordered.with_order(df, "d"),
+        sums={"cs": F.col("r")},
+        maxes={"cm": F.col("r")},
+        lags={"lg": "r"},
+        ffills={"ff": F.col("r")},
+    )
+    got = {r["d"]: r for r in out.collect()}
+
+    run_sum = None
+    run_max = None
+    prev = None
+    last_nn = None
+    for d, v in rows:
+        g = got[d]
+        if v is not None:
+            run_sum = v if run_sum is None else run_sum + v
+            run_max = v if run_max is None else max(run_max, v)
+            last_nn = v  # ffill window includes the current row
+        assert (g["cs"] is None) == (run_sum is None)
+        if run_sum is not None:
+            assert g["cs"] == pytest.approx(run_sum, rel=1e-9, abs=1e-12)
+        assert (g["cm"] is None) == (run_max is None)
+        if run_max is not None:
+            assert g["cm"] == pytest.approx(run_max, rel=1e-9)
+        assert g["lg"] == (pytest.approx(prev, rel=1e-9) if prev is not None else None)
+        assert (g["ff"] is None) == (last_nn is None)
+        if last_nn is not None:
+            assert g["ff"] == pytest.approx(last_nn, rel=1e-9)
+        prev = v
