@@ -44,6 +44,7 @@ def funnel(
     user_col: str = "user_id",
     us_col: str = "us",
     type_col: str = "event_type",
+    per_user: bool = False,
 ) -> DataFrame:
     """Ordered k-step conversion funnel with a per-step gap cap.
 
@@ -62,7 +63,11 @@ def funnel(
     no window over a single partition anywhere.
 
     Output: ``(step int, event_type string, n_users bigint)`` — one row per
-    step, n_users non-increasing.
+    step, n_users non-increasing. ``per_user=True`` instead returns the
+    per-user detail ``(user_col, lvl int, t_first bigint, t_last bigint)``
+    — the reached level and the first/last conversion instants (0 when the
+    user never reached step 1), from which time-to-convert distributions
+    aggregate directly.
     """
     gap_us = F.lit(int(max_gap_s) * 1_000_000)
     seq = F.array_sort(
@@ -70,25 +75,41 @@ def funnel(
     )
 
     def advance(acc: Column, e: Column) -> Column:
-        out = F.struct(acc["lvl"].alias("lvl"), acc["t"].alias("t"))
+        out = F.struct(
+            acc["lvl"].alias("lvl"), acc["t"].alias("t"), acc["t0"].alias("t0")
+        )
         for i, s in enumerate(steps):
             ok = (acc["lvl"] == i) & (e["et"] == s)
             if i > 0:
                 ok = ok & (e["us"] > acc["t"]) & (e["us"] - acc["t"] <= gap_us)
+            t0 = e["us"].cast("long") if i == 0 else acc["t0"]
             out = F.when(
                 ok,
                 F.struct(
-                    (acc["lvl"] + 1).alias("lvl"), e["us"].cast("long").alias("t")
+                    (acc["lvl"] + 1).alias("lvl"),
+                    e["us"].cast("long").alias("t"),
+                    t0.alias("t0"),
                 ),
             ).otherwise(out)
         return out
 
-    zero = F.struct(F.lit(0).alias("lvl"), F.lit(0).cast("long").alias("t"))
+    zero = F.struct(
+        F.lit(0).alias("lvl"),
+        F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("t0"),
+    )
+    acc = F.aggregate(seq, zero, advance)
     levels = (
         df.select(user_col, us_col, type_col)
         .groupBy(user_col)
-        .agg(F.aggregate(seq, zero, advance)["lvl"].alias("lvl"))
+        .agg(
+            acc["lvl"].alias("lvl"),
+            acc["t0"].alias("t_first"),
+            acc["t"].alias("t_last"),
+        )
     )
+    if per_user:
+        return levels
     counters = [
         F.count(F.when(F.col("lvl") >= i + 1, True)).alias(f"s{i}")
         for i in range(len(steps))

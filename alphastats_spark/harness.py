@@ -2828,6 +2828,43 @@ SELECT CAST(1 AS INTEGER) AS step, 'signup' AS event_type,
 UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
 UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)""")
 
+    # Time-to-convert distribution over completed funnels: the per-user
+    # fold detail (level, first/last conversion instants) aggregated to
+    # count / mean / exact median microseconds — the follow-up question
+    # every funnel count raises.
+    def _funnel_times(spark, sf_dir):
+        from alphastats_spark import expressions as X
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev))
+        per = ev_ops.funnel(
+            ev, steps=["signup", "click", "purchase"], max_gap_s=86_400,
+            per_user=True,
+        )
+        done = per.where(F.col("lvl") >= 3).select(
+            (F.col("t_last") - F.col("t_first")).cast("double").alias("dt")
+        )
+        return done.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.avg("dt"), ROUND).alias("avg_us"),
+            F.round(X.percentile(F.col("dt"), 0.5), ROUND).alias("p50_us"),
+        )
+
+    add("event_funnel_times", _funnel_times, f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+t1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1.t AND us - t1.t <= 86400000000
+       GROUP BY 1),
+t3 AS (SELECT e.user_id, MIN(us) AS t FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2.t AND us - t2.t <= 86400000000
+       GROUP BY 1)
+SELECT COUNT(*) AS n_converted,
+       ROUND(AVG(t3.t - t1.t), {ROUND}) AS avg_us,
+       ROUND(quantile_cont(t3.t - t1.t, 0.5), {ROUND}) AS p50_us
+FROM t3 JOIN t1 USING (user_id)""")
+
     # Cohort retention on epoch-anchored buckets (no calendar / locale
     # dependence; pure integer-microsecond arithmetic both engines). The
     # gate runs DAILY cohorts: the sf corpus spans only ~30 days, so weekly

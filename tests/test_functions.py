@@ -1289,3 +1289,19 @@ def test_length_quantiles(spark):
     assert out["p50_tokens"] == 5.0   # exact interpolated median of 1..9
     assert out["p25_tokens"] == 3.0
     assert out["mean_tokens"] == 5.0
+
+
+def test_funnel_per_user_times(spark):
+    from alphastats_spark.functions import events as ev_ops
+
+    M = 1_000_000
+    rows = [
+        (1, 0 * M, "a"), (1, 10 * M, "b"), (1, 25 * M, "c"),
+        (2, 5 * M, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint, event_type string")
+    out = {r["user_id"]: r for r in
+           ev_ops.funnel(df, ["a", "b", "c"], max_gap_s=60, per_user=True).collect()}
+    assert out[1]["lvl"] == 3
+    assert out[1]["t_first"] == 0 and out[1]["t_last"] == 25 * M
+    assert out[2]["lvl"] == 1 and out[2]["t_first"] == 5 * M
