@@ -26,6 +26,24 @@ from alphastats_spark.operators import islands, joins, ordered
 
 ROUND = 7
 
+
+def _fdiv_sql(n: str, d: str) -> str:
+    """Spark/Polars float-division semantics in DuckDB SQL.
+
+    DuckDB 1.0 has no IEEE division (x/0.0 → NULL); the engine's
+    ``expressions.fdiv`` gives x/0 → ±inf, 0/0 → NaN (the reference's
+    Polars behavior). Needed wherever a denominator is STRUCTURALLY
+    reachable as exactly 0 — e.g. gain/pain on monthly sums when the
+    window contains no negative month (first observed at sf0.1: the 10×
+    corpus has all-positive months, Spark answered inf, the naive oracle
+    NULL)."""
+    return (
+        f"(CASE WHEN ({d}) = 0 THEN (CASE WHEN ({n}) > 0 THEN 'infinity'::DOUBLE"
+        f" WHEN ({n}) < 0 THEN '-infinity'::DOUBLE ELSE 'nan'::DOUBLE END)"
+        f" ELSE ({n}) / ({d}) END)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # shared input derivation
 
@@ -247,7 +265,7 @@ sc_{t} AS MATERIALIZED (
     (SELECT COALESCE(AVG(min_dd), 0) FROM eps_{t}) AS {t}_avg_dd,
     (SELECT COALESCE(AVG(len), 0) FROM eps_{t}) AS {t}_avg_dd_days,
     (SELECT SUM(r) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM dds_{t}) AS {t}_g2p,
-    (SELECT SUM(sm) / ABS(SUM(CASE WHEN sm < 0 THEN sm ELSE 0 END)) FROM mon_{t}) AS {t}_g2p1m,
+    (SELECT (CASE WHEN (ABS(SUM(CASE WHEN sm < 0 THEN sm ELSE 0 END))) = 0 THEN (CASE WHEN (SUM(sm)) > 0 THEN 'infinity'::DOUBLE WHEN (SUM(sm)) < 0 THEN '-infinity'::DOUBLE ELSE 'nan'::DOUBLE END) ELSE (SUM(sm)) / (ABS(SUM(CASE WHEN sm < 0 THEN sm ELSE 0 END))) END) FROM mon_{t}) AS {t}_g2p1m,
     (SELECT AVG(CASE WHEN r > 0 THEN r END) / ABS(AVG(CASE WHEN r < 0 THEN r END))
        FROM dds_{t}) AS {t}_payoff,
     (SELECT SUM(CASE WHEN r >= 0 THEN r ELSE 0 END)
@@ -514,11 +532,11 @@ def build_registry():
     add("gain_to_pain_ratio", _metric_query(stats.gain_to_pain_ratio), _scalar_sql(
         "SUM(r) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END))"
     ))
-    add("gain_to_pain_ratio_1m", _metric_query(stats.gain_to_pain_ratio_1m), RETURNS_CTE + """
+    add("gain_to_pain_ratio_1m", _metric_query(stats.gain_to_pain_ratio_1m), RETURNS_CTE + f"""
 , monthly AS (
     SELECT SUM(r) AS mr FROM rets GROUP BY YEAR(d), MONTH(d)
 )
-SELECT ROUND(SUM(mr) / ABS(SUM(CASE WHEN mr < 0 THEN mr ELSE 0 END)), 7) AS value FROM monthly
+SELECT ROUND({_fdiv_sql("SUM(mr)", "ABS(SUM(CASE WHEN mr < 0 THEN mr ELSE 0 END))")}, 7) AS value FROM monthly
 """)
     add("tail_ratio", _metric_query(stats.tail_ratio), _scalar_sql(
         "ABS(QUANTILE_CONT(r, 0.95)) / ABS(QUANTILE_CONT(r, 0.05))"
@@ -1188,7 +1206,7 @@ sc AS (
     (SELECT MIN(dd) FROM dds) AS maxdd,
     (SELECT COALESCE(MAX(len), 0) FROM repeps) AS ldd,
     (SELECT SUM(r) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM rets) AS g2p,
-    (SELECT SUM(mr) / ABS(SUM(CASE WHEN mr < 0 THEN mr ELSE 0 END)) FROM monthly) AS g2p1m,
+    (SELECT {_fdiv_sql("SUM(mr)", "ABS(SUM(CASE WHEN mr < 0 THEN mr ELSE 0 END))")} FROM monthly) AS g2p1m,
     (SELECT AVG(CASE WHEN r > 0 THEN r END) / ABS(AVG(CASE WHEN r < 0 THEN r END)) FROM rets) AS payoff,
     (SELECT SUM(CASE WHEN r >= 0 THEN r ELSE 0 END) / ABS(SUM(CASE WHEN r < 0 THEN r ELSE 0 END)) FROM rets) AS pf,
     (SELECT ABS(QUANTILE_CONT(r, 0.95)) / ABS(QUANTILE_CONT(r, 0.05)) FROM rets) AS tail,

@@ -1,0 +1,130 @@
+"""Empirical scale probe for the EXTENSION operator families.
+
+scripts/scale_run.py validates the returns/report path one decade above
+the bench scale; this does the same for the training-data pipeline and
+event-analytics families, whose 100 TB arguments (bucketed candidate
+generation, per-user folds, gram-keyed joins) are otherwise plan-level
+claims:
+
+1. Synthesizes corpora at 1x and 10x the sf0.1 shape — documents
+   (5k -> 50k docs; replicas of a seeded vocabulary stream with ~8% of
+   docs near-duplicated and ~4% sharing a verbatim 12-token span) and
+   events (100k -> 1M rows over 150 -> 1500 users).
+2. Times, at both scales: exact dedup, the composed MinHash-LSH
+   ``deduplicate`` (lineage), ``substring_dedup``, the bigram
+   ``lm_score``, the event ``funnel`` and ``cohort_retention``.
+3. Prints one JSON line with per-operator wall seconds and the scaling
+   exponent log10(t10/t1) — sub-linear (< 1.0) on a fixed-core box is the
+   claim; ~1.0 means compute-bound scaling with the data, still linear.
+
+Usage:  python scripts/scale_ext.py [workdir]   (default /tmp/as_scale_ext)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark the "
+    "line sort window small filter join group order shard block page cache"
+).split()
+
+
+def synth_docs(spark, n_docs: int):
+    from pyspark.sql import functions as F
+
+    n_vocab = len(VOCAB)
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = spark.range(0, n_docs, 1, 32)
+    # 20-60 tokens per doc, token = hash(doc, pos) % vocab
+    n_tok = (F.pmod(F.hash("id"), F.lit(41)) + 20).cast("int")
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: F.element_at(vocab, F.pmod(F.hash(F.col("id"), i), F.lit(n_vocab)) + 1),
+    )
+    # ~4% of docs share one of 5 verbatim 12-token spans (substring-dedup prey)
+    span_id = F.pmod(F.hash(F.col("id") * 3 + 1), F.lit(25))
+    span = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda i: F.element_at(vocab, F.pmod(F.hash(span_id % 5, i), F.lit(n_vocab)) + 1),
+    )
+    toks = F.when(span_id < 5, F.concat(span, toks)).otherwise(toks)
+    # ~8% near-duplicates: doc copies doc-(id%hub) text (same token stream)
+    dup = F.pmod(F.hash(F.col("id") * 5 + 2), F.lit(25)) < 2
+    hub = (F.col("id") - F.pmod(F.col("id"), F.lit(50))).cast("long")
+    toks_hub = F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda i: F.element_at(vocab, F.pmod(F.hash(hub, i), F.lit(n_vocab)) + 1),
+    )
+    text = F.array_join(F.when(dup, toks_hub).otherwise(toks), " ")
+    return base.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.concat(F.lit("src"), F.pmod(F.hash(F.col("id") + 9), F.lit(20))).alias("source"),
+    )
+
+
+def synth_events(spark, n_events: int, n_users: int):
+    from pyspark.sql import functions as F
+
+    types = F.array(*[F.lit(t) for t in ["signup", "view", "click", "purchase", "error"]])
+    return spark.range(0, n_events, 1, 32).select(
+        F.pmod(F.hash("id"), F.lit(n_users)).cast("long").alias("user_id"),
+        (F.pmod(F.hash(F.col("id") * 3 + 7), F.lit(30 * 86_400)) * 1_000_000)
+        .cast("long")
+        .alias("us"),
+        F.element_at(types, F.pmod(F.hash(F.col("id") + 11), F.lit(5)) + 1).alias(
+            "event_type"
+        ),
+    )
+
+
+def run_suite(spark, docs, ev) -> dict[str, float]:
+    from alphastats_spark.functions import dedup, events, pipeline
+
+    docs = docs.persist()
+    ev = ev.persist()
+    docs.count(), ev.count()  # materialize inputs outside the timings
+
+    out: dict[str, float] = {}
+
+    def t(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    t("exact_dedup", lambda: dedup.exact_duplicates(docs).count())
+    t("lsh_deduplicate", lambda: dedup.deduplicate(docs, lineage=True)
+        .groupBy("reason").count().collect())
+    t("substring_dedup", lambda: dedup.substring_dedup(docs, k=8)
+        .agg({"n_removed": "sum"}).collect())
+    t("lm_score", lambda: pipeline.lm_score(docs).agg({"avg_logprob": "avg"}).collect())
+    t("funnel", lambda: events.funnel(ev, ["signup", "click", "purchase"]).collect())
+    t("retention", lambda: events.cohort_retention(ev, bucket_us=86_400_000_000).count())
+    docs.unpersist(), ev.unpersist()
+    return out
+
+
+def main() -> None:
+    from alphastats_spark.session import build_session
+
+    spark = build_session(master="local[32]", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    r1 = run_suite(spark, synth_docs(spark, 5_000), synth_events(spark, 100_000, 150))
+    r10 = run_suite(spark, synth_docs(spark, 50_000), synth_events(spark, 1_000_000, 1_500))
+    exponents = {
+        k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2) for k in r1
+    }
+    print(json.dumps({"t_1x": r1, "t_10x": r10, "exponent": exponents}))
+
+
+if __name__ == "__main__":
+    main()
