@@ -271,7 +271,16 @@ def _pairwise_cosine(
     )
     return (
         a.join(b, cond)
-        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 7))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(
+                    F.col("a.norm") * F.col("b.norm") != 0,
+                    dot / (F.col("a.norm") * F.col("b.norm")),
+                ).otherwise(F.lit(0.0)),
+                7,
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -30,6 +30,14 @@ def _norm(vec: Column) -> Column:
     return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _safe_cos(dot: Column, den: Column) -> Column:
+    """Cosine with the zero-vector convention: similarity to (or of) a
+    zero-norm vector is 0.0, not a division error (ANSI mode) or NaN. A
+    scrubbed/empty document hashing to the zero embedding must not abort a
+    corpus-scale kNN job."""
+    return F.when(den != 0, dot / den).otherwise(F.lit(0.0))
+
+
 def infer_dim(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row — a driver job, so
     callers that know ``dim`` should pass it. Raises a clear error on an
@@ -48,7 +56,7 @@ def cosine_similarity(vec: Column, query: list[float]) -> Column:
     q = F.array(*[F.lit(float(x)) for x in query])
     v = _as_double(vec)
     qnorm = sum(x * x for x in query) ** 0.5
-    return _dot(v, q) / (_norm(v) * F.lit(qnorm))
+    return _safe_cos(_dot(v, q), _norm(v) * F.lit(qnorm))
 
 
 def cosine_topk(
@@ -252,9 +260,9 @@ def knn_join(
             pairs.select(
                 "qid",
                 "nid",
-                F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 7).alias(
-                    "cosine"
-                ),
+                F.round(
+                    _safe_cos(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")), 7
+                ).alias("cosine"),
             )
         )
 

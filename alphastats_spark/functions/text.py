@@ -288,3 +288,61 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize_l2: bool = True,
+) -> DataFrame:
+    """Feature-hashing text embedder: token counts folded into a dense
+    ``dim``-bucket vector (the hashing trick) — the in-engine bridge from a
+    text corpus to every embedding operator (ANN, SemDedup, near-dup).
+
+    Buckets are md5-derived (engine-portable, like
+    :func:`alphastats_spark.functions.pipeline.hash_bucket`), so a DuckDB
+    oracle reproduces the vector exactly. Plan: one explode + one
+    map-side-combinable groupBy(doc, bucket) + one groupBy(doc) that
+    assembles the dense array from a map — two shuffles total, both keyed
+    by doc id, and the second reuses the first's partitioning. Output:
+    ``(id_col, embedding array<double>)``, L2-normalized by default
+    (all-empty docs get the zero vector).
+    """
+    toks = tokens(normalize(F.col(text_col)))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    counts = (
+        df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+        .select(id_col, F.when(F.col("__tok").isNotNull(), bucket).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count("__b").alias("__c"))
+    )
+    # empty docs survive as a single null-bucket row (explode_outer); the
+    # conditional struct turns it into a null element that collect_list
+    # skips, leaving an empty map -> the zero vector
+    entries = F.collect_list(
+        F.when(F.col("__b").isNotNull(), F.struct("__b", "__c"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.map_from_entries(entries), i),
+            F.lit(0).cast("long"),
+        ).cast("double"),
+    )
+    out = counts.groupBy(id_col).agg(dense.alias("embedding"))
+    if not normalize_l2:
+        return out
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    unit = F.when(
+        norm > 0, F.transform(F.col("embedding"), lambda x: x / norm)
+    ).otherwise(F.col("embedding"))
+    return out.select(id_col, unit.alias("embedding"))

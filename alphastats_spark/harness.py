@@ -3291,6 +3291,32 @@ SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT lang) AS n_langs
 FROM t GROUP BY source""")
 
+    # Feature-hashing text embedder (the hashing trick): md5 buckets →
+    # dense L2-normalized vector — the in-engine documents→embeddings
+    # bridge. The gate unpivots the nonzero buckets (one row per (doc,
+    # bucket)) so the vector is value-hashed element by element.
+    def _hash_embed(spark, sf_dir):
+        emb = text.hash_embed(_docs(spark, sf_dir), dim=64)
+        return (
+            emb.select("doc_id", F.posexplode("embedding").alias("bucket", "w"))
+            .where(F.col("w") > 0)
+            .select("doc_id", "bucket", F.round("w", ROUND).alias("weight"))
+        )
+
+    add("doc_hash_embed", _hash_embed, f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+b AS (SELECT doc_id,
+             CAST(CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                  AS INTEGER) AS bucket
+      FROM tok),
+c AS (SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+n AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM c GROUP BY 1)
+SELECT c.doc_id, c.bucket, ROUND(c.c / n.nrm, {ROUND}) AS weight
+FROM c JOIN n USING (doc_id)""")
+
     # Per-source token-length distribution profile: exact interpolated
     # percentiles (parity with quantile_cont; the exact=False KLL path is
     # the 100 TB variant).

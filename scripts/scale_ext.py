@@ -77,9 +77,8 @@ def synth_events(spark, n_events: int, n_users: int):
     types = F.array(*[F.lit(t) for t in ["signup", "view", "click", "purchase", "error"]])
     return spark.range(0, n_events, 1, 32).select(
         F.pmod(F.hash("id"), F.lit(n_users)).cast("long").alias("user_id"),
-        (F.pmod(F.hash(F.col("id") * 3 + 7), F.lit(30 * 86_400)) * 1_000_000)
-        .cast("long")
-        .alias("us"),
+        (F.pmod(F.hash(F.col("id") * 3 + 7), F.lit(30 * 86_400)).cast("long")
+         * 1_000_000).alias("us"),
         F.element_at(types, F.pmod(F.hash(F.col("id") + 11), F.lit(5)) + 1).alias(
             "event_type"
         ),

@@ -1305,3 +1305,40 @@ def test_funnel_per_user_times(spark):
     assert out[1]["lvl"] == 3
     assert out[1]["t_first"] == 0 and out[1]["t_last"] == 25 * M
     assert out[2]["lvl"] == 1 and out[2]["t_first"] == 5 * M
+
+
+def test_hash_embed_chains_into_ann(spark):
+    """hash_embed output must be directly consumable by the embedding
+    operators: near-identical texts land close in cosine, unrelated texts
+    far; empty docs get the zero vector."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completamente distinto texto sobre motores y datos grandes"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    emb = text.hash_embed(df, dim=32)
+    got = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    assert len(got[0]) == 32
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num  # vectors are L2-normalized already
+
+    assert abs(sum(x * x for x in got[0]) - 1.0) < 1e-9
+    assert cos(got[0], got[1]) > 0.9
+    assert cos(got[0], got[2]) < 0.3
+    assert all(x == 0.0 for x in got[3])
+
+    # end-to-end: corpus -> hashed vectors -> kNN self-join
+    from alphastats_spark.functions import similarity
+
+    knn = similarity.knn_join(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        k=1, n_planes=2, n_tables=4, dim=32,
+    )
+    top = {r["vec_id"]: r["neighbor_id"] for r in knn.collect() if r["vec_id"] in (0, 1)}
+    # docs 0 and 1 are each other's nearest neighbor when retrieved
+    for q, v in top.items():
+        assert {q, v} == {0, 1}
