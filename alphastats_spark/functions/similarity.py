@@ -391,3 +391,152 @@ def ivf_topk(
         F.round(cosine_similarity(F.col(vec_col), query), 7).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): byte codes + asymmetric-distance (ADC) scan
+
+
+def pq_train(
+    sample, m: int = 4, n_codes: int = 16, n_iters: int = 5, seed: int = 42
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks (Jégou et al. 2011): split the
+    ``dim`` dimensions into ``m`` contiguous subspaces and run the pure
+    seeded :func:`kmeans_train` in each (distinct seed per subspace so the
+    inits differ). Pure function of the sample — shared by the Spark path
+    and the DuckDB oracle generator so both derive bit-identical codebooks.
+
+    Why PQ is the 100 TB shape: a 64-d float32 embedding is 256 bytes; its
+    ``m``-byte PQ code is 4 — a 64× compression, which is the difference
+    between an index that must be re-scanned from object storage and one
+    that is RAM-resident across the cluster. Scoring a candidate is ``m``
+    table lookups instead of ``dim`` multiply-adds.
+    """
+    import numpy as np
+
+    s = np.asarray(sample, dtype="float64")
+    dim = s.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        kmeans_train(s[:, i * sub : (i + 1) * sub], n_codes, n_iters, seed + 1000 + i)
+        for i in range(m)
+    ]
+
+
+def _argmin_expr(dists: list[Column]) -> Column:
+    """First-occurrence argmin over a list of distance columns, built FLAT
+    (``array_position(ds, array_min(ds))``) rather than as a chained
+    ``when``/``least`` fold — a 64-deep nested fold over aggregate
+    subexpressions overflows Catalyst's canonicalization recursion, while
+    the flat array form stays shallow at any codebook size. SQL twin:
+    ``list_position(ds, list_min(ds)) - 1``."""
+    ds = F.array(*dists)
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+
+def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ code as ``array<int>`` (one entry per subspace) — a JVM-side
+    argmin over squared distances to the literal codebook centroids, the
+    per-subspace twin of :func:`_centroid_id_expr`. First-occurrence
+    tie-break, replicated exactly by the oracle's ``list_position`` form."""
+    v = _as_double(vec)
+    sub = len(codebooks[0][0])
+    parts = []
+    for s_i, cb in enumerate(codebooks):
+        sv = F.slice(v, s_i * sub + 1, sub)
+        dists = []
+        for c in cb:
+            cent = F.array(*[F.lit(float(x)) for x in c])
+            dists.append(
+                F.aggregate(
+                    F.zip_with(sv, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        parts.append(_argmin_expr(dists))
+    return F.array(*parts)
+
+
+def normalize_expr(vec: Column) -> Column:
+    """L2-normalize an embedding column (JVM-side). PQ quantizes L2
+    distance; cosine retrieval over unnormalized vectors becomes L2
+    retrieval over unit vectors, so normalize before indexing — the
+    standard production shape for cosine ANN."""
+    v = _as_double(vec)
+    nrm = _norm(v)
+    return F.transform(v, lambda x: x / nrm)
+
+
+def pq_adc_lut(query: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """ADC lookup table: ``lut[s][c]`` = squared L2 distance between the
+    query's subvector ``s`` and codebook centroid ``c``. Pure numpy —
+    shared with the oracle generator, so the literal doubles Spark ships
+    via ``F.lit`` and the SQL ships via ``repr`` are the same bits."""
+    import numpy as np
+
+    q = np.asarray(query, dtype="float64")
+    sub = len(codebooks[0][0])
+    lut = []
+    for s_i, cb in enumerate(codebooks):
+        qs = q[s_i * sub : (s_i + 1) * sub]
+        lut.append([float(((qs - np.asarray(c, dtype="float64")) ** 2).sum()) for c in cb])
+    return lut
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 0,
+    indexed: bool = False,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: prune to the ``nprobe`` nearest inverted
+    lists (coarse quantizer), then rank candidates by the PQ asymmetric
+    distance — ``m`` lookups into the query's broadcast-literal LUT instead
+    of a ``dim``-wide dot product. ``refine > 0`` re-ranks the top
+    ``refine`` ADC shortlist with exact cosine (the standard two-stage
+    production shape: cheap ADC over millions, exact math over hundreds).
+
+    Plan shape: one scan, a scan-level ``ivf_list`` membership predicate
+    (partition pruning when the index is written partitioned by list), the
+    code/LUT arithmetic entirely inside whole-stage codegen, and a
+    TakeOrderedAndProject for the top-k — no shuffle, no UDF, no driver
+    loop. At 100 TB the codes are a precomputed 4-byte column, so the scan
+    reads ~1.6 % of the raw embedding bytes.
+    """
+    probe = ivf_probes(query, centroids, nprobe)
+    base = df if indexed else ivf_index(df, centroids, vec_col)
+    lut = pq_adc_lut(query, codebooks)
+
+    cand = base.where(F.col("ivf_list").isin(probe)).withColumn(
+        "__code", pq_encode_expr(F.col(vec_col), codebooks)
+    )
+    score = None
+    for s_i, row in enumerate(lut):
+        lut_arr = F.array(*[F.lit(float(x)) for x in row])
+        term = F.get(lut_arr, F.element_at("__code", s_i + 1))
+        score = term if score is None else score + term
+    scored = cand.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(score, 7).alias("adc_dist"),
+    )
+    if refine:
+        shortlist = scored.orderBy(F.col("adc_dist").asc(), F.col(id_col)).limit(refine)
+        rer = shortlist.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), query), 7).alias("cosine"),
+        )
+        return rer.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+    return (
+        scored.select(id_col, "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1912,6 +1912,70 @@ WHERE ivf_list IN ({", ".join(str(p) for p in probes)})
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
+def _ivfpq_oracle_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 8,
+                      m: int = 4, n_codes: int = 16, seed: int = 42,
+                      sample_rows: int = 10_000) -> str:
+    """Oracle for similarity.ivfpq_topk (pure-ADC path).
+
+    Everything non-SQL is a pure seeded function shared with the Spark
+    path: the coarse centroids (kmeans_train on the first ``sample_rows``
+    vectors by vec_id), the per-subspace codebooks (pq_train, same sample),
+    the probe list (ivf_probes) and the query's ADC lookup table
+    (pq_adc_lut). The SQL replicates the coarse argmin and each subspace's
+    argmin code with ``list_position(ds, list_min(ds)) - 1`` — the exact
+    twin of similarity._argmin_expr's flat first-occurrence form — and the
+    left-associated ``m``-term LUT sum, so the approximate index is
+    value-hashed exactly."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from alphastats_spark.functions import similarity
+
+    path = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{path}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = t.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")[:sample_rows]
+    sample = [vecs[i] for i in order]
+    cents = similarity.kmeans_train(sample, n_centroids, 5, seed)
+    books = similarity.pq_train(sample, m, n_codes, 5, seed)
+    qvec = [float(x) for x in vecs[int(np.nonzero(ids == 0)[0][0])]]
+    probes = similarity.ivf_probes(qvec, cents, nprobe)
+    lut = similarity.pq_adc_lut(qvec, books)
+    dim = len(qvec)
+    sub = dim // m
+
+    def _dist(off: int, width: int, lit: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {width + 1}), "
+            f"j -> (e[{off} + j] - ({lit})[j]) * (e[{off} + j] - ({lit})[j])))"
+        )
+
+    g_list = "[" + ", ".join(_dist(0, dim, _plane_sql(c)) for c in cents) + "]"
+    code_cols = []
+    for s_i in range(m):
+        ds = "[" + ", ".join(
+            _dist(s_i * sub, sub, _plane_sql(c)) for c in books[s_i]
+        ) + "]"
+        code_cols.append(
+            f"(list_position({ds}, list_min({ds})) - 1) AS c{s_i}"
+        )
+    score = " + ".join(
+        f"list_extract({_plane_sql(lut[s_i])}, c{s_i} + 1)" for s_i in range(m)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+g AS (SELECT vec_id, e, {g_list} AS gd FROM v),
+a AS (SELECT vec_id, e, (list_position(gd, list_min(gd)) - 1) AS ivf_list FROM g),
+p AS (SELECT vec_id, e FROM a
+      WHERE ivf_list IN ({", ".join(str(x) for x in probes)})),
+cd AS (SELECT vec_id, {", ".join(code_cols)} FROM p)
+SELECT vec_id, ROUND({score}, {ROUND}) AS adc_dist
+FROM cd ORDER BY adc_dist, vec_id LIMIT {k}"""
+
+
 def _knn_join_sql(
     k: int, n_planes: int, seed: int = 42, n_tables: int = 2, multiprobe: int = 0
 ) -> str:
@@ -2563,6 +2627,25 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
     # probe lists (see _ivf_oracle_sql). nprobe=8 of 16 lists: measured
     # recall@20 = 0.85 at sf0.01 (nprobe=4 was 0.50).
     add("ann_ivf_topk", _ann_ivf, _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8))
+
+    def _ann_ivfpq(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(10_000).collect()
+        sample = [r[1] for r in rows]
+        qvec = [float(x) for x in next(r[1] for r in rows if r[0] == 0)]
+        cents = similarity.kmeans_train(sample, 16, 5, 42)
+        books = similarity.pq_train(sample, m=4, n_codes=16, n_iters=5, seed=42)
+        return similarity.ivfpq_topk(emb, qvec, cents, books, k=20, nprobe=8)
+
+    # IVF-PQ (Jégou et al. 2011): coarse-quantizer pruning + byte codes
+    # scored via the query's ADC lookup table — m table lookups per
+    # candidate instead of a dim-wide dot product, and a 64× smaller index
+    # (4 bytes vs 256 for a 64-d float32 vector). Value-hashed: centroids,
+    # codebooks, probe list and LUT are pure seeded functions shared with
+    # the oracle generator; recall of the ADC ranking and of the
+    # refine-reranked two-stage variant are pinned in pytest.
+    add("ann_ivfpq_topk", _ann_ivfpq,
+        _ivfpq_oracle_sql(k=20, n_centroids=16, nprobe=8, m=4, n_codes=16))
 
     # The fake-decoder gate entry (media_decode_features, r1-r3) was retired
     # once the real decode/resize/frame-sample triad became value-hashed:

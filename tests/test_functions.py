@@ -400,6 +400,56 @@ def test_embedding_lsh_gate_recall(spark):
         assert recall >= 0.9, f"LSH recall {recall:.2f} below target at gate params"
 
 
+def test_ivfpq_recall_and_levers(spark):
+    """IVF-PQ on the driver embeddings (unit-norm 64-d, weakly clustered —
+    the hard case for quantizers). Measured at sf0.001: pure-ADC recall@20
+    is 0.30 at the compact gate config (m=4 × 16 codes, 16 bits/vector) and
+    0.40 at m=8 × 64 codes (48 bits); the exact-cosine refine rerank of the
+    ADC top-100 reaches 0.70 — capped by nprobe=8/16 coarse coverage, not
+    by PQ (same 0.7 ceiling as the plain-IVF nprobe=8 pin). Pins sit just
+    under the measurements so a quantizer regression fails here, and both
+    levers (codebook size, refine) must not go backwards. The plan must
+    stay scan-only: no shuffle, no row-UDF, no driver loop."""
+    import os
+
+    import numpy as np
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(10_000).collect()
+    sample = np.array([r[1] for r in rows], dtype="float64")
+    q = [float(x) for x in next(r[1] for r in rows if r[0] == 0)]
+    k = 20
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=k).collect()}
+
+    cents = similarity.kmeans_train(sample, 16, 5, 42)
+    small = similarity.pq_train(sample, m=4, n_codes=16, seed=42)
+    big = similarity.pq_train(sample, m=8, n_codes=64, seed=42)
+
+    def recall(books, **kw):
+        got = {
+            r["vec_id"]
+            for r in similarity.ivfpq_topk(emb, q, cents, books, k=k, nprobe=8, **kw).collect()
+        }
+        return len(got & exact) / k
+
+    r_small = recall(small)
+    r_big = recall(big)
+    r_refine = recall(small, refine=100)
+    assert r_small >= 0.25, f"gate-config ADC recall {r_small:.2f} below pin"
+    assert r_big >= r_small, "richer codebooks must not lower ADC recall"
+    assert r_refine >= 0.65, f"refine-rerank recall {r_refine:.2f} below pin"
+    assert r_refine > r_small, "exact rerank must lift recall over pure ADC"
+
+    from alphastats_spark import plans
+
+    out = similarity.ivfpq_topk(emb, q, cents, small, k=k, nprobe=8)
+    kinds = {f.kind for f in plans.audit(out)}
+    assert kinds <= {"unfiltered-scan"}, kinds
+
+
 class TestRealCodecs:
     """Dependency-free decode kernels: stdlib+numpy WAV/BMP/PPM/PNG."""
 
