@@ -627,3 +627,103 @@ def length_quantiles(
         .groupBy(strata_col)
         .agg(*aggs)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how much more likely its hashed-unigram bag is
+    under the TARGET domain's distribution than under the raw corpus
+    distribution, then keep the highest-weight documents — the standard
+    recipe for skewing a web-scale crawl toward a quality domain without
+    training a classifier.
+
+    ``target`` is a boolean Column marking target-domain rows (e.g.
+    ``F.col("lang") == "en"``). Tokens hash into ``n_buckets`` md5 buckets
+    (:func:`hash_bucket` — engine-portable, so the oracle reproduces the
+    features exactly); both distributions are add-``alpha`` smoothed over
+    the fixed bucket vocabulary; a document's ``log_weight`` is the mean
+    per-token ``log P_target(b) − log P_raw(b)`` (0.0 for empty docs).
+
+    ``top_n`` additionally emits ``selected``: the ``top_n`` documents by
+    (rounded) weight, descending, doc-id ascending. The selection threshold
+    comes from a bounded ``orderBy().limit(top_n)`` collect (a distributed
+    TakeOrdered, like the IVF training sample — top_n rows reach the
+    driver, never the corpus), so the filter is a broadcast-free scan
+    predicate rather than a global rank window.
+
+    Plan shape at 100 TB: explode to the token stream, ONE map-side-
+    combinable groupBy down to ≤``n_buckets`` rows, the per-bucket log-
+    ratio table broadcast-joined back to the stream, one per-doc groupBy.
+    No global window, no driver materialization beyond the ``top_n`` rows.
+    """
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    base = df.select(F.col(id_col), target.alias("__t"), toks.alias("__toks"))
+    stream = base.select(
+        id_col, "__t", F.explode("__toks").alias("__tok")
+    ).select(id_col, "__t", hash_bucket(F.col("__tok"), n_buckets).alias("__bk"))
+
+    counts = stream.groupBy("__bk").agg(
+        F.count(F.when(F.col("__t"), F.lit(1))).alias("__ct"),
+        F.count(F.lit(1)).alias("__cr"),
+    )
+    tot = counts.agg(
+        F.sum("__ct").cast("double").alias("__nt"),
+        F.sum("__cr").cast("double").alias("__nr"),
+    )
+    a = float(alpha)
+    b = float(n_buckets)
+    lp = counts.crossJoin(F.broadcast(tot)).select(
+        "__bk",
+        (
+            F.log((F.col("__ct") + a) / (F.col("__nt") + a * b))
+            - F.log((F.col("__cr") + a) / (F.col("__nr") + a * b))
+        ).alias("__diff"),
+    )
+    perdoc = stream.join(F.broadcast(lp), "__bk").groupBy(id_col).agg(
+        F.avg("__diff").alias("__w")
+    )
+    out = (
+        base.select(
+            id_col,
+            F.col("__t").alias("is_target"),
+            F.when(F.col("__toks").isNull(), F.lit(0))
+            .otherwise(F.size("__toks"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            "n_tokens",
+            F.round(F.coalesce("__w", F.lit(0.0)), 7).alias("log_weight"),
+        )
+    )
+    if top_n is not None:
+        top = (
+            out.orderBy(F.desc("log_weight"), F.asc(id_col))
+            .limit(top_n)
+            .select("log_weight", id_col)
+            .collect()
+        )
+        if top:
+            thr_w, thr_id = top[-1][0], top[-1][1]
+            sel = (F.col("log_weight") > F.lit(thr_w)) | (
+                (F.col("log_weight") == F.lit(thr_w)) & (F.col(id_col) <= F.lit(thr_id))
+            )
+        else:
+            sel = F.lit(False)
+        out = out.withColumn("selected", sel)
+    return out

@@ -3475,6 +3475,41 @@ FROM documents d JOIN r USING (source)
 WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         % 10000 < r.keep_rate * 10000""")
 
+    # DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    # importance weights toward the English-language target slice, top-100
+    # selection. Features are md5 hash buckets (engine-portable), both
+    # distributions add-α smoothed over the fixed 4096-bucket vocabulary,
+    # so the oracle reproduces weight AND selection exactly (the Spark
+    # side's bounded TakeOrdered threshold equals rank-≤-n under the
+    # unique-doc-id total order).
+    add("doc_dsir_select",
+        lambda spark, sf_dir: pipeline.dsir_weights(
+            _docs(spark, sf_dir), target=F.col("lang") == "en",
+            n_buckets=4096, alpha=0.5, top_n=100),
+        f"""
+WITH t AS (SELECT doc_id, (lang = 'en') AS is_target,
+                  list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, is_target, unnest(toks) AS tok FROM t),
+bk AS (SELECT doc_id, is_target,
+              CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 4096 AS b
+       FROM tok),
+c AS (SELECT b, COUNT(*) FILTER (WHERE is_target) AS ct, COUNT(*) AS cr
+      FROM bk GROUP BY 1),
+tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr FROM c),
+lp AS (SELECT b, ln((ct + 0.5) / (nt + 0.5 * 4096))
+                 - ln((cr + 0.5) / (nr + 0.5 * 4096)) AS diff
+       FROM c, tt),
+sc AS (SELECT bk.doc_id, AVG(diff) AS w FROM bk JOIN lp USING (b) GROUP BY 1),
+base AS (
+  SELECT t.doc_id, t.is_target,
+         CAST(COALESCE(len(t.toks), 0) AS BIGINT) AS n_tokens,
+         ROUND(COALESCE(sc.w, 0.0), {ROUND}) AS log_weight
+  FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id)
+SELECT doc_id, is_target, n_tokens, log_weight,
+       (ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id)) <= 100 AS selected
+FROM base""")
+
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
     # among radius-1 bucket-mates in either of 2 independent LSH tables.
     # Parameters are corpus-relative, calibrated on the 500-vector gate

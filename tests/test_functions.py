@@ -1055,6 +1055,44 @@ class TestPipeline:
         ).where("source = 'web'").count()
         assert none_kept == 0
 
+    def test_dsir_weights(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        # Two vocabularies: target docs speak "alpha beta", raw-only docs
+        # speak "gamma delta"; a target-leaning mixed doc sits between.
+        rows = (
+            [(i, "en", "alpha beta alpha beta") for i in range(10)]
+            + [(i, "de", "gamma delta gamma delta") for i in range(10, 20)]
+            + [(20, "de", "alpha beta gamma")]
+            + [(21, "en", None)]
+        )
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+        out = {
+            r["doc_id"]: r
+            for r in pipeline.dsir_weights(
+                df, target=F.col("lang") == "en", n_buckets=256, top_n=10
+            ).collect()
+        }
+        assert len(out) == 22
+        # target-vocabulary docs outrank raw-only docs
+        assert out[0]["log_weight"] > 0 > out[10]["log_weight"]
+        # the mixed doc lands strictly between the two pure vocabularies
+        # (its one off-target token drags it negative, but less so than a
+        # pure raw-vocabulary doc)
+        assert out[10]["log_weight"] < out[20]["log_weight"] < out[0]["log_weight"]
+        # empty doc: zero tokens, neutral weight — ranks 11th, outside top 10
+        assert out[21]["n_tokens"] == 0 and out[21]["log_weight"] == 0.0
+        assert not out[21]["selected"]
+        # exactly the 10 target docs selected (equal weights, id tiebreak)
+        sel = {i for i, r in out.items() if r["selected"]}
+        assert sel == set(range(10))
+
+        from alphastats_spark import plans
+
+        scored = pipeline.dsir_weights(df, target=F.col("lang") == "en", n_buckets=256)
+        kinds = {f.kind for f in plans.audit(scored)}
+        assert kinds <= {"unfiltered-scan"}, kinds
+
     def test_source_stats(self, spark):
         from alphastats_spark.functions import pipeline
 
