@@ -727,3 +727,46 @@ def dsir_weights(
             sel = F.lit(False)
         out = out.withColumn("selected", sel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# hierarchical corpus profile (ROLLUP)
+
+
+def corpus_rollup(
+    df: DataFrame,
+    strata: tuple[str, str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Hierarchical corpus profile: doc/token counts at (source, lang),
+    per-source subtotal, and grand-total grain in one result (the
+    achieved-mix accounting a data-mixing run is judged against).
+
+    Scale shape: the naive ``df.rollup(...)`` plans an Expand that
+    duplicates EVERY corpus row once per grouping set before aggregating
+    (3× the scan volume here). Instead the corpus reduces through one
+    map-side-combinable fine-grained groupBy (≤ |sources|×|langs| rows) and
+    the ROLLUP runs on that tiny aggregate — sums re-combine associatively,
+    and the ratio column is derived at the end. ``grouping_id`` keeps the
+    three grains distinguishable even if a stratum value were null.
+    """
+    a, b = strata
+    n_tok = F.coalesce(text.token_count(F.col(text_col)), F.lit(0)).cast("bigint")
+    base = (
+        df.select(F.col(a), F.col(b), n_tok.alias("__n"))
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("__docs"), F.sum("__n").alias("__toks"))
+    )
+    out = base.rollup(a, b).agg(
+        F.grouping_id().cast("int").alias("grouping_id"),
+        F.sum("__docs").cast("bigint").alias("n_docs"),
+        F.sum("__toks").cast("bigint").alias("total_tokens"),
+    )
+    return out.select(
+        a,
+        b,
+        "grouping_id",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 7).alias("avg_tokens"),
+    )

@@ -3510,6 +3510,22 @@ SELECT doc_id, is_target, n_tokens, log_weight,
        (ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id)) <= 100 AS selected
 FROM base""")
 
+    # Hierarchical (source, lang) / source / grand-total profile in one
+    # ROLLUP result. The Spark side pre-aggregates to the tiny
+    # (source × lang) grain before rolling up, so no Expand ever touches
+    # corpus rows; the oracle rolls up the raw table directly — identical
+    # values by associativity of the sums.
+    add("corpus_rollup_stats",
+        lambda spark, sf_dir: pipeline.corpus_rollup(_docs(spark, sf_dir)),
+        f"""
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS INTEGER) AS grouping_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(len({_TOKS_SQL}), 0)) AS BIGINT) AS total_tokens,
+       ROUND(SUM(COALESCE(len({_TOKS_SQL}), 0)) * 1.0 / COUNT(*), {ROUND})
+         AS avg_tokens
+FROM documents GROUP BY ROLLUP (source, lang)""")
+
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
     # among radius-1 bucket-mates in either of 2 independent LSH tables.
     # Parameters are corpus-relative, calibrated on the 500-vector gate

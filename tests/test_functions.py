@@ -1093,6 +1093,33 @@ class TestPipeline:
         kinds = {f.kind for f in plans.audit(scored)}
         assert kinds <= {"unfiltered-scan"}, kinds
 
+    def test_corpus_rollup(self, spark):
+        from alphastats_spark.functions import pipeline
+        from alphastats_spark.plans.audit import explain_string
+
+        rows = [
+            ("web", "en", "a b c"),
+            ("web", "de", "a b"),
+            ("books", "en", "x"),
+            ("books", "en", None),
+        ]
+        df = spark.createDataFrame(rows, "source string, lang string, text string")
+        out = pipeline.corpus_rollup(df)
+        got = {(r["source"], r["lang"], r["grouping_id"]): r for r in out.collect()}
+        assert got[("web", "en", 0)]["total_tokens"] == 3
+        assert got[("web", None, 1)]["n_docs"] == 2
+        assert got[("books", None, 1)]["total_tokens"] == 1  # null text counts 0
+        assert got[(None, None, 3)]["n_docs"] == 4
+        assert got[(None, None, 3)]["avg_tokens"] == pytest.approx(6 / 4)
+        # the Expand (grouping-set duplication) must sit above the fine-
+        # grained aggregate, never on raw corpus rows: exactly one Expand,
+        # with an aggregate between it and the scan
+        plan = explain_string(out, "simple").split("Initial Plan")[0]
+        assert plan.count("Expand") == 1
+        scan_pos = max(plan.rfind("Scan"), plan.rfind("LocalTableScan"))
+        agg_pos = plan.rfind("HashAggregate")
+        assert plan.find("Expand") < agg_pos < scan_pos, plan
+
     def test_source_stats(self, spark):
         from alphastats_spark.functions import pipeline
 
