@@ -86,6 +86,32 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*minhash_signature_cols(k))
 
 
+def _band_table(sigs: DataFrame, id_col: str, k: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature frame into (id, band, band-signature) rows —
+    the LSH bucketing shared by the self-join and cross-corpus paths."""
+    n_bands = k // rows_per_band
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,23 +125,7 @@ def lsh_candidate_pairs(
     cross join. Output: (id_a, id_b, n_bands) with id_a < id_b.
     """
     sigs = minhash_signatures(df, id_col, text_col, k)
-    n_bands = k // rows_per_band
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("sig"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _band_table(sigs, id_col, k, rows_per_band)
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
@@ -627,5 +637,110 @@ def substring_dedup(
             .cast("bigint")
             .alias("n_removed"),
             F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) dedup: new ingest batch vs existing corpus
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Verified near-duplicate matches of a NEW ingest batch against an
+    EXISTING corpus: ``(new_id, match_id, jaccard ≥ threshold)``.
+
+    The incremental-ingestion shape a production corpus actually runs —
+    a self-join dedup of corpus+batch re-pays the corpus×corpus work on
+    every ingest, while this compares batch×corpus only. Plan: both sides
+    reduce to MinHash band tables (same seeded hash family, so a
+    batch/corpus pair collides exactly when the self-join would have
+    found it); the batch side is broadcast — the corpus band table never
+    reshuffles, and at 100 TB it would be a precomputed bucketed table so
+    ingest cost is O(batch) + one broadcast probe per band. Candidates
+    then verify with exact shingle Jaccard restricted to candidate pairs,
+    as in :func:`lsh_verified_pairs`.
+    """
+    bn = _band_table(
+        minhash_signatures(new_df, id_col, text_col, k), id_col, k, rows_per_band
+    ).withColumnRenamed(id_col, "new_id")
+    bo = _band_table(
+        minhash_signatures(corpus_df, id_col, text_col, k), id_col, k, rows_per_band
+    ).withColumnRenamed(id_col, "match_id")
+    cands = (
+        F.broadcast(bn)
+        .join(bo, ["band", "sig"])
+        .select("new_id", "match_id")
+        .distinct()
+    )
+
+    sh_n = new_df.select(
+        F.col(id_col).alias("new_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    sh_o = corpus_df.select(
+        F.col(id_col).alias("match_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    common = (
+        cands.join(sh_n, "new_id")
+        .join(sh_o, ["match_id", "shingle"])
+        .groupBy("new_id", "match_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sh_n.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_a"))
+    sb = sh_o.groupBy("match_id").agg(F.count(F.lit(1)).alias("size_b"))
+    return (
+        common.join(F.broadcast(sa), "new_id")
+        .join(sb, "match_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 7
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "match_id", "jaccard")
+    )
+
+
+def incremental_admit(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Admission audit for an ingest batch: one row per NEW document —
+    ``(id, n_matches, best_match_id, best_jaccard, admitted)`` where the
+    best match is the existing-corpus doc with the highest verified
+    Jaccard (ties → lower id; ``-1``/``0.0`` sentinels when no match —
+    not null, which would coerce to NaN through arrow interchange) and
+    ``admitted`` means no near-duplicate already exists in the corpus.
+    The ranking window partitions by new-doc id — parallel across the
+    batch, never a global sort."""
+    matches = incremental_near_dups(
+        new_df, corpus_df, id_col, text_col, threshold=threshold
+    )
+    best = matches.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max(F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nid"))).alias("__b"),
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(best.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_matches", F.lit(0).cast("bigint")).alias("n_matches"),
+            F.coalesce(-F.col("__b.nid"), F.lit(-1).cast("long")).alias("best_match_id"),
+            F.coalesce(F.col("__b.jaccard"), F.lit(0.0)).alias("best_jaccard"),
+            (F.col("n_matches").isNull()).alias("admitted"),
         )
     )

@@ -3526,6 +3526,63 @@ SELECT source, lang,
          AS avg_tokens
 FROM documents GROUP BY ROLLUP (source, lang)""")
 
+    # Incremental ingest dedup: the doc_id%5==0 slice plays the NEW batch,
+    # the rest the EXISTING corpus. Admission audit per new doc — match
+    # count, best verified match, admitted flag. 14 of the corpus's 25
+    # verified near-dup pairs straddle this split at sf0.01, so both the
+    # rejected and admitted paths are driver-checked. The batch band table
+    # broadcasts; the corpus side never reshuffles beyond its band groupBy.
+    _inc_mh = ", ".join(
+        f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
+    )
+    _inc_bands = ", ".join(
+        f"({b}, mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(dedup.MINHASH_K // 2)
+    )
+    add("dedup_incremental_admit",
+        lambda spark, sf_dir: dedup.incremental_admit(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0),
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0),
+            threshold=0.5),
+        f"""
+WITH t AS (SELECT doc_id, (doc_id % 5 = 0) AS is_new,
+                  string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id, is_new, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM t
+),
+sig AS (SELECT doc_id, is_new, {_inc_mh} FROM sh GROUP BY doc_id, is_new),
+bands AS (SELECT doc_id, is_new, b.band, b.sig
+          FROM sig, LATERAL (VALUES {_inc_bands}) AS b(band, sig)),
+cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
+         FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+         WHERE l.is_new AND NOT r.is_new),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT c.new_id, c.match_id, COUNT(*) AS cnt
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.new_id
+           JOIN sh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+           GROUP BY 1, 2),
+ver AS (SELECT new_id, match_id,
+               ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) AS jaccard
+        FROM common
+        JOIN sizes sa ON new_id = sa.doc_id
+        JOIN sizes sb ON match_id = sb.doc_id
+        WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5),
+sel AS (SELECT new_id, match_id, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                                  ORDER BY jaccard DESC, match_id) AS rk,
+               COUNT(*) OVER (PARTITION BY new_id) AS nm
+        FROM ver)
+SELECT n.doc_id,
+       CAST(COALESCE(s.nm, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(s.match_id, -1) AS BIGINT) AS best_match_id,
+       COALESCE(s.jaccard, 0.0) AS best_jaccard,
+       (s.new_id IS NULL) AS admitted
+FROM (SELECT doc_id FROM t WHERE is_new) n
+LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id""")
+
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
     # among radius-1 bucket-mates in either of 2 independent LSH tables.
     # Parameters are corpus-relative, calibrated on the 500-vector gate

@@ -1093,6 +1093,45 @@ class TestPipeline:
         kinds = {f.kind for f in plans.audit(scored)}
         assert kinds <= {"unfiltered-scan"}, kinds
 
+    def test_incremental_dedup(self, spark):
+        from alphastats_spark.functions import dedup
+
+        base_text = "the quick brown fox jumps over the lazy dog again and again"
+        corpus = spark.createDataFrame(
+            [(1, base_text), (2, "completely different content about spark engines here")],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, base_text + " today"),          # near-dup of corpus doc 1
+                (11, "entirely novel material nobody wrote before in any corpus"),
+                (12, "entirely novel material nobody wrote before in any corpus"),
+            ],
+            "doc_id bigint, text string",
+        )
+        matches = {
+            (r["new_id"], r["match_id"])
+            for r in dedup.incremental_near_dups(new, corpus, threshold=0.5).collect()
+        }
+        assert matches == {(10, 1)}
+
+        adm = {r["doc_id"]: r for r in dedup.incremental_admit(new, corpus).collect()}
+        assert not adm[10]["admitted"]
+        assert adm[10]["best_match_id"] == 1 and adm[10]["best_jaccard"] >= 0.5
+        # batch-internal duplicates (11 ≡ 12) are NOT this operator's job —
+        # both admit; run the self-join deduplicate() on the admitted batch
+        assert adm[11]["admitted"] and adm[12]["admitted"]
+        assert adm[11]["best_match_id"] == -1 and adm[11]["best_jaccard"] == 0.0
+
+        # the batch side must broadcast: the corpus band table never
+        # reshuffles through a sort-merge join
+        from alphastats_spark.plans.audit import explain_string
+
+        plan = explain_string(
+            dedup.incremental_near_dups(new, corpus, threshold=0.5), "simple"
+        )
+        assert "BroadcastHashJoin" in plan
+
     def test_corpus_rollup(self, spark):
         from alphastats_spark.functions import pipeline
         from alphastats_spark.plans.audit import explain_string
