@@ -744,3 +744,60 @@ def incremental_admit(
             (F.col("n_matches").isNull()).alias("admitted"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment ``|A∩B| / |A|``: document A is
+    (mostly) contained in document B. Catches the duplication Jaccard
+    structurally misses — a short document quoted whole inside a long one
+    has tiny Jaccard (union is large) but containment ≈ 1, which is why
+    production pipelines (e.g. the Pile's and RefinedWeb's doc-in-doc
+    passes) threshold containment, not similarity, for wrapper/quote dups.
+
+    Output: ``(contained_id, container_id, containment ≥ threshold)``,
+    both directions of every co-shingled pair considered. Same plan shape
+    and skew guard as :func:`ngram_jaccard_pairs` — the pair generation is
+    one shingle equi-join computed ONCE (a < b), then both direction rows
+    derive from the same common-count table, so containment costs no more
+    than Jaccard. Rounded before thresholding for cross-engine stability.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(dfreq.where(F.col("__df") <= max_shingle_df), "shingle").drop("__df")
+    left = sh.alias("l")
+    right = sh.alias("r")
+    common = (
+        left.join(
+            right,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
+    scored = common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    fwd = scored.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("common") / F.col("size_a"), 7).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("common") / F.col("size_b"), 7).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)

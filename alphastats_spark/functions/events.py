@@ -158,3 +158,58 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def session_paths(
+    df: DataFrame,
+    gap_s: int = 1800,
+    k: int = 5,
+    top: int = 20,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common session journeys: per gap-based session, the ordered
+    sequence of its first ``k`` event types joined with ``>``, counted
+    corpus-wide — ``(path, n_sessions)``, top ``top`` by frequency (path
+    ascending on ties, so the cut is deterministic).
+
+    Plan shape: the lag-window sessionizer partitions by user (parallel
+    across users, never a global window), each session reduces through one
+    groupBy whose payload is a bounded sorted (us, id, type) array, and
+    the final top-N is a TakeOrderedAndProject over |distinct paths| rows
+    — at 100 TB nothing beyond per-session arrays and the path count table
+    ever materializes.
+    """
+    from pyspark.sql import Window
+
+    gap_us = F.lit(int(gap_s) * 1_000_000)
+    w = Window.partitionBy(user_col).orderBy(us_col, id_col)
+    brk = F.when(
+        F.lag(us_col).over(w).isNull()
+        | (F.col(us_col) - F.lag(us_col).over(w) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = df.withColumn("__brk", brk).withColumn("__sid", F.sum("__brk").over(w))
+
+    per = sess.groupBy(user_col, "__sid").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(us_col).alias("us"),
+                    F.col(id_col).alias("eid"),
+                    F.col(type_col).alias("et"),
+                )
+            )
+        ).alias("__seq")
+    )
+    path = F.concat_ws(
+        ">", F.transform(F.slice("__seq", 1, k), lambda e: e["et"])
+    )
+    counts = (
+        per.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top)

@@ -2402,6 +2402,34 @@ JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
 
+    # Asymmetric doc-in-doc containment |A∩B|/|A| at 0.8 — the wrapper/
+    # quote duplication Jaccard misses when sizes differ; both directions
+    # derived from one a<b shingle equi-join.
+    add("dedup_containment",
+        lambda spark, sf_dir: dedup.containment_pairs(
+            _docs(spark, sf_dir), threshold=0.8),
+        _SHINGLE_CTE + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, c, sa.n_sh AS size_a, sb.n_sh AS size_b
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+),
+dirs AS (
+  SELECT id_a AS contained_id, id_b AS container_id,
+         ROUND(c * 1.0 / size_a, {ROUND}) AS containment FROM scored
+  UNION ALL
+  SELECT id_b, id_a, ROUND(c * 1.0 / size_b, {ROUND}) FROM scored
+)
+SELECT contained_id, container_id, containment
+FROM dirs WHERE containment >= 0.8""")
+
     add("dedup_ngram_jaccard",
         lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5),
         _SHINGLE_CTE + f""",
@@ -2914,6 +2942,37 @@ FROM events GROUP BY 1, 2""")
         return ev_ops.funnel(
             ev, steps=["signup", "click", "purchase"], max_gap_s=86_400
         )
+
+    # Top session journeys: first-5 event-type path per 30-min gap session,
+    # corpus-wide frequency, deterministic top-20 (count desc, path asc).
+    def _top_paths(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev))
+        return ev_ops.session_paths(ev, gap_s=1800, k=5, top=20)
+
+    add("event_top_paths", _top_paths, """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+),
+p AS (
+  SELECT user_id, session_id,
+         array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>')
+           AS path
+  FROM s GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""")
 
     add("event_funnel", _funnel, """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),

@@ -1093,6 +1093,45 @@ class TestPipeline:
         kinds = {f.kind for f in plans.audit(scored)}
         assert kinds <= {"unfiltered-scan"}, kinds
 
+    def test_containment_pairs(self, spark):
+        from alphastats_spark.functions import dedup
+
+        quote = "to be or not to be that is the question"
+        filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, quote), (2, filler + " " + quote + " " + filler)],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.8).collect()
+        }
+        # the short quote is fully contained in the long wrapper...
+        assert got[(1, 2)] == 1.0
+        # ...but NOT vice versa, and Jaccard misses the pair entirely
+        assert (2, 1) not in got
+        jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert jac == []
+
+    def test_session_paths(self, spark):
+        from alphastats_spark.functions import events as ev_ops
+
+        m = 60_000_000  # one minute in microseconds
+        rows = [
+            # user 1, session 1: a>b>c ; session 2 (gap > 30 min): a>b
+            (1, 0 * m, 1, "a"), (1, 1 * m, 2, "b"), (1, 2 * m, 3, "c"),
+            (1, 60 * m, 4, "a"), (1, 61 * m, 5, "b"),
+            # user 2, one session: a>b>c
+            (2, 0 * m, 6, "a"), (2, 5 * m, 7, "b"), (2, 6 * m, 8, "c"),
+            # user 3, 7 events in one session: path truncates at k=5
+            *[(3, i * m, 9 + i, "x") for i in range(7)],
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, us bigint, event_id bigint, event_type string"
+        )
+        got = {r["path"]: r["n_sessions"] for r in ev_ops.session_paths(df, k=5).collect()}
+        assert got == {"a>b>c": 2, "a>b": 1, "x>x>x>x>x": 1}
+
     def test_incremental_dedup(self, spark):
         from alphastats_spark.functions import dedup
 
