@@ -213,3 +213,47 @@ def session_paths(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     )
     return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top)
+
+
+def value_anomalies(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z: float = 3.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust per-type outlier detection: modified z-score from the median
+    and the MAD (× the 1.4826 normal-consistency constant) — the
+    quality-control pass run over a metric column before it is trusted,
+    insensitive to the very outliers it hunts (a mean/stddev z-score
+    inflates its own threshold).
+
+    Returns flagged rows only: ``(id, type, value, robust_z > z)``; groups
+    whose MAD is 0 (over half the values identical) flag nothing rather
+    than dividing by zero. Plan: two grouped percentile aggregations
+    (median, then MAD of residuals) over ≤|types| rows each, broadcast
+    back — the event log shuffles only by ``type_col``. ``exact=False``
+    swaps in the KLL-sketch ``approx_percentile`` at 100 TB.
+    """
+    from alphastats_spark import expressions as X
+
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(type_col).agg(
+        X.percentile(v, 0.5, exact=exact).alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), type_col)
+    resid = F.abs(v - F.col("__med"))
+    mad = with_med.groupBy(type_col).agg(
+        X.percentile(resid, 0.5, exact=exact).alias("__mad")
+    )
+    scored = with_med.join(F.broadcast(mad), type_col).select(
+        F.col(id_col),
+        F.col(type_col),
+        v.alias(value_col),
+        F.round(resid / (F.lit(1.4826) * F.col("__mad")), 7).alias("robust_z"),
+        F.col("__mad"),
+    )
+    return scored.where(
+        (F.col("__mad") > 0) & (F.col("robust_z") > F.lit(float(z)))
+    ).drop("__mad")

@@ -2974,6 +2974,26 @@ p AS (
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""")
 
+    # Robust per-type value outliers: modified z-score (median/MAD ×
+    # 1.4826). Median arithmetic = the same sort-based interpolated
+    # percentile as corpus_length_quantiles (DuckDB quantile_cont twin).
+    def _value_anoms(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        return ev_ops.value_anomalies(_events(spark, sf_dir), z=3.0)
+
+    add("event_value_anomalies", _value_anoms,
+        f"""
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+r AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS resid
+      FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(resid, 0.5) AS mad FROM r GROUP BY 1)
+SELECT r.event_id, r.event_type, r.value,
+       ROUND(r.resid / (1.4826 * m.mad), {ROUND}) AS robust_z
+FROM r JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND ROUND(r.resid / (1.4826 * m.mad), {ROUND}) > 3.0""")
+
     add("event_funnel", _funnel, """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
 t1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),

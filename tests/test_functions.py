@@ -1132,6 +1132,21 @@ class TestPipeline:
         got = {r["path"]: r["n_sessions"] for r in ev_ops.session_paths(df, k=5).collect()}
         assert got == {"a>b>c": 2, "a>b": 1, "x>x>x>x>x": 1}
 
+    def test_value_anomalies(self, spark):
+        from alphastats_spark.functions import events as ev_ops
+
+        rows = (
+            # tight cluster around 10 with one wild outlier
+            [(i, "pay", 10.0 + (i % 3) * 0.1) for i in range(9)]
+            + [(9, "pay", 1000.0)]
+            # constant group: MAD 0 -> flags nothing, no division blowup
+            + [(100 + i, "ping", 5.0) for i in range(5)]
+        )
+        df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+        got = ev_ops.value_anomalies(df, z=3.0).collect()
+        assert [(r["event_id"], r["event_type"]) for r in got] == [(9, "pay")]
+        assert got[0]["robust_z"] > 1000
+
     def test_incremental_dedup(self, spark):
         from alphastats_spark.functions import dedup
 
