@@ -770,3 +770,68 @@ def corpus_rollup(
         "total_tokens",
         F.round(F.col("total_tokens") / F.col("n_docs"), 7).alias("avg_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-ingest index build: chunk → hashed features → hyperplane shard
+
+
+def chunk_shards(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    n_buckets: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end retrieval-ingest composition: split documents into
+    fixed-budget chunks, featurize each chunk as a hashed bag-of-words
+    vector, and assign it a sign-bit hyperplane shard — the partition key
+    a sharded vector index ingests by, so co-retrievable chunks land in
+    the same shard file.
+
+    Composes :func:`chunk_documents` + :func:`hash_bucket` features +
+    the seeded literal hyperplanes of :mod:`.similarity`. The sign of
+    ``Σ count(b) · plane[b]`` is invariant under the ℓ2 normalization the
+    dense embedder would apply, so the sparse count vector feeds the
+    hyperplanes directly — no dense materialization, no normalization
+    pass. Plan: projection + explode (chunking), one map-side-combinable
+    groupBy per (chunk, bucket), one per-chunk aggregate of ``n_planes``
+    dot-product partial sums; never a shuffle wider than the chunk key.
+
+    Output: ``(id, chunk_id, n_chunk_tokens, shard)``.
+    """
+    from alphastats_spark.functions import similarity
+
+    chunks = chunk_documents(df, chunk_tokens, id_col, text_col)
+    tok = chunks.select(
+        id_col,
+        "chunk_id",
+        "n_chunk_tokens",
+        F.explode(text.tokens(F.col("chunk_text"))).alias("__tok"),
+    )
+    feat = tok.select(
+        id_col,
+        "chunk_id",
+        "n_chunk_tokens",
+        hash_bucket(F.col("__tok"), n_buckets).cast("int").alias("__bk"),
+    )
+    counts = feat.groupBy(id_col, "chunk_id", "n_chunk_tokens", "__bk").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    planes = similarity.hyperplanes(n_buckets, n_planes, seed)
+    dots = [
+        F.sum(
+            F.col("__c") * F.get(F.array(*[F.lit(float(x)) for x in p]), F.col("__bk"))
+        ).alias(f"__d{t}")
+        for t, p in enumerate(planes)
+    ]
+    agg = counts.groupBy(id_col, "chunk_id", "n_chunk_tokens").agg(*dots)
+    shard = None
+    for t in range(n_planes):
+        bit = F.when(F.col(f"__d{t}") >= 0, F.lit(1 << t)).otherwise(F.lit(0))
+        shard = bit if shard is None else shard + bit
+    return agg.select(
+        id_col, "chunk_id", "n_chunk_tokens", shard.cast("int").alias("shard")
+    )

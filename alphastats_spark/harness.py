@@ -3320,6 +3320,50 @@ SELECT doc_id,
          AS chunk_text
 FROM c""")
 
+    # RAG-ingest composition: chunk → hashed bag-of-words → sign-bit
+    # hyperplane shard per chunk (the vector-index partition key). The
+    # oracle slices chunk tokens straight from the document token list
+    # (identical to re-splitting the rejoined chunk_text) and reuses the
+    # literal 6dp hyperplanes; sign of Σ count·plane[bucket] needs no
+    # normalization, so the whole composition stays exact.
+    def _chunk_shards_sql() -> str:
+        from alphastats_spark.functions import similarity
+
+        planes = similarity.hyperplanes(64, 6, 42)
+        d_cols = ", ".join(
+            f"SUM(c * list_extract({_plane_sql(p)}, bk + 1)) AS d{t}"
+            for t, p in enumerate(planes)
+        )
+        shard = " + ".join(
+            f"(CASE WHEN d{t} >= 0 THEN {1 << t} ELSE 0 END)" for t in range(6)
+        )
+        return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, toks, n,
+              unnest(generate_series(0, CAST(ceil(n / 32.0) AS BIGINT) - 1)) AS chunk_id
+       FROM n),
+tok AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(LEAST(32, n - chunk_id * 32) AS BIGINT) AS n_chunk_tokens,
+               unnest(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32)) AS tok
+        FROM ch),
+b AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+             CAST(CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                  AS INTEGER) AS bk
+      FROM tok),
+c2 AS (SELECT doc_id, chunk_id, n_chunk_tokens, bk,
+              CAST(COUNT(*) AS DOUBLE) AS c
+       FROM b GROUP BY 1, 2, 3, 4),
+d AS (SELECT doc_id, chunk_id, n_chunk_tokens, {d_cols}
+      FROM c2 GROUP BY 1, 2, 3)
+SELECT doc_id, chunk_id, n_chunk_tokens,
+       CAST({shard} AS INTEGER) AS shard
+FROM d"""
+
+    add("doc_chunk_shards",
+        lambda spark, sf_dir: pipeline.chunk_shards(_docs(spark, sf_dir)),
+        _chunk_shards_sql())
+
     # Greedy concat-then-split packing into 512-token shards. The Spark
     # side runs the two-phase distributed prefix sum (no global window);
     # the oracle is the plain single-node window cumsum, CAST to BIGINT so

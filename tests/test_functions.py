@@ -1132,6 +1132,32 @@ class TestPipeline:
         got = {r["path"]: r["n_sessions"] for r in ev_ops.session_paths(df, k=5).collect()}
         assert got == {"a>b>c": 2, "a>b": 1, "x>x>x>x>x": 1}
 
+    def test_chunk_shards(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [
+            (1, " ".join(f"w{i}" for i in range(70))),  # 3 chunks at 32
+            (2, "common vocabulary shared across the corpus here"),
+            (3, None),  # no tokens -> no chunks
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = pipeline.chunk_shards(df, chunk_tokens=32)
+        got = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+        assert {k[0] for k in got} == {1, 2}
+        assert [got[(1, i)]["n_chunk_tokens"] for i in range(3)] == [32, 32, 6]
+        assert all(0 <= r["shard"] < 64 for r in got.values())
+        # deterministic: same input -> same shards
+        again = {
+            (r["doc_id"], r["chunk_id"]): r["shard"]
+            for r in pipeline.chunk_shards(df, chunk_tokens=32).collect()
+        }
+        assert again == {k: r["shard"] for k, r in got.items()}
+
+        from alphastats_spark import plans
+
+        kinds = {f.kind for f in plans.audit(out)}
+        assert kinds <= {"unfiltered-scan"}, kinds
+
     def test_value_anomalies(self, spark):
         from alphastats_spark.functions import events as ev_ops
 
