@@ -457,3 +457,38 @@ def test_audit_round5_operators(spark):
     )
     kinds = {f.kind for f in plans.audit(correlation_matrix(long_df))}
     assert kinds <= {"unfiltered-scan"}, kinds
+
+
+def test_audit_round5_session_operators(spark):
+    """Plan-audit guardrails for the round-5 session additions: session
+    journeys, value anomalies, containment, DSIR and the incremental-
+    admit audit. No row-UDF, no nested-loop join, no raw-row
+    single-partition funnel in any of them (ranking in incremental_admit
+    partitions by new-doc id; anomaly percentiles aggregate per type)."""
+    from alphastats_spark import plans
+    from alphastats_spark.functions import dedup, pipeline
+    from alphastats_spark.functions import events as ev_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame(
+        [(1, 1_000_000, 1, "a", 1.0), (1, 2_000_000, 2, "b", 2.0)],
+        "user_id bigint, us bigint, event_id bigint, event_type string, value double",
+    )
+
+    for out in (
+        ev_ops.session_paths(ev, k=5),
+        ev_ops.value_anomalies(
+            ev.select("event_id", "event_type", "value"), z=3.0
+        ),
+        dedup.containment_pairs(docs, threshold=0.8),
+        dedup.incremental_admit(docs.where("doc_id = 1"), docs.where("doc_id = 2")),
+        pipeline.dsir_weights(docs, target=F.col("doc_id") == 1, n_buckets=64),
+        pipeline.chunk_shards(docs, chunk_tokens=4),
+        pipeline.corpus_rollup(
+            docs.withColumn("source", F.lit("s")).withColumn("lang", F.lit("en"))
+        ),
+    ):
+        kinds = {f.kind for f in plans.audit(out)}
+        assert kinds <= {"unfiltered-scan"}, (kinds, out.columns)
