@@ -3320,6 +3320,41 @@ SELECT doc_id,
          AS chunk_text
 FROM c""")
 
+    # Source-layer roundtrip: returns written to CSV and read back through
+    # readers.read_returns (explicit schema — the no-inference-at-scale
+    # contract), then aggregated. Spark's CSV writer emits shortest-
+    # roundtrip doubles, so the values are bit-identical to the parquet
+    # path and the oracle needs no tolerance. The bounded 1-row result is
+    # materialized before the staging dir is removed.
+    def _csv_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from alphastats_spark import expressions as X
+        from alphastats_spark.sources import readers
+
+        rets = load_returns(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="as_csv_rt_")
+        try:
+            rets.write.mode("overwrite").option("header", "true").csv(d)
+            back = readers.read_returns(
+                spark, d, format="csv", schema="d date, r double", header="true"
+            )
+            row = back.agg(
+                F.count("r").alias("n"),
+                F.round(F.sum("r"), ROUND).alias("sum_r"),
+                F.round(X.sharpe(F.col("r"), None, 252, True), ROUND).alias("sharpe"),
+            ).collect()[0]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame([row], "n bigint, sum_r double, sharpe double")
+
+    add("returns_csv_roundtrip", _csv_roundtrip, f"""{RETURNS_CTE}
+SELECT CAST(COUNT(r) AS BIGINT) AS n,
+       ROUND(SUM(r), {ROUND}) AS sum_r,
+       ROUND(AVG(r) / STDDEV_SAMP(r) * SQRT(252), {ROUND}) AS sharpe
+FROM rets""")
+
     # RAG-ingest composition: chunk → hashed bag-of-words → sign-bit
     # hyperplane shard per chunk (the vector-index partition key). The
     # oracle slices chunk tokens straight from the document token list
