@@ -139,6 +139,57 @@ class TestDedup:
         # the identical pair always band-collides
         assert (0, 2) in verified and verified[(0, 2)] == 1.0
 
+    def test_incremental_equals_straddling_self_join(self, spark):
+        """Cross-corpus equivalence: for ANY split of a corpus into
+        batch/existing, incremental_near_dups must return exactly the
+        self-join lsh_verified_pairs that straddle the split (same seeded
+        band family → same collisions; same verification arithmetic →
+        same scores). Randomized corpora over a tiny vocabulary so band
+        collisions and near-dups are dense; 3 fixed seeds keep it
+        deterministic."""
+        import random
+
+        for seed in (0, 1, 2):
+            rng = random.Random(seed)
+            vocab = [f"w{i}" for i in range(12)]
+            base = [" ".join(rng.choices(vocab, k=10)) for _ in range(8)]
+            texts = [
+                rng.choice(base)
+                if rng.random() < 0.6
+                else " ".join(rng.choices(vocab, k=10))
+                for _ in range(24)
+            ]
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id bigint, text string"
+            )
+            full = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.lsh_verified_pairs(df, threshold=0.4).collect()
+            }
+            straddle = {
+                k: v for k, v in full.items() if (k[0] % 3 == 0) != (k[1] % 3 == 0)
+            }
+            new = df.where("doc_id % 3 = 0")
+            old = df.where("doc_id % 3 != 0")
+            inc = {
+                (r["new_id"], r["match_id"]): r["jaccard"]
+                for r in dedup.incremental_near_dups(new, old, threshold=0.4).collect()
+            }
+            normalized = {(min(a, b), max(a, b)): j for (a, b), j in inc.items()}
+            assert normalized == straddle, (seed, normalized, straddle)
+
+        # asymmetric containment dominates Jaccard for every pair
+        cont = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.0).collect()
+        }
+        jac = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+        }
+        for (a, b), j in jac.items():
+            assert cont[(a, b)] >= j and cont[(b, a)] >= j
+
     def test_duplicate_clusters_components(self, spark):
         # chain 1-2-3-4-5 (needs multiple propagation rounds), pair (7,8),
         # and a star 10-{11,12}
