@@ -835,3 +835,42 @@ def chunk_shards(
     return agg.select(
         id_col, "chunk_id", "n_chunk_tokens", shard.cast("int").alias("shard")
     )
+
+
+def lm_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under the
+    corpus bigram LM (:func:`lm_score`), then label the corpus-relative
+    terciles ``head`` (most probable — fluent but boilerplate-leaning),
+    ``middle`` and ``tail`` (least probable — noise/garbled candidates).
+    CCNet trains on ``head+middle`` and drops ``tail``; emitting the label
+    instead of filtering keeps that policy choice with the caller.
+
+    Thresholds are exact interpolated quantiles of the score distribution
+    — one 1-row aggregate broadcast back, never a sort of the corpus.
+    Higher logprob = more probable = head; a doc exactly AT a threshold
+    falls to the lower bucket (strict ``>``), deterministically.
+
+    Output: ``(id, n_bigrams, avg_logprob, bucket)``.
+    """
+    from alphastats_spark import expressions as X
+
+    scored = lm_score(df, id_col, text_col, alpha)
+    qs = scored.agg(
+        X.percentile(F.col("avg_logprob"), cuts[0], exact=True).alias("__q1"),
+        X.percentile(F.col("avg_logprob"), cuts[1], exact=True).alias("__q2"),
+    )
+    lp = F.col("avg_logprob")
+    bucket = (
+        F.when(lp > F.col("__q2"), F.lit("head"))
+        .when(lp > F.col("__q1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.crossJoin(F.broadcast(qs)).select(
+        id_col, "n_bigrams", "avg_logprob", bucket.alias("bucket")
+    )

@@ -3606,6 +3606,43 @@ SELECT d.doc_id,
        ROUND(COALESCE(agg.a, 0.0), {ROUND}) AS avg_logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
 
+    # CCNet-style perplexity bucketing: corpus-relative head/middle/tail
+    # terciles of the bigram-LM score. Quantiles are computed over the
+    # 7dp-ROUNDED scores both sides, so the tercile thresholds — and the
+    # strict-> boundary rule — replicate exactly.
+    add("doc_lm_buckets",
+        lambda spark, sf_dir: pipeline.lm_buckets(_docs(spark, sf_dir), alpha=0.1),
+        f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+           FROM documents),
+uni AS (SELECT tok, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, toks[i] AS prev, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+big AS (SELECT gram, COUNT(*) AS c2 FROM pairs GROUP BY 1),
+sc AS (
+  SELECT p.doc_id, ln((b.c2 + 0.1) / (u.c1 + 0.1 * v.v)) AS lp
+  FROM pairs p JOIN big b USING (gram) JOIN uni u ON p.prev = u.tok, v
+),
+agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS a FROM sc GROUP BY 1),
+scores AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         ROUND(COALESCE(agg.a, 0.0), {ROUND}) AS avg_logprob
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+q AS (SELECT quantile_cont(avg_logprob, 1.0/3) AS q1,
+             quantile_cont(avg_logprob, 2.0/3) AS q2 FROM scores)
+SELECT doc_id, n_bigrams, avg_logprob,
+       CASE WHEN avg_logprob > q2 THEN 'head'
+            WHEN avg_logprob > q1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores, q""")
+
     # Token-budget domain mixing: src1 over-weighted so its allocation
     # exceeds its mass (rate caps at 1 — kept whole), src0/src2 land at
     # fractional rates, the other 17 sources get weight 0 (dropped) — all

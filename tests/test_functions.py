@@ -1077,6 +1077,35 @@ class TestPipeline:
         # the common transition scores higher than the rare one
         assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
 
+    def test_lm_buckets(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        # 6 docs of a repeated fluent phrase (high bigram prob), 3 of
+        # shuffled rare transitions, corpus of 9 -> terciles split cleanly
+        rows = [(i, "the cat sat on the mat " * 3) for i in range(6)] + [
+            (6, "zeta omega prime quux"),
+            (7, "omega quux zeta prime"),
+            (8, "prime zeta quux omega"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r["bucket"] for r in pipeline.lm_buckets(df).collect()}
+        assert len(out) == 9
+        # the rare-transition docs land strictly in the tail
+        assert {out[6], out[7], out[8]} == {"tail"}
+        # all six fluent docs share one score, so the 2/3 quantile EQUALS
+        # it and the strict-> boundary sends the tie to the lower bucket:
+        # everything non-tail is middle, deterministically (no head)
+        assert all(out[i] == "middle" for i in range(6))
+
+        # untied corpus: a strictly-more-fluent doc group claims the head
+        rows2 = [(i, "aa bb " * 20) for i in range(3)] + [
+            (i, "the cat sat on the mat " * 3) for i in range(3, 6)
+        ] + [(6, "zeta omega prime quux"), (7, "omega quux zeta prime")]
+        df2 = spark.createDataFrame(rows2, "doc_id bigint, text string")
+        out2 = {r["doc_id"]: r["bucket"] for r in pipeline.lm_buckets(df2).collect()}
+        assert all(out2[i] == "head" for i in range(3))
+        assert {out2[6], out2[7]} == {"tail"}
+
     def test_mix_sample(self, spark):
         from alphastats_spark.functions import pipeline
 
