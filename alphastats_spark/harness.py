@@ -2974,6 +2974,38 @@ p AS (
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""")
 
+    # Bucketized range join: events within each user's first two hours.
+    # A plain BETWEEN theta-join plans as BroadcastNestedLoopJoin; the
+    # operator equi-joins on (user, 30-min bucket) with the range predicate
+    # as a post-filter (audit-pinned in tests). Inclusive boundary events
+    # (us == start) are in every user's count, so the boundary rule is
+    # driver-checked too.
+    def _interval_counts(spark, sf_dir):
+        from alphastats_spark.operators import joins as join_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev)).select("user_id", "us", "event_id")
+        iv = (
+            ev.groupBy("user_id")
+            .agg(F.min("us").alias("start_us"))
+            .withColumn("end_us", F.col("start_us") + F.lit(7_200_000_000))
+        )
+        j = join_ops.interval_join(
+            ev, iv, on="user_id", point_col="us",
+            start_col="start_us", end_col="end_us",
+        )
+        return j.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events_2h")
+        )
+
+    add("event_interval_join", _interval_counts, """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+iv AS (SELECT user_id, MIN(us) AS s FROM e GROUP BY 1)
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events_2h
+FROM e JOIN iv ON e.user_id = iv.user_id
+               AND e.us BETWEEN iv.s AND iv.s + 7200000000
+GROUP BY 1""")
+
     # Robust per-type value outliers: modified z-score (median/MAD ×
     # 1.4826). Median arithmetic = the same sort-based interpolated
     # percentile as corpus_length_quantiles (DuckDB quantile_cont twin).

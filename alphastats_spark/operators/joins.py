@@ -87,3 +87,53 @@ def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     l_idx = _indexed(left)
     r_idx = _indexed(right)
     return l_idx.join(r_idx, on="__idx", how="full").drop("__idx")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int = 1_800_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join without a nested loop: match each
+    point row to every interval of the same ``on`` key with
+    ``start ≤ point ≤ end`` (inclusive both ends).
+
+    Spark plans a keyless ``ts BETWEEN start AND end`` join as
+    BroadcastNestedLoopJoin, and even with an equi-key the SortMergeJoin
+    it picks generates every (point, interval) pair WITHIN a key before
+    filtering — quadratic in the hot key, all of it in one task. Here
+    both sides bucketize: a
+    point belongs to exactly ONE ``point // bucket_width`` bucket, an
+    interval EXPLODES to the buckets it covers, and the join is a plain
+    hash equi-join on (key, bucket) with the range predicate applied as a
+    post-filter. Cost: |points| + Σ interval_spans/bucket_width join rows
+    — pick ``bucket_width`` near the typical interval length so most
+    intervals explode to ~2 rows. Because the point side has exactly one
+    bucket row, no dedup pass is needed.
+
+    ``on``/``point_col``/``start_col``/``end_col`` name key and numeric
+    (e.g. epoch-microsecond) columns; output = point columns + the
+    matched interval's columns (minus its key).
+    """
+    if how not in ("inner",):
+        raise ValueError("interval_join supports how='inner' only")
+    w = int(bucket_width)
+    pt = points.withColumn("__ib", (F.col(point_col) / w).cast("long"))
+    spans = intervals.withColumn(
+        "__ib",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / w).cast("long"),
+                (F.col(end_col) / w).cast("long"),
+            )
+        ),
+    )
+    joined = pt.join(spans, [on, "__ib"], "inner").where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__ib")

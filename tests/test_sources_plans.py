@@ -492,3 +492,50 @@ def test_audit_round5_session_operators(spark):
     ):
         kinds = {f.kind for f in plans.audit(out)}
         assert kinds <= {"unfiltered-scan"}, (kinds, out.columns)
+
+
+def test_interval_join_correct_and_no_nested_loop(spark):
+    """Bucketized range join: exact containment semantics (inclusive both
+    ends, multi-bucket spans, no duplicate matches) and a hash equi-join
+    plan — the naive BETWEEN theta-join Spark turns into a nested loop is
+    exactly what this operator exists to avoid."""
+    from alphastats_spark.operators import joins as join_ops
+    from alphastats_spark.plans.audit import explain_string
+
+    pts = spark.createDataFrame(
+        [(1, 0), (1, 50), (1, 100), (1, 101), (2, 50), (1, 250)],
+        "k bigint, p bigint",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 100, "a"), (1, 90, 260, "b"), (2, 60, 70, "c")],
+        "k bigint, s bigint, e bigint, tag string",
+    )
+    out = join_ops.interval_join(
+        pts, ivs, on="k", point_col="p", start_col="s", end_col="e",
+        bucket_width=64,
+    )
+    got = {(r["k"], r["p"], r["tag"]) for r in out.collect()}
+    # p=0 and p=100 are inclusive endpoints of "a"; p=100/101 fall in "b"
+    # (span crosses two 64-wide buckets exactly once each); k=2 point at
+    # 50 is outside [60,70]; p=250 only in "b"
+    assert got == {
+        (1, 0, "a"), (1, 50, "a"), (1, 100, "a"),
+        (1, 100, "b"), (1, 101, "b"), (1, 250, "b"),
+    }
+
+    plan = explain_string(out, "simple")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan or "BroadcastHashJoin" in plan
+
+    # the hazards the operator removes, on this exact Spark: a keyless
+    # range join plans a nested loop outright, and the keyed naive form
+    # plans a SortMergeJoin whose per-key candidate set is every
+    # (point, interval) pair — quadratic in the hot key
+    keyless = pts.join(ivs.drop("k"), (pts.p >= ivs.s) & (pts.p <= ivs.e))
+    keyless_plan = explain_string(keyless, "simple")
+    assert "NestedLoop" in keyless_plan or "CartesianProduct" in keyless_plan
+    naive = pts.join(
+        ivs, (pts.k == ivs.k) & (pts.p >= ivs.s) & (pts.p <= ivs.e)
+    )
+    naive_plan = explain_string(naive, "simple")
+    assert "SortMergeJoin" in naive_plan and "p#" in naive_plan.split("SortMergeJoin")[1][:200]
