@@ -874,3 +874,40 @@ def lm_buckets(
     return scored.crossJoin(F.broadcast(qs)).select(
         id_col, "n_bigrams", "avg_logprob", bucket.alias("bucket")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws priority ``ln(u) / w`` with ``u`` a
+    content-keyed uniform from the md5 of its id, and the ``n`` highest
+    priorities win — equivalent to sequential weighted draws, but
+    expressed as one projection plus a distributed TakeOrdered, with no
+    sequential state and no RNG (reruns, retries and engine changes all
+    select the same rows; corpus growth only perturbs selection near the
+    cut, unlike rate-based schemes that reshuffle everything).
+
+    Rows with non-positive weight never qualify (filtered, not -inf-keyed:
+    DuckDB float division by zero yields NULL, not IEEE ±inf, so the
+    oracle could not mirror the sentinel). Output: the selected rows with
+    their ``weight`` and rounded ``priority``.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    w = weight.cast("double")
+    out = (
+        df.withColumn("__w", w)
+        .where(F.col("__w") > 0)
+        .withColumn("priority", F.round(F.log(u) / F.col("__w"), 7))
+    )
+    return (
+        out.orderBy(F.desc("priority"), F.asc(id_col))
+        .limit(n)
+        .drop("__w")
+    )

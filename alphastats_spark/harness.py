@@ -3638,6 +3638,30 @@ SELECT d.doc_id,
        ROUND(COALESCE(agg.a, 0.0), {ROUND}) AS avg_logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
 
+    # Deterministic weighted sampling without replacement (Efraimidis-
+    # Spirakis exponential keys): token-mass-weighted top-100, md5-keyed
+    # uniforms so both engines draw the identical "random" sample.
+    def _wsample(spark, sf_dir):
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.coalesce(text.token_count(F.col("text")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        return pipeline.weighted_sample(d, weight=F.col("n_tokens"), n=100)
+
+    add("corpus_weighted_sample", _wsample, f"""
+WITH t AS (SELECT doc_id,
+                  CAST(COALESCE(len({_TOKS_SQL}), 0) AS BIGINT) AS n_tokens
+           FROM documents),
+p AS (SELECT doc_id, n_tokens,
+             ROUND(ln((CAST(CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+                   / CAST(n_tokens AS DOUBLE), {ROUND}) AS priority
+      FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, priority
+FROM p ORDER BY priority DESC, doc_id LIMIT 100""")
+
     # CCNet-style perplexity bucketing: corpus-relative head/middle/tail
     # terciles of the bigram-LM score. Quantiles are computed over the
     # 7dp-ROUNDED scores both sides, so the tercile thresholds — and the

@@ -1077,6 +1077,25 @@ class TestPipeline:
         # the common transition scores higher than the rare one
         assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
 
+    def test_weighted_sample(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        rows = [(i, 1.0) for i in range(50)] + [(100, 1e6), (101, 0.0), (102, -3.0)]
+        df = spark.createDataFrame(rows, "doc_id bigint, w double")
+        out = pipeline.weighted_sample(df, weight=F.col("w"), n=10).collect()
+        ids = [r["doc_id"] for r in out]
+        assert len(ids) == 10
+        # the overwhelming-weight item wins a slot (P(miss) ~ (1-1e6/(1e6+50))^10)
+        assert 100 in ids
+        # non-positive weights can never be drawn
+        assert 101 not in ids and 102 not in ids
+        # deterministic: identical selection on rerun
+        again = [r["doc_id"] for r in pipeline.weighted_sample(df, weight=F.col("w"), n=10).collect()]
+        assert ids == again
+        # priorities are log-uniforms scaled by weight: non-positive, and
+        # the extreme weight's rounds to -0.0 at 7dp
+        assert all(r["priority"] <= 0 for r in out)
+
     def test_lm_buckets(self, spark):
         from alphastats_spark.functions import pipeline
 
