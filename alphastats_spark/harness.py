@@ -2928,6 +2928,23 @@ FROM s GROUP BY user_id, session_id""")
        event_type, COUNT(*) AS n, ROUND(SUM(value), {ROUND}) AS total_value
 FROM events GROUP BY 1, 2""")
 
+    # Exact per-hour distinct users. COUNT(DISTINCT) rewrites to a two-level
+    # aggregate (partial distinct per map task, then merge) — the exact-at-
+    # scale shape when per-group distincts fit; the HLL-sketch
+    # approx_count_distinct variant (mergeable constant-size state, the
+    # >billions path) is pinned within 5% of this in pytest, engine-specific
+    # sketch values being un-oracle-able by construction.
+    def _hourly_uniques(spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        return ev.groupBy(
+            F.floor(_event_epoch(ev) / 3600).cast("bigint").alias("hour_bucket")
+        ).agg(F.countDistinct("user_id").alias("n_users"))
+
+    add("event_hourly_uniques", _hourly_uniques,
+        """SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1""")
+
     # Ordered conversion funnel (ClickHouse-windowFunnel-style), chained-min
     # semantics with a 24h per-step gap cap. Spark runs the one-shuffle
     # sorted-fold formulation (array_sort + F.aggregate step machine); the

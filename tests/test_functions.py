@@ -1675,3 +1675,29 @@ def test_hash_embed_chains_into_ann(spark):
     # docs 0 and 1 are each other's nearest neighbor when retrieved
     for q, v in top.items():
         assert {q, v} == {0, 1}
+
+
+def test_hourly_uniques_sketch_close_to_exact(spark):
+    """The HLL approx_count_distinct variant (mergeable constant-size
+    state — the beyond-billions path the exact gate query can't take)
+    stays within 5% of exact per-hour distincts on the driver events."""
+    import os
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    ev = spark.read.parquet(path)
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    exact = {
+        r["h"]: r["n"]
+        for r in ev.groupBy(hour).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["h"]: r["n"]
+        for r in ev.groupBy(hour)
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(1, 0.05 * n), (h, n, approx[h])
