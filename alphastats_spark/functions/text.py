@@ -346,3 +346,42 @@ def hash_embed(
         norm > 0, F.transform(F.col("embedding"), lambda x: x / norm)
     ).otherwise(F.col("embedding"))
     return out.select(id_col, unit.alias("embedding"))
+
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in a text column (``array<string>``, RE2-compatible
+    pattern shared with the DuckDB oracle)."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """The host part of a URL (empty string when the pattern misses)."""
+    return F.regexp_extract(url, DOMAIN_PATTERN, 1)
+
+
+def domain_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain link profile of a corpus: ``(domain, n_urls, n_docs)`` —
+    the first pass of URL-based curation (domain allow/deny lists, spam-run
+    detection, per-site dedup budgets all start from this table).
+
+    Plan: regexp extraction inside the scan projection, one explode, one
+    map-side-combinable groupBy with a two-level distinct for ``n_docs``.
+    """
+    urls = df.select(
+        F.col(id_col), F.explode(extract_urls(F.col(text_col))).alias("__url")
+    )
+    return (
+        urls.select(F.col(id_col), url_domain(F.col("__url")).alias("domain"))
+        .where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+        )
+    )

@@ -2298,6 +2298,43 @@ SELECT doc_id,
     '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
 FROM documents""")
 
+    # Per-domain link profile over deterministically injected URLs (the
+    # synthetic corpus carries none — same injection idiom as
+    # doc_redact_pii, so extraction demonstrably fires): 7 site domains ×
+    # 3 cdn domains, one of each per third doc.
+    def _domains(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        injected = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit(" see https://site"), F.col("doc_id") % 7,
+                    F.lit(".example/p/"), F.col("doc_id"),
+                    F.lit(" and http://cdn"), F.col("doc_id") % 3,
+                    F.lit(".example/asset"),
+                ),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return text.domain_stats(injected)
+
+    add("doc_url_domains", _domains, r"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           COALESCE(text, '') || ' see https://site' || (doc_id % 7)
+             || '.example/p/' || doc_id
+             || ' and http://cdn' || (doc_id % 3) || '.example/asset'
+         ELSE text END AS text
+  FROM documents),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+      FROM inj),
+d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain FROM u)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM d WHERE domain <> '' GROUP BY 1""")
+
     # ---- deduplication ----------------------------------------------------
     _exact_sql = f"""SELECT md5({_NORM_SQL}) AS fingerprint,
        MIN(doc_id) AS representative, COUNT(*) AS copies
