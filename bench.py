@@ -129,9 +129,14 @@ def main() -> None:
     for name, fn in queries.items():
         runs[name] = []
         for _ in range(3):
+            mark = ordered.pass_cache_mark()
             t0 = time.perf_counter()
             fn()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            # each run builds a fresh lineage whose prefix passes persist
+            # their windowed frames; release them OUTSIDE the timed window
+            # so 18 runs don't accumulate ~30 cache entries of GC pressure
+            ordered.release_pass_caches(mark)
         timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 3)

@@ -79,6 +79,9 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
+        # the sf0.1 sweep's self-join-heavy dedup queries spill-OOM on the
+        # 1g default driver heap (single-JVM local mode: driver = executor)
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
