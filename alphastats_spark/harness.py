@@ -886,6 +886,40 @@ FROM rets
 WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
 QUALIFY COUNT(r) OVER w >= 2""")
 
+    # Per-row trailing 30-day CAPM beta/alpha vs the benchmark — the
+    # rolling complement of the aggregate greeks, through the same
+    # overlap-replication machinery (two-column covariance inside the
+    # per-bucket range window). Var-0 windows are null both sides.
+    def _rolling_greeks(spark, sf_dir):
+        from alphastats_spark.operators.rolling import rolling_greeks
+
+        joined = (
+            load_returns(spark, sf_dir)
+            .join(load_benchmark(spark, sf_dir), "d", "inner")
+        )
+        out = rolling_greeks(joined, days=30, benchmark_col="b")
+        return _round_df(
+            out.where(F.col("r_n_obs") >= 2).select(
+                F.col("d").cast("string").alias("d"),
+                "r_beta", "r_alpha", "r_n_obs",
+            )
+        )
+
+    add("rolling_greeks_30d", _rolling_greeks, f"""{RETURNS_CTE}{BENCH_CTE},
+j AS (SELECT rets.d, rets.r, bres.b FROM rets JOIN bres USING (d))
+SELECT CAST(d AS VARCHAR) AS d,
+  ROUND(CASE WHEN VAR_SAMP(b) OVER w > 0
+             THEN COVAR_SAMP(r, b) OVER w / VAR_SAMP(b) OVER w END, {ROUND})
+    AS r_beta,
+  ROUND(CASE WHEN VAR_SAMP(b) OVER w > 0
+             THEN (AVG(r) OVER w
+                   - COVAR_SAMP(r, b) OVER w / VAR_SAMP(b) OVER w * AVG(b) OVER w)
+                  * 252 END, {ROUND}) AS r_alpha,
+  COUNT(r) OVER w AS r_n_obs
+FROM j
+WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(r) OVER w >= 2""")
+
     # Multi-asset broadcast: the reference's core structural idiom — one
     # metric call fans out over every numeric column in a single agg pass.
     def _multi_asset(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,3 +102,58 @@ def trailing_metrics(
     ]
     out = unioned.select("*", *out_cols).where(~F.col("__ghost"))
     return out.drop("__day", "__bkt", "__ghost")
+
+
+def rolling_greeks(
+    df: DataFrame,
+    days: int,
+    benchmark_col: str,
+    temporal: str | None = None,
+    cols: list[str] | None = None,
+    key_cols: list[str] | None = None,
+    periods_per_year: int = 252,
+) -> DataFrame:
+    """Per-row trailing CAPM greeks vs a benchmark column that rides the
+    same rows: ``{col}_beta`` = windowed covar/var and ``{col}_alpha`` =
+    annualized windowed intercept — the rolling complement of the
+    aggregate ``stats.greeks``. Windows where the benchmark variance is 0
+    (fewer than 2 observations, or a flat benchmark) yield null, matching
+    the aggregate path's undefined-beta behaviour.
+
+    Same overlap-replication machinery (and scale posture) as
+    :func:`trailing_metrics`; the benchmark column is appended to the
+    windowed selection so the two-column covariance runs inside the same
+    per-bucket range window, then its self-referential metric columns are
+    dropped (beta of the benchmark against itself is identically 1).
+    """
+    b = F.col(benchmark_col)
+    p = F.lit(float(periods_per_year))
+
+    def beta_fn(c: Column, w) -> Column:
+        return F.when(
+            F.var_samp(b).over(w) > 0, F.covar_samp(c, b).over(w) / F.var_samp(b).over(w)
+        )
+
+    def alpha_fn(c: Column, w) -> Column:
+        beta = F.covar_samp(c, b).over(w) / F.var_samp(b).over(w)
+        return F.when(
+            F.var_samp(b).over(w) > 0,
+            (F.avg(c).over(w) - beta * F.avg(b).over(w)) * p,
+        )
+
+    metrics = {
+        "beta": beta_fn,
+        "alpha": alpha_fn,
+        "n_obs": lambda c, w: F.count(c).over(w).cast("long"),
+    }
+    key_cols = key_cols or []
+    if cols is None:
+        cols = [
+            c
+            for c in _utils.numeric_column_names(df)
+            if c not in key_cols and c != benchmark_col
+        ]
+    out = trailing_metrics(
+        df, days, temporal, cols=cols + [benchmark_col], metrics=metrics, key_cols=key_cols
+    )
+    return out.drop(*[f"{benchmark_col}_{m}" for m in metrics])

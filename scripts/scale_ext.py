@@ -12,7 +12,12 @@ claims:
    events (100k -> 1M rows over 150 -> 1500 users).
 2. Times, at both scales: exact dedup, the composed MinHash-LSH
    ``deduplicate`` (lineage), ``substring_dedup``, the bigram
-   ``lm_score``, the event ``funnel`` and ``cohort_retention``.
+   ``lm_score``, the event ``funnel`` and ``cohort_retention`` — plus the
+   round-5 additions (DSIR weights, incremental admission, df-capped
+   containment, session journeys, robust anomalies, the bucketized
+   interval join, weighted sampling) and an ANN pair (IVF-PQ probe,
+   LSH kNN self-join with corpus-relative planes) over hash-derived
+   64-d embeddings.
 3. Prints one JSON line with per-operator wall seconds and the scaling
    exponent log10(t10/t1) — sub-linear (< 1.0) on a fixed-core box is the
    claim; ~1.0 means compute-bound scaling with the data, still linear.
@@ -76,12 +81,27 @@ def synth_events(spark, n_events: int, n_users: int):
 
     types = F.array(*[F.lit(t) for t in ["signup", "view", "click", "purchase", "error"]])
     return spark.range(0, n_events, 1, 32).select(
+        F.col("id").alias("event_id"),
         F.pmod(F.hash("id"), F.lit(n_users)).cast("long").alias("user_id"),
         (F.pmod(F.hash(F.col("id") * 3 + 7), F.lit(30 * 86_400)).cast("long")
          * 1_000_000).alias("us"),
         F.element_at(types, F.pmod(F.hash(F.col("id") + 11), F.lit(5)) + 1).alias(
             "event_type"
         ),
+        (F.pmod(F.hash(F.col("id") * 13 + 1), F.lit(10_000)) / 100.0).alias("value"),
+    )
+
+
+def synth_embs(spark, n_vecs: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    # hash-derived floats in [-0.5, 0.5): deterministic, no RNG
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.hash(F.col("id"), i), F.lit(10_000)) / 10_000.0 - 0.5),
+    )
+    return spark.range(0, n_vecs, 1, 32).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
     )
 
 
@@ -107,7 +127,62 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
     t("lm_score", lambda: pipeline.lm_score(docs).agg({"avg_logprob": "avg"}).collect())
     t("funnel", lambda: events.funnel(ev, ["signup", "click", "purchase"]).collect())
     t("retention", lambda: events.cohort_retention(ev, bucket_us=86_400_000_000).count())
+
+    # round-5 additions: importance weighting, cross-corpus admission,
+    # containment (df-capped — the skew guard IS the 100 TB configuration),
+    # session journeys, robust anomalies, the bucketized range join and
+    # weighted sampling
+    from pyspark.sql import functions as F
+
+    t("dsir", lambda: pipeline.dsir_weights(docs, target=F.col("source") == "src0")
+        .agg({"log_weight": "avg"}).collect())
+    t("incremental_admit", lambda: dedup.incremental_admit(
+        docs.where("doc_id % 10 = 0"), docs.where("doc_id % 10 != 0"))
+        .groupBy("admitted").count().collect())
+    t("containment_capped", lambda: dedup.containment_pairs(
+        docs, threshold=0.8, max_shingle_df=200).count())
+    t("session_paths", lambda: events.session_paths(ev, k=5).collect())
+    t("value_anomalies", lambda: events.value_anomalies(ev, z=3.0).count())
+    t("interval_join", lambda: __import__(
+        "alphastats_spark.operators.joins", fromlist=["joins"]).interval_join(
+        ev.select("user_id", "us", "event_id"),
+        ev.groupBy("user_id").agg(F.min("us").alias("s"))
+          .withColumn("e", F.col("s") + F.lit(7_200_000_000)),
+        on="user_id", point_col="us", start_col="s", end_col="e").count())
+    t("weighted_sample", lambda: pipeline.weighted_sample(
+        docs.withColumn("__w", F.length("text").cast("double")),
+        weight=F.col("__w"), n=100).collect())
     docs.unpersist(), ev.unpersist()
+    return out
+
+
+def run_ann_suite(spark, embs) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import similarity
+
+    embs = embs.persist()
+    embs.count()
+    out: dict[str, float] = {}
+
+    def t(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    rows = embs.orderBy("vec_id").limit(10_000).collect()
+    sample = [r[1] for r in rows]
+    q = [float(x) for x in sample[0]]
+    cents = similarity.kmeans_train(sample, 16, 5, 42)
+    books = similarity.pq_train(sample, m=4, n_codes=16, seed=42)
+    t("ivfpq_topk", lambda: similarity.ivfpq_topk(
+        embs, q, cents, books, k=20, nprobe=8).collect())
+    # planes scale with log2(corpus) so buckets stay bounded — the
+    # corpus-relative rule the knn_join docstring prescribes (10 planes →
+    # ~|n|/1024 per bucket; candidate volume Σ|b|²·(planes+1)·tables)
+    t("knn_join", lambda: similarity.knn_join(
+        embs, k=5, n_planes=10, seed=42, n_tables=2, multiprobe=1).count())
+    embs.unpersist()
     return out
 
 
@@ -119,6 +194,10 @@ def main() -> None:
 
     r1 = run_suite(spark, synth_docs(spark, 5_000), synth_events(spark, 100_000, 150))
     r10 = run_suite(spark, synth_docs(spark, 50_000), synth_events(spark, 1_000_000, 1_500))
+    a1 = run_ann_suite(spark, synth_embs(spark, 5_000))
+    a10 = run_ann_suite(spark, synth_embs(spark, 50_000))
+    r1.update(a1)
+    r10.update(a10)
     exponents = {
         k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2) for k in r1
     }

@@ -1,0 +1,28 @@
+import pytest
+
+
+def test_rolling_greeks(spark):
+    """Trailing CAPM beta/alpha: r = 2b + 0.001 gives per-window beta 2 and
+    alpha 0.001*252 wherever >= 2 observations; a flat benchmark window
+    (variance 0) yields null rather than a division blowup."""
+    import datetime as dt
+
+    from alphastats_spark.operators.rolling import rolling_greeks
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 0.002 * (i % 5) + 0.001, 0.001 * (i % 5))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "d date, r double, b double")
+    out = {r["d"]: r for r in rolling_greeks(df, days=10, benchmark_col="b").collect()}
+    last = d0 + dt.timedelta(days=39)
+    assert out[last]["r_beta"] == pytest.approx(2.0)
+    assert out[last]["r_alpha"] == pytest.approx(0.001 * 252)
+    # first row: single observation -> var_samp null -> null greeks
+    assert out[d0]["r_beta"] is None and out[d0]["r_alpha"] is None
+
+    flat = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=i), 0.01 * i, 0.005) for i in range(5)],
+        "d date, r double, b double",
+    )
+    fo = rolling_greeks(flat, days=10, benchmark_col="b").collect()
+    assert all(r["r_beta"] is None and r["r_alpha"] is None for r in fo)
