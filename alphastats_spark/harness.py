@@ -607,6 +607,16 @@ SELECT ROUND(
   / ((SELECT ulcer FROM p) * (-(SELECT dd_cvar FROM cv) / (SELECT STDDEV_SAMP(r) FROM rets))),
   {ROUND}) AS value
 """)
+    # CDaR (extension): empirical-quantile threshold over the drawdown
+    # series — quantile_cont and Spark's exact `percentile` share linear
+    # order-statistic interpolation, so the two sides agree to 7dp.
+    add("cdar", _metric_query(stats.conditional_drawdown_at_risk),
+        RETURNS_CTE + DD_CTE + f"""
+, q AS (SELECT quantile_cont(dd, 0.05) AS qv FROM dds)
+SELECT ROUND(COALESCE(
+    (SELECT AVG(dd) FROM dds, q WHERE dd <= qv),
+    (SELECT qv FROM q)), {ROUND}) AS value
+""")
     add("consecutive_wins",
         lambda spark, sf_dir: stats.consecutive_wins(load_returns(spark, sf_dir))
         .select(F.col("r").cast("bigint").alias("value")),
@@ -3474,6 +3484,76 @@ SELECT CAST(COUNT(r) AS BIGINT) AS n,
        ROUND(SUM(r), {ROUND}) AS sum_r,
        ROUND(AVG(r) / STDDEV_SAMP(r) * SQRT(252), {ROUND}) AS sharpe
 FROM rets""")
+
+    # Corpus sink/source roundtrip: documents written as source-partitioned
+    # JSONL (the LLM-corpus interchange format) through writers/readers with
+    # an explicit schema, read back (source resolves from directory names)
+    # and profiled per source. JSON string escaping is lossless, so the
+    # profile is exact vs the parquet originals.
+    def _jsonl_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from alphastats_spark.sources import readers
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = tempfile.mkdtemp(prefix="as_jsonl_rt_")
+        try:
+            readers.write_corpus(
+                docs, d, format="jsonl", mode="overwrite", partition_by=["source"]
+            )
+            back = readers.read_corpus(
+                spark, d, format="jsonl",
+                schema="doc_id bigint, text string, lang string, "
+                       "n_chars bigint, source string",
+            )
+            rows = back.groupBy("source").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_len"),
+                F.sum("doc_id").alias("sum_ids"),
+            ).collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "source string, n_docs bigint, sum_len bigint, sum_ids bigint"
+        )
+
+    add("docs_jsonl_roundtrip", _jsonl_roundtrip, """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY source""")
+
+    # Partitioned sink + pruned read: returns written year-partitioned
+    # through writers.write_returns, read back with a partition filter —
+    # the scan must touch only the 1995 directory (pruning pinned by a plan
+    # test). The oracle filters the same year from the raw series.
+    def _partitioned_sink(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from alphastats_spark import expressions as X
+        from alphastats_spark.sources import readers
+
+        rets = load_returns(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="as_part_sink_")
+        try:
+            readers.write_returns(rets, d, mode="overwrite")
+            back = readers.read_returns(spark, d)
+            row = back.where(F.col("__year") == 1995).agg(
+                F.count("r").alias("n"),
+                F.round(F.sum("r"), ROUND).alias("sum_r"),
+                F.round(X.sharpe(F.col("r"), None, 252, True), ROUND).alias("sharpe"),
+            ).collect()[0]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame([row], "n bigint, sum_r double, sharpe double")
+
+    add("returns_partitioned_sink", _partitioned_sink, f"""{RETURNS_CTE}
+SELECT CAST(COUNT(r) AS BIGINT) AS n,
+       ROUND(SUM(r), {ROUND}) AS sum_r,
+       ROUND(AVG(r) / STDDEV_SAMP(r) * SQRT(252), {ROUND}) AS sharpe
+FROM rets WHERE EXTRACT(year FROM d) = 1995""")
 
     # RAG-ingest composition: chunk → hashed bag-of-words → sign-bit
     # hyperplane shard per chunk (the vector-index partition key). The

@@ -54,6 +54,54 @@ def read_returns(
     return _utils.nan_to_null(df)
 
 
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    format: str = "jsonl",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Read a document corpus; ``jsonl`` (one JSON object per line — the
+    canonical LLM-corpus interchange format, splittable when uncompressed)
+    maps onto Spark's native ``json`` source.
+
+    Same no-inference-at-scale contract as :func:`read_returns`: jsonl/csv
+    REQUIRE an explicit schema (inference is a full extra pass over 100 TB,
+    and on dirty corpora silently widens every field to nullable string).
+    Malformed lines surface under ``_corrupt_record`` semantics per Spark's
+    ``mode`` option (default PERMISSIVE → null row; pass
+    ``mode="DROPMALFORMED"`` to skip, ``"FAILFAST"`` to abort).
+    """
+    fmt = "json" if format == "jsonl" else format
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {format!r}; expected one of {_FORMATS} or 'jsonl'")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{format} reads require an explicit schema (no inference at scale)")
+    return reader.options(**options).load(path)
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    format: str = "jsonl",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a document corpus; ``partition_by`` (e.g. ``["source"]``)
+    lays out one directory per value so source-filtered reads prune whole
+    subtrees at the scan — the cheap first-level selector for a 100 TB
+    corpus (keep it to low-cardinality columns; a high-cardinality
+    partition key explodes the file count)."""
+    fmt = "json" if format == "jsonl" else format
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def write_returns(
     df: DataFrame,
     path: str,

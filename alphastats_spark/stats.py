@@ -54,7 +54,7 @@ __all__ = [
     "common_sense_ratio", "tail_ratio", "outlier_win_ratio",
     "outlier_loss_ratio", "kelly_criterion", "risk_of_ruin", "ror",
     "value_at_risk", "var", "conditional_value_at_risk", "cvar",
-    "expected_shortfall", "consecutive_wins", "consecutive_losses",
+    "expected_shortfall", "conditional_drawdown_at_risk", "cdar", "consecutive_wins", "consecutive_losses",
     "autocorr_penalty", "smart_sharpe", "smart_sortino", "adjusted_sortino",
     "sortino_sqrt2", "smart_adjusted_sortino", "smart_sortino_sqrt2",
     "correlation", "r_squared", "r2", "treynor_ratio", "recovery_factor",
@@ -412,6 +412,48 @@ def serenity_index(returns, rf: float = 0.0):
     if scalar_mode:
         return out[cols[0]]
     return _one_row_df(out)
+
+
+def conditional_drawdown_at_risk(returns, confidence: float = 0.95):
+    """CDaR: expected drawdown in the worst ``1 − confidence`` tail of the
+    drawdown distribution (Chekhlov, Uryasev & Zabarankin 2005).
+
+    Extension beyond the reference surface (no counterpart in the
+    reference's ``stats.py``): where :func:`serenity_index` thresholds the
+    drawdown series with a PARAMETRIC Cornish-ish VaR, CDaR uses the exact
+    empirical quantile — stage 1 computes ``percentile(dd, 1 − confidence)``
+    per column (tiny agg), stage 2 takes the conditional mean at or below it
+    with the threshold injected as a literal, the same two-stage shape as
+    :func:`conditional_value_at_risk`. Both stages ride the persisted
+    drawdown prefix pass, so the series is computed once.
+    """
+    df, scalar_mode = to_returns_df(returns)
+    cols = numeric_column_names(df)
+    df = ordered.with_order(df, _temporal_or_none(df))
+    df = ordered.add_drawdown_columns(df, {f"__dd_{c}": c for c in cols})
+    qs = _scalar_map(
+        df.agg(
+            *[
+                F.percentile(F.col(f"__dd_{c}"), F.lit(1.0 - confidence)).alias(c)
+                for c in cols
+            ]
+        ),
+        cols,
+    )
+    aggs = []
+    for c in cols:
+        q = qs[c]
+        if q is None or (isinstance(q, float) and math.isnan(q)):
+            aggs.append(F.lit(float("nan")).alias(c))
+        else:
+            dd = F.col(f"__dd_{c}")
+            cond_mean = F.mean(X.when_pl(dd <= F.lit(q), dd, None))
+            aggs.append(F.coalesce(cond_mean, F.lit(q)).alias(c))
+    res = df.agg(*aggs)
+    return _first_scalar(res, cols[0]) if scalar_mode else res
+
+
+cdar = conditional_drawdown_at_risk
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,26 @@
 import pytest
 
 
+def test_cdar_matches_numpy(spark):
+    """CDaR = mean of the worst-5% tail of the drawdown series, thresholded
+    at the exact linear-interpolated quantile (numpy's default, DuckDB's
+    quantile_cont, and Spark's `percentile` all agree)."""
+    import numpy as np
+
+    from alphastats_spark import stats
+
+    rng = [0.01, -0.03, 0.02, -0.05, 0.04, -0.02, 0.01, -0.04, 0.03, -0.01] * 5
+    w = np.cumprod(1 + np.array(rng))
+    dd = np.minimum(w / np.maximum.accumulate(w) - 1, 0)
+    q = np.quantile(dd, 0.05)
+    want = dd[dd <= q].mean()
+    assert stats.cdar(rng) == pytest.approx(want, rel=1e-9)
+    assert stats.conditional_drawdown_at_risk(rng) is not None
+
+    # degenerate: all-positive returns -> dd identically 0 -> cdar 0
+    assert stats.cdar([0.01] * 10) == pytest.approx(0.0, abs=1e-12)
+
+
 def test_rolling_greeks(spark):
     """Trailing CAPM beta/alpha: r = 2b + 0.001 gives per-window beta 2 and
     alpha 0.001*252 wherever >= 2 observations; a flat benchmark window

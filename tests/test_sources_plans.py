@@ -86,6 +86,58 @@ def test_csv_round_trip(spark, tmp_path):
     assert back.orderBy("d").collect() == df.orderBy("d").collect()
 
 
+def test_jsonl_corpus_round_trip_partitioned(spark, tmp_path):
+    from alphastats_spark.sources.readers import read_corpus, write_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'hello "quoted"\nsecond line', "en", "web"),
+            (2, "unicode ñ€ text", "es", "web"),
+            (3, None, "en", "books"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    path = str(tmp_path / "corpus")
+    write_corpus(docs, path, partition_by=["source"])
+    import os
+
+    assert any(p.startswith("source=") for p in os.listdir(path))
+    back = read_corpus(
+        spark, path, schema="doc_id bigint, text string, lang string, source string"
+    )
+    # JSON escaping is lossless: quotes, newlines, unicode and nulls survive
+    assert sorted(back.collect(), key=lambda r: r["doc_id"]) == sorted(
+        docs.collect(), key=lambda r: r["doc_id"]
+    )
+
+
+def test_jsonl_requires_schema(spark, tmp_path):
+    from alphastats_spark.sources.readers import read_corpus
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_corpus(spark, str(tmp_path))
+
+
+def test_partitioned_read_prunes_year(spark, tmp_path):
+    """A __year filter over a write_returns layout must reach the scan as a
+    PartitionFilter (directory pruning), not a post-scan data filter."""
+    import re
+
+    from alphastats_spark.plans.audit import explain_string
+
+    dates = [dt.date(2023, 6, 1), dt.date(2023, 6, 2), dt.date(2024, 6, 1)]
+    df = spark.createDataFrame(
+        list(zip(dates, [0.01, -0.02, 0.03])), "d date, r double"
+    )
+    path = str(tmp_path / "pruned")
+    write_returns(df, path)
+    back = read_returns(spark, path).where(F.col("__year") == 2024)
+    assert back.count() == 1
+    text = explain_string(back, "formatted")
+    m = re.search(r"PartitionFilters: \[(?P<pf>[^\]]*)\]", text)
+    assert m is not None and "__year" in m.group("pf")
+
+
 def test_long_wide_round_trip(spark):
     wide = spark.createDataFrame(
         list(zip(DATES, [0.01, -0.02, 0.03, -0.01, 0.02], [0.02, -0.01, 0.01, 0.03, -0.02])),
