@@ -546,6 +546,21 @@ def test_audit_round5_session_operators(spark):
         assert kinds <= {"unfiltered-scan"}, (kinds, out.columns)
 
 
+def test_audit_rolling_greeks(spark):
+    """rolling_greeks rides the overlap-replication machinery: windows
+    partition by time bucket (no raw-row single-partition funnel) and the
+    whole plan stays JVM-side (no row UDF, no nested-loop join)."""
+    from alphastats_spark import plans
+    from alphastats_spark.operators.rolling import rolling_greeks
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1 + i), 0.01 * i, 0.005 * i) for i in range(10)],
+        "d date, r double, b double",
+    )
+    kinds = {f.kind for f in plans.audit(rolling_greeks(df, days=5, benchmark_col="b"))}
+    assert kinds <= {"unfiltered-scan"}, kinds
+
+
 def test_interval_join_correct_and_no_nested_loop(spark):
     """Bucketized range join: exact containment semantics (inclusive both
     ends, multi-bucket spans, no duplicate matches) and a hash equi-join
