@@ -911,3 +911,69 @@ def weighted_sample(
         .limit(n)
         .drop("__w")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic content-keyed train/val/test split.
+
+    Each row draws a uniform ``u`` from the md5 of ``salt:id`` and lands in
+    the first split whose cumulative weight exceeds it — one stateless
+    projection (no shuffle, no RNG), so membership is stable across reruns,
+    engines and corpus growth (a new document never moves an existing one),
+    and changing ``salt`` redraws the whole assignment. This is the split
+    discipline a training corpus needs: eval contamination via re-splitting
+    is structurally impossible.
+
+    ``weights`` must sum to 1 (e.g. ``{"train": .98, "val": .01,
+    "test": .01}``, the default).
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights.values())}")
+    names = list(weights)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(4294967296.0)
+    case = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = u < F.lit(cum)
+        case = F.when(cond, F.lit(name)) if case is None else case.when(cond, F.lit(name))
+    split = case.otherwise(F.lit(names[-1])) if case is not None else F.lit(names[-1])
+    return df.withColumn("split", split)
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Tokenizer-ready shard assignment: ``shard`` = md5-keyed pseudo-random
+    bucket in ``[0, n_shards)`` plus the 48-bit ``shard_key`` that orders
+    rows WITHIN a shard — together a deterministic global shuffle of the
+    corpus (the de-correlation step before sequence packing, so no shard is
+    dominated by one source or crawl segment).
+
+    Deliberately NO position column: a per-shard ``row_number`` window
+    funnels each shard through one task at scale. Writers materialize the
+    order instead — ``df.repartition(n_shards, "shard")
+    .sortWithinPartitions("shard_key").write...`` keeps both assignment and
+    order fully parallel at any corpus size.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12),
+        16, 10,
+    ).cast("bigint")
+    return df.withColumn("shard_key", key).withColumn(
+        "shard", F.pmod(F.col("shard_key"), F.lit(n_shards)).cast("int")
+    )

@@ -3830,6 +3830,52 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, priority
 FROM p ORDER BY priority DESC, doc_id LIMIT 100""")
 
+    # Deterministic content-keyed train/val/test split: md5-uniforms against
+    # cumulative thresholds. The Python-computed cumulative floats are
+    # injected into BOTH engines (0.98 + 0.01 is not the literal 0.99 in
+    # binary), and u = bigint/2^52-free power-of-two division is exact, so
+    # the assignment is bit-identical.
+    _SPLIT_C1 = 0.98
+    _SPLIT_C2 = 0.98 + 0.01
+
+    def _hash_split(spark, sf_dir):
+        d = pipeline.hash_split(_docs(spark, sf_dir))
+        return d.groupBy("source", "split").agg(
+            F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+        )
+
+    add("corpus_hash_split", _hash_split, f"""
+WITH u AS (SELECT doc_id, source,
+  CAST(CAST(CONCAT('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM documents),
+s AS (SELECT source, doc_id,
+  CASE WHEN u < {_SPLIT_C1!r} THEN 'train'
+       WHEN u < {_SPLIT_C2!r} THEN 'val'
+       ELSE 'test' END AS split FROM u)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM s GROUP BY source, split""")
+
+    # Tokenizer-ready sharding: md5-keyed pseudo-random shard + within-shard
+    # sort key (global-shuffle de-correlation before sequence packing),
+    # profiled per shard — no per-shard row_number funnel anywhere.
+    def _shards(spark, sf_dir):
+        d = pipeline.shard_corpus(_docs(spark, sf_dir), n_shards=8)
+        return d.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("shard_key").alias("sum_keys"),
+            F.min("shard_key").alias("min_key"),
+        )
+
+    add("corpus_shards", _shards, """
+WITH k AS (SELECT CAST(CONCAT('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS key
+           FROM documents)
+SELECT CAST(key % 8 AS INTEGER) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(key) AS BIGINT) AS sum_keys, CAST(MIN(key) AS BIGINT) AS min_key
+FROM k GROUP BY key % 8""")
+
     # CCNet-style perplexity bucketing: corpus-relative head/middle/tail
     # terciles of the bigram-LM score. Quantiles are computed over the
     # 7dp-ROUNDED scores both sides, so the tercile thresholds — and the

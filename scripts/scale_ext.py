@@ -189,13 +189,24 @@ def run_ann_suite(spark, embs) -> dict[str, float]:
 def main() -> None:
     from alphastats_spark.session import build_session
 
-    spark = build_session(master="local[32]", cores=32)
+    # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
+    # 1g default (single-JVM driver hosts all 32 executor threads), exactly
+    # as the sf0.1 registry sweep did in check_oracle.py
+    spark = build_session(
+        master="local[32]", cores=32,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # per-suite progress lines so a mid-run crash can't lose earlier suites
     r1 = run_suite(spark, synth_docs(spark, 5_000), synth_events(spark, 100_000, 150))
+    print("1x:", json.dumps(r1), flush=True)
     r10 = run_suite(spark, synth_docs(spark, 50_000), synth_events(spark, 1_000_000, 1_500))
+    print("10x:", json.dumps(r10), flush=True)
     a1 = run_ann_suite(spark, synth_embs(spark, 5_000))
+    print("ann 1x:", json.dumps(a1), flush=True)
     a10 = run_ann_suite(spark, synth_embs(spark, 50_000))
+    print("ann 10x:", json.dumps(a10), flush=True)
     r1.update(a1)
     r10.update(a10)
     exponents = {

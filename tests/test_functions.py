@@ -1096,6 +1096,51 @@ class TestPipeline:
         # the extreme weight's rounds to -0.0 at 7dp
         assert all(r["priority"] <= 0 for r in out)
 
+    def test_hash_split(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+        out = pipeline.hash_split(df, {"train": 0.9, "val": 0.05, "test": 0.05})
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            F.count("*").alias("n")).collect()}
+        # every row lands in exactly one split; fractions roughly honored
+        assert sum(counts.values()) == 2000
+        assert 1700 < counts["train"] < 1900
+        assert counts["val"] > 0 and counts["test"] > 0
+        # growth-stability: adding docs never moves an existing assignment
+        first = {r["doc_id"]: r["split"] for r in out.collect()}
+        grown = pipeline.hash_split(
+            spark.createDataFrame([(i,) for i in range(3000)], "doc_id bigint"),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        )
+        after = {r["doc_id"]: r["split"] for r in grown.collect()}
+        assert all(after[i] == s for i, s in first.items())
+        # a different salt redraws the assignment
+        resalted = {r["doc_id"]: r["split"]
+                    for r in pipeline.hash_split(
+                        df, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v2"
+                    ).collect()}
+        assert any(resalted[i] != s for i, s in first.items())
+        with pytest.raises(ValueError, match="sum to 1"):
+            pipeline.hash_split(df, {"train": 0.5, "test": 0.4})
+
+    def test_shard_corpus(self, spark):
+        from alphastats_spark.functions import pipeline
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id bigint")
+        out = pipeline.shard_corpus(df, n_shards=8).collect()
+        shards = {r["doc_id"]: r["shard"] for r in out}
+        assert set(shards.values()) == set(range(8))
+        # roughly balanced (md5 is uniform): no shard under half the mean
+        from collections import Counter
+
+        c = Counter(shards.values())
+        assert min(c.values()) > 1000 / 8 / 2
+        # deterministic and key-consistent: shard == key % n
+        assert all(r["shard"] == r["shard_key"] % 8 for r in out)
+        with pytest.raises(ValueError, match="n_shards"):
+            pipeline.shard_corpus(df, n_shards=0)
+
     def test_lm_buckets(self, spark):
         from alphastats_spark.functions import pipeline
 
