@@ -14,7 +14,9 @@ long-frame O(1) plans) into measurements:
    claim is sub-linear-in-rows wall time on a fixed-core box until the
    cores saturate (partitions grow, per-partition work stays windowed).
 
-Usage:  python scripts/scale_run.py [workdir]   (default /tmp/as_scale)
+Usage:  python scripts/scale_run.py [workdir] [scale]   (default /tmp/as_scale 1.0)
+``scale`` multiplies the sf1 synthetic (10.0 = sf10: 15M orders / 60M
+lineitem, long-frame probe at 2k -> 20k assets — the second decade).
 Prints one JSON line; paste the result into the bench notes.
 """
 
@@ -90,7 +92,8 @@ def long_frame_run(spark, n_assets: int, n_days: int = 2520) -> tuple[float, int
 
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/as_scale"
-    sf_dir = f"{work}/sf1.0"
+    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    sf_dir = f"{work}/sf{scale}"
     os.makedirs(sf_dir, exist_ok=True)
 
     from alphastats_spark.session import build_session
@@ -105,11 +108,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if not os.path.exists(f"{sf_dir}/orders.parquet/_SUCCESS"):
-        synthesize(spark, sf_dir, scale=1.0)
+        synthesize(spark, sf_dir, scale=scale)
 
-    # keyed long-frame scaling: 10x assets at fixed calendar
-    t_small, n_small = long_frame_run(spark, 200)
-    t_big, n_big = long_frame_run(spark, 2000)
+    # keyed long-frame scaling: 10x assets at fixed calendar; asset counts
+    # ride the requested decade (scale=10 probes 2k -> 20k assets / 50M rows)
+    base_assets = max(1, int(200 * scale))
+    t_small, n_small = long_frame_run(spark, base_assets)
+    t_big, n_big = long_frame_run(spark, base_assets * 10)
     import math
 
     exponent = round(math.log(t_big / t_small) / math.log(10), 3)
@@ -144,11 +149,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "scale_validation",
-                "synthetic_sf": 1.0,
-                "bench_sf1": {"total_sec": bench["value"], "queries": bench["queries"]},
+                "synthetic_sf": scale,
+                "bench": {"total_sec": bench["value"], "queries": bench["queries"]},
                 "long_frame": {
-                    "assets_200_rows_504k_sec": t_small,
-                    "assets_2000_rows_5040k_sec": t_big,
+                    "assets": [base_assets, base_assets * 10],
+                    "seconds": [t_small, t_big],
                     "keys_out": [n_small, n_big],
                     "scaling_exponent_base10": exponent,
                 },
