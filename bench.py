@@ -18,7 +18,10 @@ size (scans scale and parallelize; the derived analytics frame is
 calendar-shaped). The keyed long-frame path (long_frame.metrics_by_key)
 at 200 -> 2000 assets x ~2520 days (0.5M -> 5M rows) runs 12.97s -> 31.0s
 — exponent 0.38, strongly sub-linear: per-key windows parallelize across
-the added keys instead of deepening any single partition.
+the added keys instead of deepening any single partition. The second
+decade (scale_run.py with scale=10: sf10, 100x the bench inputs) totals
+16.88s — 2.1x the sf0.1 wall for 100x the data — and 20k assets x 2520
+days (50M rows) through metrics_by_key runs 71.1s (exponent 0.59).
 """
 
 from __future__ import annotations
