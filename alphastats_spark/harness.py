@@ -930,6 +930,36 @@ FROM j
 WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
 QUALIFY COUNT(r) OVER w >= 2""")
 
+    # Rolling correlation vs the benchmark — same machinery/window; the
+    # oracle replicates covar_samp/(std·std) expression-for-expression
+    # (NOT the CORR aggregate, whose population-moment arithmetic could
+    # differ in the last ulp).
+    def _rolling_corr(spark, sf_dir):
+        from alphastats_spark.operators.rolling import rolling_greeks
+
+        joined = (
+            load_returns(spark, sf_dir)
+            .join(load_benchmark(spark, sf_dir), "d", "inner")
+        )
+        out = rolling_greeks(joined, days=30, benchmark_col="b")
+        return _round_df(
+            out.where(F.col("r_n_obs") >= 2).select(
+                F.col("d").cast("string").alias("d"), "r_corr", "r_n_obs"
+            )
+        )
+
+    add("rolling_corr_30d", _rolling_corr, f"""{RETURNS_CTE}{BENCH_CTE},
+j AS (SELECT rets.d, rets.r, bres.b FROM rets JOIN bres USING (d))
+SELECT CAST(d AS VARCHAR) AS d,
+  ROUND(CASE WHEN VAR_SAMP(b) OVER w > 0 AND VAR_SAMP(r) OVER w > 0
+             THEN COVAR_SAMP(r, b) OVER w
+                  / (STDDEV_SAMP(r) OVER w * STDDEV_SAMP(b) OVER w) END, {ROUND})
+    AS r_corr,
+  COUNT(r) OVER w AS r_n_obs
+FROM j
+WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(r) OVER w >= 2""")
+
     # Multi-asset broadcast: the reference's core structural idiom — one
     # metric call fans out over every numeric column in a single agg pass.
     def _multi_asset(spark: SparkSession, sf_dir: str) -> DataFrame:

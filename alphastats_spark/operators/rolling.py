@@ -114,11 +114,13 @@ def rolling_greeks(
     periods_per_year: int = 252,
 ) -> DataFrame:
     """Per-row trailing CAPM greeks vs a benchmark column that rides the
-    same rows: ``{col}_beta`` = windowed covar/var and ``{col}_alpha`` =
-    annualized windowed intercept — the rolling complement of the
-    aggregate ``stats.greeks``. Windows where the benchmark variance is 0
+    same rows: ``{col}_beta`` = windowed covar/var, ``{col}_alpha`` =
+    annualized windowed intercept, ``{col}_corr`` = windowed correlation —
+    the rolling complement of the aggregate ``stats.greeks``/
+    ``stats.correlation``. Windows where the benchmark variance is 0
     (fewer than 2 observations, or a flat benchmark) yield null, matching
-    the aggregate path's undefined-beta behaviour.
+    the aggregate path's undefined-beta behaviour; ``corr`` additionally
+    nulls on a flat strategy window.
 
     Same overlap-replication machinery (and scale posture) as
     :func:`trailing_metrics`; the benchmark column is appended to the
@@ -141,9 +143,20 @@ def rolling_greeks(
             (F.avg(c).over(w) - beta * F.avg(b).over(w)) * p,
         )
 
+    def corr_fn(c: Column, w) -> Column:
+        # covar_samp/(std_samp*std_samp) rather than F.corr: the (n-1)
+        # factors cancel identically, and the explicit form is what the
+        # DuckDB oracle replicates expression-for-expression
+        return F.when(
+            (F.var_samp(b).over(w) > 0) & (F.var_samp(c).over(w) > 0),
+            F.covar_samp(c, b).over(w)
+            / (F.stddev_samp(c).over(w) * F.stddev_samp(b).over(w)),
+        )
+
     metrics = {
         "beta": beta_fn,
         "alpha": alpha_fn,
+        "corr": corr_fn,
         "n_obs": lambda c, w: F.count(c).over(w).cast("long"),
     }
     key_cols = key_cols or []

@@ -37,12 +37,18 @@ def test_rolling_greeks(spark):
     last = d0 + dt.timedelta(days=39)
     assert out[last]["r_beta"] == pytest.approx(2.0)
     assert out[last]["r_alpha"] == pytest.approx(0.001 * 252)
+    # r is an exact affine function of b -> windowed correlation is 1
+    assert out[last]["r_corr"] == pytest.approx(1.0)
     # first row: single observation -> var_samp null -> null greeks
     assert out[d0]["r_beta"] is None and out[d0]["r_alpha"] is None
+    assert out[d0]["r_corr"] is None
 
     flat = spark.createDataFrame(
         [(d0 + dt.timedelta(days=i), 0.01 * i, 0.005) for i in range(5)],
         "d date, r double, b double",
     )
     fo = rolling_greeks(flat, days=10, benchmark_col="b").collect()
-    assert all(r["r_beta"] is None and r["r_alpha"] is None for r in fo)
+    assert all(
+        r["r_beta"] is None and r["r_alpha"] is None and r["r_corr"] is None
+        for r in fo
+    )
