@@ -540,3 +540,29 @@ def ivfpq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids in long form ``(key, pos, c, n_vecs)``
+    — the class-conditional mean / prototype-vector primitive (seed
+    centroids for IVF/SemDedup partitions, nearest-prototype classification,
+    per-source drift monitoring).
+
+    Shape chosen for scale: ``posexplode`` then one map-side-combinable
+    ``groupBy(key, pos)`` — dimension rows combine within every partition
+    before the single shuffle, so the exchange carries ~|keys|·dim rows
+    regardless of corpus size. No per-group array re-assembly (a
+    ``collect_list`` would funnel each group through one task and lose the
+    combine); downstream consumers that need array form pivot the bounded
+    result on the driver.
+    """
+    ex = df.select(
+        F.col(key_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    )
+    return ex.groupBy(key_col, "pos").agg(
+        F.avg("__v").alias("c"), F.count("__v").cast("long").alias("n_vecs")
+    )

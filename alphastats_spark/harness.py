@@ -2739,6 +2739,25 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
 
+    # Per-label prototype vectors in long form: posexplode + one map-side-
+    # combinable groupBy(label, pos) — the exchange carries |labels|·dim
+    # rows regardless of corpus size. avg over FLOAT sums in double on both
+    # engines, so 7dp rounding holds.
+    def _centroids(spark, sf_dir):
+        return _round_df(
+            similarity.group_centroids(
+                _embs(spark, sf_dir), key_col="label", vec_col="embedding"
+            )
+        )
+
+    add("emb_label_centroids", _centroids, f"""
+SELECT label, CAST(pos AS INTEGER) - 1 AS pos, ROUND(AVG(v), {ROUND}) AS c,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos""")
+
     def _ann_lsh(spark, sf_dir):
         emb = _embs(spark, sf_dir)
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]

@@ -1685,6 +1685,25 @@ def test_funnel_per_user_times(spark):
     assert out[2]["lvl"] == 1 and out[2]["t_first"] == 5 * M
 
 
+def test_group_centroids(spark):
+    from alphastats_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<double>",
+    )
+    out = {(r["label"], r["pos"]): r for r in similarity.group_centroids(df).collect()}
+    assert out[(0, 0)]["c"] == pytest.approx(2.0)
+    assert out[(0, 1)]["c"] == pytest.approx(3.0)
+    assert out[(1, 0)]["c"] == pytest.approx(10.0)
+    assert out[(0, 0)]["n_vecs"] == 2 and out[(1, 1)]["n_vecs"] == 1
+    # one shuffle, no row UDF, no funnel
+    from alphastats_spark import plans
+
+    kinds = {f.kind for f in plans.audit(similarity.group_centroids(df))}
+    assert kinds <= {"unfiltered-scan"}, kinds
+
+
 def test_hash_embed_chains_into_ann(spark):
     """hash_embed output must be directly consumable by the embedding
     operators: near-identical texts land close in cosine, unrelated texts
