@@ -930,6 +930,46 @@ FROM j
 WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
 QUALIFY COUNT(r) OVER w >= 2""")
 
+    # Keyed (multi-asset) rolling greeks: two strategies (r and its exact
+    # -2x mirror) share the benchmark; windows partition by (asset, bucket)
+    # so added assets widen parallelism instead of deepening any window —
+    # the scale shape for per-asset rolling CAPM over a long frame.
+    def _rolling_greeks_keyed(spark, sf_dir):
+        from alphastats_spark.operators.rolling import rolling_greeks
+
+        rets = load_returns(spark, sf_dir)
+        two = rets.select(F.lit("a").alias("asset"), "d", "r").unionByName(
+            rets.select(
+                F.lit("c").alias("asset"), "d", (F.col("r") * -2).alias("r")
+            )
+        )
+        joined = two.join(load_benchmark(spark, sf_dir), "d", "inner")
+        out = rolling_greeks(joined, days=30, benchmark_col="b", key_cols=["asset"])
+        return _round_df(
+            out.where(F.col("r_n_obs") >= 2).select(
+                "asset", F.col("d").cast("string").alias("d"),
+                "r_beta", "r_corr", "r_n_obs",
+            )
+        )
+
+    add("rolling_greeks_30d_keyed", _rolling_greeks_keyed, f"""{RETURNS_CTE}{BENCH_CTE},
+two AS (SELECT 'a' AS asset, d, r FROM rets
+        UNION ALL SELECT 'c' AS asset, d, -2 * r AS r FROM rets),
+j AS (SELECT two.asset, two.d, two.r, bres.b FROM two JOIN bres USING (d))
+SELECT asset, CAST(d AS VARCHAR) AS d,
+  ROUND(CASE WHEN VAR_SAMP(b) OVER w > 0
+             THEN COVAR_SAMP(r, b) OVER w / VAR_SAMP(b) OVER w END, {ROUND})
+    AS r_beta,
+  ROUND(CASE WHEN VAR_SAMP(b) OVER w > 0 AND VAR_SAMP(r) OVER w > 0
+             THEN COVAR_SAMP(r, b) OVER w
+                  / (STDDEV_SAMP(r) OVER w * STDDEV_SAMP(b) OVER w) END, {ROUND})
+    AS r_corr,
+  COUNT(r) OVER w AS r_n_obs
+FROM j
+WINDOW w AS (PARTITION BY asset ORDER BY d
+             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(r) OVER w >= 2""")
+
     # Rolling correlation vs the benchmark — same machinery/window; the
     # oracle replicates covar_samp/(std·std) expression-for-expression
     # (NOT the CORR aggregate, whose population-moment arithmetic could

@@ -52,3 +52,12 @@ def test_rolling_greeks(spark):
         r["r_beta"] is None and r["r_alpha"] is None and r["r_corr"] is None
         for r in fo
     )
+
+    # keyed: the -2x mirror asset gets exactly -2x the beta, window-for-window
+    two = df.selectExpr("'a' AS asset", "d", "r", "b").unionByName(
+        df.selectExpr("'c' AS asset", "d", "-2 * r AS r", "b")
+    )
+    ko = rolling_greeks(two, days=10, benchmark_col="b", key_cols=["asset"])
+    by_key = {(r["asset"], r["d"]): r for r in ko.collect()}
+    assert by_key[("c", last)]["r_beta"] == pytest.approx(-2 * by_key[("a", last)]["r_beta"])
+    assert by_key[("c", last)]["r_corr"] == pytest.approx(-by_key[("a", last)]["r_corr"])
