@@ -257,3 +257,45 @@ def value_anomalies(
     return scored.where(
         (F.col("__mad") > 0) & (F.col("robust_z") > F.lit(float(z)))
     ).drop("__mad")
+
+
+def inter_event_gaps(
+    df: DataFrame,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-type inter-event latency profile: for each event type, the
+    count, median and p95 of the gap (µs) since the user's PREVIOUS event
+    of any type — the ops-telemetry pass that surfaces stuck funnels and
+    bot cadences (a p95 gap near 0 for 'click' is automation; a median
+    gap exploding for 'purchase' is a checkout regression).
+
+    Plan: one ``lag`` window partitioned by user (parallel across users,
+    never a global sort) then a grouped percentile aggregation per type —
+    the log shuffles once by user and once by type. ``exact=False`` swaps
+    in the KLL-sketch ``approx_percentile`` at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from alphastats_spark import expressions as X
+
+    # id tiebreak: simultaneous events would otherwise attribute their
+    # 0-gap to an engine-dependent type
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(us_col).asc(), F.col(id_col).asc()
+    )
+    gap = (F.col(us_col) - F.lag(F.col(us_col)).over(w)).cast("long")
+    gaps = df.select(F.col(type_col), gap.alias("__gap")).where(
+        F.col("__gap").isNotNull()
+    )
+    g = F.col("__gap").cast("double")
+    # 0.1 µs rounding: the gaps are ~1e11 µs, so full-precision doubles
+    # expose last-ulp interpolation-order differences between engines
+    return gaps.groupBy(type_col).agg(
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.round(X.percentile(g, 0.5, exact=exact), 1).alias("median_gap_us"),
+        F.round(X.percentile(g, 0.95, exact=exact), 1).alias("p95_gap_us"),
+    )

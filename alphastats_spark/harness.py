@@ -3115,6 +3115,31 @@ FROM events GROUP BY 1, 2""")
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1""")
 
+    # Per-type inter-event latency profile: lag window partitioned by user
+    # (id tiebreak — simultaneous events would attribute their 0-gap to an
+    # engine-dependent type), grouped exact percentiles per type. Both
+    # engines order by (µs, event_id) so ns-only ties cannot diverge.
+    def _event_gaps(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        d = ev.select(
+            "user_id", "event_type", "event_id", _event_us(ev).alias("us")
+        )
+        return ev_ops.inter_event_gaps(d)
+
+    add("event_gap_profile", _event_gaps, f"""
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap, 0.5), 1) AS median_gap_us,
+       ROUND(quantile_cont(gap, 0.95), 1) AS p95_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY event_type""")
+
     # Ordered conversion funnel (ClickHouse-windowFunnel-style), chained-min
     # semantics with a 24h per-step gap cap. Spark runs the one-shuffle
     # sorted-fold formulation (array_sort + F.aggregate step machine); the

@@ -1685,6 +1685,31 @@ def test_funnel_per_user_times(spark):
     assert out[2]["lvl"] == 1 and out[2]["t_first"] == 5 * M
 
 
+def test_inter_event_gaps(spark):
+    from alphastats_spark.functions import events as ev_ops
+
+    # user 1: events at 0, 10, 30 us -> gaps 10 (to 'b'), 20 (to 'c');
+    # user 2: single event -> no gap; tie at us=10 broken by event_id
+    ev = spark.createDataFrame(
+        [
+            (1, 0, 1, "a"),
+            (1, 10, 2, "b"),
+            (1, 30, 3, "c"),
+            (2, 5, 4, "a"),
+        ],
+        "user_id bigint, us bigint, event_id bigint, event_type string",
+    )
+    out = {r["event_type"]: r for r in ev_ops.inter_event_gaps(ev).collect()}
+    assert "a" not in out  # first events carry no gap
+    assert out["b"]["n_gaps"] == 1 and out["b"]["median_gap_us"] == 10.0
+    assert out["c"]["p95_gap_us"] == 20.0
+    # plan: user-partitioned lag, no funnel, no row UDF
+    from alphastats_spark import plans
+
+    kinds = {f.kind for f in plans.audit(ev_ops.inter_event_gaps(ev))}
+    assert kinds <= {"unfiltered-scan"}, kinds
+
+
 def test_group_centroids(spark):
     from alphastats_spark.functions import similarity
 
