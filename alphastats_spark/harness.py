@@ -1485,11 +1485,57 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND5_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND5_WINDOW]
+    front = [n for n in _ROUND6_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND6_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND6_WINDOW = [
+    # Round 6 window (50 slots). Priority (a) repaired fails: none — r5 was
+    # 50/50. Priority (b): the ENTIRE 29-name set that has never been inside
+    # any driver gate window (registered late in r4/r5, so far verified only
+    # by scripts/check_oracle.py replica sweeps). Converting those replica
+    # greens into driver CORRECTNESS rows is the whole remaining correctness
+    # debt (VERDICT r5 "Next round" #1).
+    "cdar", "rolling_greeks_30d", "rolling_greeks_30d_keyed",
+    "rolling_corr_30d", "asset_correlation_matrix",
+    "doc_url_domains", "dedup_containment", "emb_label_centroids",
+    "ann_ivfpq_topk",
+    "event_hourly_uniques", "event_gap_profile", "event_top_paths",
+    "event_interval_join", "event_value_anomalies", "event_funnel_times",
+    "event_funnel_streaming",
+    "returns_csv_roundtrip", "docs_jsonl_roundtrip",
+    "returns_partitioned_sink",
+    "doc_chunk_shards", "doc_hash_embed", "corpus_length_quantiles",
+    "corpus_weighted_sample", "corpus_hash_split", "corpus_shards",
+    "doc_lm_buckets", "doc_dsir_select", "corpus_rollup_stats",
+    "dedup_incremental_admit",
+    # Priority (c)+(d): 21 rotation slots over the 39 queries whose newest
+    # driver-green is r3, fronting those whose machinery changed since r3 —
+    # codecs grew PNG/JPEG in r4/r5 (media_*), the streaming harness runner
+    # changed in r5 (streaming_*, rolling_metrics_30d), rolling.py grew the
+    # keyed greeks/corr paths (rolling_trailing_*), similarity.py grew
+    # PQ/centroid code (ann_* trio), dedup.py grew lineage/incremental/
+    # substring machinery in r5 (the signature→band→verify→cluster chain +
+    # semdedup/LSH near-dup), psr and multi_asset_smart_long sit on the
+    # r5-fused autocorr/ordered passes. The 18 r3-greens left out
+    # (calendar/trailing wrappers, text suite re-checks, stratified sample,
+    # multi_asset_sharpe, doc_chunks, emb_near_dups) are compositions over
+    # machinery unchanged
+    # since r3 AND re-verified by this round's committed replica sweep
+    # (SWEEP_r06.json); they rotate next round.
+    "media_decode_real", "dedup_streaming_candidates",
+    "streaming_drawdowns", "streaming_drawdowns_keyed",
+    "rolling_trailing_30d", "rolling_trailing_30d_keyed",
+    "rolling_metrics_30d",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "psr", "multi_asset_smart_long",
+    "dedup_exact", "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_lsh_verified", "dedup_clusters", "dedup_ngram_jaccard",
+    "dedup_simhash", "emb_near_dups_lsh", "emb_semdedup",
+]
 
 
 _ROUND5_WINDOW = [

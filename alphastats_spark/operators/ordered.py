@@ -29,11 +29,9 @@ still correct (sign-flip / collapse-to-zero) beyond that.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from alphastats_spark.expressions import NAN, fdiv
 
 ORDER_COL = "__as_order"
 BUCKET_COL = "__as_bucket"
@@ -98,19 +96,38 @@ def drop_order(df: DataFrame) -> DataFrame:
     return df.drop(ORDER_COL, BUCKET_COL)
 
 
-def _bucket_prefix_window() -> Window:
-    # Exclusive running window over the per-bucket aggregate table. That
-    # table has one row per bucket (months of data / input partitions), so a
-    # global window over it is a few-KB single task — not a scale hazard.
-    return Window.orderBy(BUCKET_COL).rowsBetween(Window.unboundedPreceding, -1)
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string expressions."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+# SQL window fragments for the two-phase pass. String expressions cost ONE
+# py4j round-trip per selectExpr/expr call instead of one per Column-API
+# node: measured ~0.45s of pure driver time per add_drawdown_columns call
+# (and ~0.25s per ingest lag pass) at bench scale before this, ~0.1s after
+# — on a 6-pass report that driver time was serialized ahead of every
+# Spark job and dominated the critical path.
+_W_CUM = (
+    f"OVER (PARTITION BY {_q(BUCKET_COL)} ORDER BY {_q(ORDER_COL)} "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_W_PLAIN = f"OVER (PARTITION BY {_q(BUCKET_COL)} ORDER BY {_q(ORDER_COL)})"
+# The unpartitioned bucket-offset windows run over the per-bucket aggregate
+# table only — one row per bucket (months of data / input partitions), so a
+# global window there is a few-KB single task, not a scale hazard.
+_WB_EXCL = (
+    f"OVER (ORDER BY {_q(BUCKET_COL)} "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+)
+_WB_LAG = f"OVER (ORDER BY {_q(BUCKET_COL)})"
 
 
 def add_ordered_columns(
     df: DataFrame,
-    sums: dict[str, Column] | None = None,
-    maxes: dict[str, Column] | None = None,
+    sums: dict[str, Column | str] | None = None,
+    maxes: dict[str, Column | str] | None = None,
     lags: dict[str, str] | None = None,
-    ffills: dict[str, Column] | None = None,
+    ffills: dict[str, Column | str] | None = None,
 ) -> DataFrame:
     """ONE two-phase ordered pass computing any mix of running sums,
     running maxes, lag(1)s and forward-fills.
@@ -123,7 +140,10 @@ def add_ordered_columns(
     previously chained one pass per kind — 4-5 persists, bucket aggregates
     and joins where this does one of each.
 
-    Per-kind semantics (identical to the former dedicated passes):
+    Dict values may be ``Column`` objects (caller-facing API) or SQL
+    expression strings (the machinery's internal fast path — see the
+    ``_W_*`` constants for why). Per-kind semantics (identical to the
+    former dedicated passes):
 
     * ``sums``/``maxes`` map output → source *expression*; null inputs are
       skipped (prefix over non-nulls so far, null before the first
@@ -150,66 +170,82 @@ def add_ordered_columns(
     maxes = maxes or {}
     lags = lags or {}
     ffills = ffills or {}
-    w = (
-        Window.partitionBy(BUCKET_COL)
-        .orderBy(ORDER_COL)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_plain = Window.partitionBy(BUCKET_COL).orderBy(ORDER_COL)
 
-    within_cols = []
-    for out, col in sums.items():
-        within_cols.append(F.sum(col).over(w).alias(f"{out}__in"))
-    for out, col in maxes.items():
-        within_cols.append(F.max(col).over(w).alias(f"{out}__in"))
-    for out, src in lags.items():
-        within_cols.append(F.lag(src).over(w_plain).alias(f"{out}__in"))
-    for out, col in ffills.items():
-        within_cols.append(F.last(col, ignorenulls=True).over(w).alias(f"{out}__in"))
+    # Dict values may be SQL-expression STRINGS (the machinery's own fast
+    # path — one py4j round-trip per selectExpr instead of one per Column
+    # node) or Column objects (the caller-facing API). Column values are
+    # staged under a temp name in the same projection so the windowed
+    # select below can reference them by SQL identifier; evaluation still
+    # happens against the pre-window frame either way.
+    staged: list[Column] = []
+
+    def sql_of(out: str, val, kind: str) -> str:
+        if isinstance(val, str):
+            return val
+        tmp = f"__st_{kind}_{out}"
+        staged.append(val.alias(tmp))
+        return _q(tmp)
+
+    sums_sql = {out: sql_of(out, v, "s") for out, v in sums.items()}
+    maxes_sql = {out: sql_of(out, v, "m") for out, v in maxes.items()}
+    ffills_sql = {out: sql_of(out, v, "f") for out, v in ffills.items()}
+    # lags map output → source column NAME
+    lags_sql = {out: _q(src) for out, src in lags.items()}
+    if staged:
+        df = df.select("*", *staged)
+
+    within = []
+    for out, e in sums_sql.items():
+        within.append(f"sum({e}) {_W_CUM} AS {_q(out + '__in')}")
+    for out, e in maxes_sql.items():
+        within.append(f"max({e}) {_W_CUM} AS {_q(out + '__in')}")
+    for out, e in lags_sql.items():
+        within.append(f"lag({e}) {_W_PLAIN} AS {_q(out + '__in')}")
+    for out, e in ffills_sql.items():
+        within.append(f"last({e}, true) {_W_CUM} AS {_q(out + '__in')}")
     if lags:
         # bucket-first marker for the lag boundary fill; rides the same sort
-        within_cols.append(F.row_number().over(w_plain).alias("__as_rn"))
-    df = _persist_pass(df.select("*", *within_cols))
+        within.append(f"row_number() {_W_PLAIN} AS __as_rn")
+    df = _persist_pass(df.selectExpr("*", *within))
 
-    aggs = [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in sums]
-    aggs += [F.max(F.col(f"{out}__in")).alias(out) for out in maxes]
+    o = _q(ORDER_COL)
+    aggs = [F.expr(f"max_by({_q(out + '__in')}, {o})").alias(out) for out in sums]
+    aggs += [F.expr(f"max({_q(out + '__in')})").alias(out) for out in maxes]
     # lag boundary = previous bucket's last SOURCE value
-    aggs += [F.max_by(F.col(src), F.col(ORDER_COL)).alias(out) for out, src in lags.items()]
-    aggs += [F.max_by(F.col(f"{out}__in"), F.col(ORDER_COL)).alias(out) for out in ffills]
+    aggs += [F.expr(f"max_by({e}, {o})").alias(out) for out, e in lags_sql.items()]
+    aggs += [F.expr(f"max_by({_q(out + '__in')}, {o})").alias(out) for out in ffills]
     bucket_totals = df.groupBy(BUCKET_COL).agg(*aggs)
 
-    wb = _bucket_prefix_window()
-    wb_lag = Window.orderBy(BUCKET_COL)
-    offset_cols = [F.sum(out).over(wb).alias(f"{out}__prev") for out in sums]
-    offset_cols += [F.max(out).over(wb).alias(f"{out}__prev") for out in maxes]
-    offset_cols += [F.lag(out).over(wb_lag).alias(f"{out}__prev") for out in lags]
+    offset_cols = [f"sum({_q(out)}) {_WB_EXCL} AS {_q(out + '__prev')}" for out in sums]
+    offset_cols += [f"max({_q(out)}) {_WB_EXCL} AS {_q(out + '__prev')}" for out in maxes]
+    offset_cols += [f"lag({_q(out)}) {_WB_LAG} AS {_q(out + '__prev')}" for out in lags]
     offset_cols += [
-        F.last(out, ignorenulls=True).over(wb).alias(f"{out}__prev") for out in ffills
+        f"last({_q(out)}, true) {_WB_EXCL} AS {_q(out + '__prev')}" for out in ffills
     ]
-    offsets = bucket_totals.select(BUCKET_COL, *offset_cols)
+    offsets = bucket_totals.selectExpr(BUCKET_COL, *offset_cols)
 
     df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
 
     final = []
     for out in sums:
-        a, p = F.col(f"{out}__in"), F.col(f"{out}__prev")
-        final.append(F.coalesce(a + p, a, p).alias(out))
+        a, p = _q(out + "__in"), _q(out + "__prev")
+        final.append(f"coalesce({a} + {p}, {a}, {p}) AS {_q(out)}")
     for out in maxes:
-        final.append(F.greatest(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out))
+        a, p = _q(out + "__in"), _q(out + "__prev")
+        final.append(f"greatest({a}, {p}) AS {_q(out)}")
     for out in lags:
-        final.append(
-            F.when(F.col("__as_rn") == 1, F.col(f"{out}__prev"))
-            .otherwise(F.col(f"{out}__in"))
-            .alias(out)
-        )
+        a, p = _q(out + "__in"), _q(out + "__prev")
+        final.append(f"CASE WHEN __as_rn = 1 THEN {p} ELSE {a} END AS {_q(out)}")
     for out in ffills:
-        final.append(F.coalesce(F.col(f"{out}__in"), F.col(f"{out}__prev")).alias(out))
+        a, p = _q(out + "__in"), _q(out + "__prev")
+        final.append(f"coalesce({a}, {p}) AS {_q(out)}")
     keep = [
-        c
+        _q(c)
         for c in df.columns
-        if not (c.endswith("__in") or c.endswith("__prev") or c == "__as_rn")
+        if not (c.endswith("__in") or c.endswith("__prev") or c == "__as_rn"
+                or c.startswith("__st_"))
     ]
-    return df.select(*keep, *final)
+    return df.selectExpr(*keep, *final)
 
 
 def add_prefix_columns(
@@ -272,61 +308,67 @@ def add_drawdown_columns(
     ``extra_maxes`` expression may reference any ``extra_sums`` output,
     which exists by the time the second pass selects it.
     """
-    sums: dict[str, Column] = dict(extra_sums or {})
+    sums: dict = dict(extra_sums or {})
     for out, src in cols.items():
-        factor = F.col(src).cast("double") + 1
-        sums[f"{out}__ls"] = F.when(factor == 0, F.lit(0.0)).otherwise(F.log(F.abs(factor)))
-        sums[f"{out}__neg"] = (factor < 0).cast("long")
-        sums[f"{out}__zero"] = (factor == 0).cast("long")
+        factor = f"(CAST({_q(src)} AS double) + 1)"
+        sums[f"{out}__ls"] = (
+            f"CASE WHEN {factor} = 0 THEN 0.0D ELSE ln(abs({factor})) END"
+        )
+        sums[f"{out}__neg"] = f"CAST(({factor} < 0) AS bigint)"
+        sums[f"{out}__zero"] = f"CAST(({factor} = 0) AS bigint)"
         if with_peak_pos:
-            sums[f"{out}__nn"] = F.col(src).isNull().cast("long")
+            sums[f"{out}__nn"] = f"CAST(({_q(src)} IS NULL) AS bigint)"
     df = add_ordered_columns(df, sums=sums, lags=extra_lags)
 
     wealth_cols = []
     for out, src in cols.items():
-        sign = F.when(F.col(f"{out}__neg") % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
-        wealth = (
-            F.when(F.col(src).isNull(), F.lit(None).cast("double"))
-            .when(F.col(f"{out}__zero") > 0, F.lit(0.0))
-            .otherwise(F.exp(F.col(f"{out}__ls")) * sign)
+        sign = f"CASE WHEN ({_q(out + '__neg')} % 2) = 1 THEN -1.0D ELSE 1.0D END"
+        wealth_cols.append(
+            f"CASE WHEN {_q(src)} IS NULL THEN CAST(NULL AS double) "
+            f"WHEN {_q(out + '__zero')} > 0 THEN 0.0D "
+            f"ELSE exp({_q(out + '__ls')}) * ({sign}) END AS {_q(out + '__w')}"
         )
-        wealth_cols.append(wealth.alias(f"{out}__w"))
-    df = df.select("*", *wealth_cols)
+    df = df.selectExpr("*", *wealth_cols)
 
     if with_peak_pos:
         # null wealth → −inf in the struct so a null row can never become
         # the peak (the plain-max path gets this from max's null-skipping)
-        maxes2 = {
-            f"{out}__pk": F.struct(
-                F.coalesce(F.col(f"{out}__w"), F.lit(float("-inf"))).alias("v"),
-                F.col(ORDER_COL).alias("p"),
+        maxes2: dict = {
+            f"{out}__pk": (
+                f"named_struct('v', coalesce({_q(out + '__w')}, double('-Infinity')), "
+                f"'p', {_q(ORDER_COL)})"
             )
             for out in cols
         }
         maxes2.update(extra_maxes or {})
         df = add_ordered_columns(df, maxes=maxes2)
-        peak = {out: F.col(f"{out}__pk").getField("v") for out in cols}
+        peak = {out: f"{_q(out + '__pk')}.v" for out in cols}
     else:
-        maxes2 = {f"{out}__peak": F.col(f"{out}__w") for out in cols}
+        maxes2 = {f"{out}__peak": _q(f"{out}__w") for out in cols}
         maxes2.update(extra_maxes or {})
         df = add_ordered_columns(df, maxes=maxes2)
-        peak = {out: F.col(f"{out}__peak") for out in cols}
+        peak = {out: _q(f"{out}__peak") for out in cols}
 
     dd_cols = []
     for out in cols:
-        ratio = fdiv(F.col(f"{out}__w"), peak[out]) - 1
-        dd = (
-            F.when(F.col(f"{out}__w").isNull(), F.lit(None).cast("double"))
-            .when(F.isnan(ratio), NAN())
-            .otherwise(F.least(ratio, F.lit(0.0)))
+        w, p = _q(out + "__w"), peak[out]
+        # fdiv (IEEE ±inf / NaN on zero denominators) then −1, as a string
+        ratio = (
+            f"(CASE WHEN {w} IS NULL OR ({p}) IS NULL THEN NULL "
+            f"WHEN ({p}) != 0 THEN {w} / ({p}) "
+            f"WHEN isnan({w}) OR {w} = 0 THEN double('NaN') "
+            f"WHEN {w} > 0 THEN double('Infinity') "
+            f"ELSE double('-Infinity') END - 1)"
         )
-        dd_cols.append(dd.alias(out))
+        dd_cols.append(
+            f"CASE WHEN {w} IS NULL THEN CAST(NULL AS double) "
+            f"WHEN isnan({ratio}) THEN double('NaN') "
+            f"ELSE least({ratio}, 0.0D) END AS {_q(out)}"
+        )
         if with_peak_pos:
             dd_cols.append(
-                F.struct(
-                    F.col(f"{out}__pk").getField("p").alias("p"),
-                    F.coalesce(F.col(f"{out}__nn"), F.lit(0)).alias("n"),
-                ).alias(f"{out}__pos")
+                f"named_struct('p', {_q(out + '__pk')}.p, "
+                f"'n', coalesce({_q(out + '__nn')}, 0L)) AS {_q(out + '__pos')}"
             )
     helper = [
         c
@@ -339,7 +381,7 @@ def add_drawdown_columns(
         or c.endswith("__pk")
         or c.endswith("__nn")
     ]
-    return df.select(*[c for c in df.columns if c not in helper], *dd_cols)
+    return df.selectExpr(*[_q(c) for c in df.columns if c not in helper], *dd_cols)
 
 
 def add_row_index(df: DataFrame, out: str = "__as_idx") -> DataFrame:

@@ -120,6 +120,40 @@ def main() -> None:
         "q_report": q_report,
     }
 
+    # ---- extension-family headliners (separate metric group) --------------
+    # The six finance-side queries above are the round-over-round headline
+    # ("value") so the driver's comparison stays apples-to-apples with
+    # r1-r5. The LLM-data-pipeline families get their own timed group:
+    # the composed MinHash-LSH dedup with lineage, IVF-PQ top-k (including
+    # its driver-side sample/train step — that IS the query as registered),
+    # and the sessionized funnel.
+
+    def x_dedup():
+        from alphastats_spark.functions import dedup
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.deduplicate(docs, threshold=0.5, lineage=True) \
+            .groupBy("reason").count().collect()
+
+    def x_ann():
+        from alphastats_spark.functions import similarity
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(10_000).collect()
+        sample = [r[1] for r in rows]
+        qvec = [float(v) for v in next(r[1] for r in rows if r[0] == 0)]
+        cents = similarity.kmeans_train(sample, 16, 5, 42)
+        books = similarity.pq_train(sample, m=4, n_codes=16, n_iters=5, seed=42)
+        return similarity.ivfpq_topk(emb, qvec, cents, books, k=20, nprobe=8).collect()
+
+    def x_funnel():
+        from alphastats_spark.functions import events as ev_ops
+        ev = harness._events(spark, sf_dir)
+        ev = ev.withColumn("us", harness._event_us(ev))
+        return ev_ops.funnel(
+            ev, steps=["signup", "click", "purchase"], max_gap_s=86_400
+        ).collect()
+
+    ext_queries = {"q_dedup": x_dedup, "q_ann": x_ann, "q_funnel": x_funnel}
+
     # best-of-3: the first pass absorbs residual JIT/compilation noise and
     # min is the standard steady-state estimator. All raw runs are emitted
     # ("runs") so a contended invocation is self-diagnosing — the round-2
@@ -146,6 +180,22 @@ def main() -> None:
     spread = round(
         max(max(r) / max(min(r), 1e-9) for r in runs.values()), 2
     )
+
+    # extension group: best-of-2 (the dedup/ANN queries are several times
+    # heavier than any headline query; the first run still absorbs JIT)
+    ext_timings: dict[str, float] = {}
+    ext_runs: dict[str, list[float]] = {}
+    for name, fn in ext_queries.items():
+        ext_runs[name] = []
+        for _ in range(2):
+            mark = ordered.pass_cache_mark()
+            t0 = time.perf_counter()
+            fn()
+            ext_runs[name].append(round(time.perf_counter() - t0, 3))
+            ordered.release_pass_caches(mark)
+            spark.catalog.clearCache()
+        ext_timings[name] = min(ext_runs[name])
+
     print(
         json.dumps(
             {
@@ -156,6 +206,9 @@ def main() -> None:
                 "sf": sf,
                 "runs": runs,
                 "max_run_spread": spread,
+                "extensions": ext_timings,
+                "extensions_total": round(sum(ext_timings.values()), 3),
+                "extensions_runs": ext_runs,
             }
         )
     )

@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at the given scale factor, compares row count, column names and
 order-insensitive values. Usage:
 
-    python scripts/check_oracle.py [sf_dir] [name ...]
+    python scripts/check_oracle.py [--json OUT.json] [sf_dir] [name ...]
+
+``--json`` writes a committed-evidence artifact (``SWEEP_rN.json``):
+``{"sf_dir": ..., "results": {name: bool}, "errors": {name: msg}}``.
+``scripts/gen_registry.py`` folds these into REGISTRY.md, so replica sweeps
+of queries outside the driver's 50-slot gate window are auditable instead
+of living only in a round's prose.
 """
 
 from __future__ import annotations
@@ -66,8 +72,14 @@ def norm_rows(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # data-derived oracles (IVF centroids) must read the same scale factor
     import os
@@ -97,9 +109,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, bool] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        results[name] = False
         try:
             sdf = fn(spark, sf_dir)
             s_rows = sdf.collect()
@@ -109,6 +123,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             continue
         if name not in oracles:
+            results[name] = True
             print(f"ok(rows-only) {name}: {len(s_rows)} rows")
             continue
         try:
@@ -134,9 +149,26 @@ def main() -> int:
             failures.append((name, f"values differ: {diff}"))
             print(f"FAIL  {name}: values differ: {diff}")
             continue
+        results[name] = True
         print(f"ok    {name}: {len(s_rows)} rows match")
 
     print(f"\n{len(failures)} failures / {len(queries)} queries")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "checked": len(results),
+                    "failures": len(failures),
+                    "results": results,
+                    "errors": dict(failures),
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 

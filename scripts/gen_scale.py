@@ -1,0 +1,81 @@
+"""Generate SCALE_rN.json — the per-round scale-validation artifact.
+
+Runs the two existing probes and folds their outputs into one committed
+JSON so scaling-exponent regressions are caught round-over-round like
+bench regressions (VERDICT r5 "Next round" #4):
+
+- ``scripts/scale_run.py`` at scale 1 and 10 (synthetic sf1/sf10 —
+  10x / 100x the bench inputs — through the unmodified bench harness,
+  plus the keyed long-frame decade probe);
+- ``scripts/scale_ext.py`` (extension families: dedup/LSH/substring,
+  LM scoring, events, DSIR, containment, interval join, ANN — 1x vs 10x
+  with per-operator exponents).
+
+Usage:  python scripts/gen_scale.py <round> [--skip-sf10]
+
+Synthetic inputs are cached under /tmp/as_scale; a warm second run is
+dominated by the measured queries, not synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def last_json_lines(stdout: str) -> list[dict]:
+    out = []
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+        elif ": {" in line:  # "1x: {...}" progress lines
+            try:
+                out.append(json.loads(line.split(": ", 1)[1]))
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def run(cmd: list[str]) -> str:
+    print("::", " ".join(cmd), flush=True)
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO)
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
+        raise SystemExit(f"{cmd} failed")
+    sys.stdout.write(p.stdout)
+    return p.stdout
+
+
+def main() -> None:
+    rnd = int(sys.argv[1])
+    skip_sf10 = "--skip-sf10" in sys.argv
+    py = sys.executable
+
+    result: dict = {"round": rnd, "financial": {}, "extensions": None}
+
+    for scale in ([1.0] if skip_sf10 else [1.0, 10.0]):
+        out = last_json_lines(
+            run([py, f"{REPO}/scripts/scale_run.py", "/tmp/as_scale", str(scale)])
+        )
+        final = next(o for o in reversed(out) if o.get("metric") == "scale_validation")
+        result["financial"][f"sf{scale:g}"] = final
+
+    ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py"]))
+    result["extensions"] = next(o for o in reversed(ext) if "exponent" in o)
+
+    path = f"{REPO}/SCALE_r{rnd:02d}.json"
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

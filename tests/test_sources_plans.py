@@ -606,3 +606,80 @@ def test_interval_join_correct_and_no_nested_loop(spark):
     )
     naive_plan = explain_string(naive, "simple")
     assert "SortMergeJoin" in naive_plan and "p#" in naive_plan.split("SortMergeJoin")[1][:200]
+
+
+def test_lsh_band_join_skew_split(spark):
+    """AQE must SPLIT a hot LSH band bucket, not serialize it into one
+    straggler task — the remaining cluster risk of the linearly-scaling
+    dedup family (functions/dedup.py:115-142; session.py AQE posture).
+
+    10% of a synthetic corpus shares one verbatim text, so every band
+    signature of those docs lands in one (band, sig) bucket and the
+    band-table self-join concentrates ~hot² work on a single join key.
+    With the skew thresholds scaled down to this corpus (production
+    defaults are 256 MB / factor 5 — the same RELATIVE shape), the
+    executed adaptive plan must carry a skew-split join and produce
+    exactly the same pairs as the unsplit run."""
+    from alphastats_spark.functions import dedup
+
+    n, hot_every = 1500, 10
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+    hot_text = " ".join(words * 6)
+
+    def text(i: int) -> str:
+        if i % hot_every == 0:
+            return hot_text
+        return " ".join(words[(i * 7 + j * 3) % 8] + str((i * 31 + j * 13) % 97) for j in range(24))
+
+    docs = spark.createDataFrame(
+        [(i, text(i)) for i in range(n)], "doc_id bigint, text string"
+    )
+
+    conf = spark.conf
+    saved = {}
+    overrides = {
+        # force a shuffled join (the band table outgrows no broadcast
+        # threshold at test size otherwise) and scale the skew knobs to
+        # the corpus: detect a partition as skewed at >4 KB and >2x the
+        # median, split to ~4 KB targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4096",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1024",
+        # skew detection is per-PARTITION vs the stage median: with few
+        # partitions the hot bucket co-hashes with enough unique band keys
+        # to hide. 256 initial partitions ≈ a real cluster's shuffle
+        # granularity, where a single hot key dominates its partition.
+        "spark.sql.shuffle.partitions": "256",
+    }
+    for k, v in overrides.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        pairs = dedup.lsh_candidate_pairs(docs)
+        # collect() drives THIS DataFrame's QueryExecution, so the same
+        # handle then exposes the post-AQE final plan (count() would clone
+        # a new execution and leave this one unexecuted)
+        got = len(pairs.collect())
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:4000]
+
+        # hot bucket alone contributes C(150, 2) pairs; the split must not
+        # duplicate or drop any of them vs the unsplit execution
+        assert got >= (n // hot_every) * (n // hot_every - 1) // 2
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        unsplit = len(dedup.lsh_candidate_pairs(docs).collect())
+        assert got == unsplit
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
