@@ -37,9 +37,13 @@ MINHASH_K = 8
 SIMHASH_BITS = 32
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text (JVM-side)."""
-    toks = F.split(normalize(text), r" ")
+def _grams_over(toks: Column, n: int) -> Column:
+    """Distinct n-gram shingle array over an ALREADY-PROJECTED token array
+    column. Higher-order array functions run interpreted, and an
+    interpreted lambda re-evaluates any non-trivial subexpression it
+    closes over once per element — so ``toks`` must be a bound column, not
+    the nested split(normalize(text)) tree (measured 25×: 10.9s → 0.4s for
+    a 5k-doc explode when the tokenization is projected first)."""
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     grams = F.when(F.size(toks) >= n,
         F.transform(
@@ -48,6 +52,15 @@ def shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (JVM-side).
+
+    Column-in/Column-out convenience (streaming micro-batches, ad-hoc
+    exprs). Batch pipelines go through :func:`_exploded_shingles`, which
+    projects the token array first — see :func:`_grams_over` for why."""
+    return _grams_over(F.split(normalize(text), r" "), n)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -67,6 +80,38 @@ def minhash_signature_cols(k: int = MINHASH_K) -> list:
     ]
 
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out_id: str | None = None
+) -> DataFrame:
+    """The (id, shingle) long table every shingle pipeline starts from.
+
+    Two deliberate physical choices:
+
+    * the token array is projected in its OWN select below the explode
+      (:func:`_grams_over` explains the 25× interpreted-lambda trap this
+      avoids; Catalyst keeps the projection because the array is
+      referenced more than once);
+    * a small parquet corpus arrives as one or two scan partitions, which
+      would serialize the whole corpus's shingling onto one core
+      (measured: 13s single-task vs <1s across 32) — repartition by id up
+      to the session's parallelism first. At cluster scale the scan
+      already carries enough partitions and the guard is a no-op; the
+      id-hash partitioning is reused by the per-doc signature/size
+      aggregates, so it adds no extra shuffle.
+    """
+    name = out_id or id_col
+    base = df.select(
+        F.col(id_col).alias(name),
+        F.split(normalize(F.col(text_col)), r" ").alias("__toks"),
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        base = base.repartition(target, F.col(name))
+    return base.select(
+        F.col(name), F.explode(_grams_over(F.col("__toks"), n)).alias("shingle")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
@@ -80,9 +125,7 @@ def minhash_signatures(
     shuffle carries (id, shingle) pairs with map-side combine and is the
     faster plan at every scale tested.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle")
-    )
+    exploded = _exploded_shingles(df, id_col, text_col)
     return exploded.groupBy(id_col).agg(*minhash_signature_cols(k))
 
 
@@ -125,10 +168,16 @@ def lsh_candidate_pairs(
     cross join. Output: (id_a, id_b, n_bands) with id_a < id_b.
     """
     sigs = minhash_signatures(df, id_col, text_col, k)
+    return _candidates_from_sigs(sigs, id_col, k, rows_per_band)
+
+
+def _candidates_from_sigs(
+    sigs: DataFrame, id_col: str, k: int, rows_per_band: int
+) -> DataFrame:
     bands = _band_table(sigs, id_col, k, rows_per_band)
     left = bands.alias("l")
     right = bands.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -138,7 +187,6 @@ def lsh_candidate_pairs(
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    return pairs
 
 
 def _token_hash(tok: Column) -> Column:
@@ -153,7 +201,13 @@ def _token_hash(tok: Column) -> Column:
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """Per-document SimHash signature in one explode + one groupBy."""
+    """Per-document SimHash signature in one explode + one groupBy.
+
+    Token explode is codegen'd (no interpreted lambda), but the same
+    small-scan parallelism guard as :func:`_exploded_shingles` applies."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     exploded = df.select(
         F.col(id_col),
         F.explode(F.split(normalize(F.col(text_col)), r" ")).alias("tok"),
@@ -196,10 +250,9 @@ def ngram_jaccard_pairs(
     count only — pair similarity becomes a slight underestimate, which is
     the standard trade at 100 TB. Default ``None`` = exact (oracle parity).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    from alphastats_spark.operators import ordered
+
+    sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
@@ -410,6 +463,10 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # the convergence flag rides the SAME update join (a label changes
+        # iff some neighbor's label beats it), so each iteration costs one
+        # update pass plus one cheap cached scan — not a second
+        # old-vs-new join/shuffle per round
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
@@ -417,18 +474,13 @@ def duplicate_clusters(
                 F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
                     "cluster_id"
                 ),
+                F.coalesce(F.col("nmin") < F.col("cluster_id"), F.lit(False)).alias("__chg"),
             )
         )
         if it % 5 == 4:  # re-root lineage so plans stay bounded
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -454,11 +506,18 @@ def lsh_verified_pairs(
     LSH-bounded candidate set (|candidates| ≪ n²) instead of every pair
     sharing a shingle. Output matches ``ngram_jaccard_pairs`` on the
     candidate subset: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    The exploded shingle table feeds FIVE branches (signatures, both join
+    sides, both size lookups); it is persisted into the shared pass-cache
+    registry so the interpreted shingle construction executes once, not
+    per branch (``ordered.persist_tracked`` — callers that fully
+    materialize release it via ``release_pass_caches``).
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, rows_per_band).select(
-        "id_a", "id_b"
-    )
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    from alphastats_spark.operators import ordered
+
+    sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
+    sigs = sh.groupBy(id_col).agg(*minhash_signature_cols(k))
+    cands = _candidates_from_sigs(sigs, id_col, k, rows_per_band).select("id_a", "id_b")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
@@ -578,11 +637,23 @@ def substring_dedup(
     from pyspark.sql import Window
 
     from alphastats_spark.functions import text as _text
+    from alphastats_spark.operators import ordered
 
+    # parallelize + reuse: the tokenization feeds three branches (grams,
+    # token positions, final doc join) and the interpreted k-gram
+    # transform feeds two (duplicate counts, duplicate starts) — persist
+    # both into the pass-cache registry so each computes once, and spread
+    # a small single-partition scan across the session's cores first
+    # (same rationale as _exploded_shingles)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     toks = _text.tokens(F.coalesce(F.col(text_col), F.lit("")))
-    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    base = ordered.persist_tracked(
+        df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    )
 
-    grams = (
+    grams = ordered.persist_tracked(
         base.where(F.col("__n") >= k)
         .select(
             id_col,
@@ -669,25 +740,27 @@ def incremental_near_dups(
     then verify with exact shingle Jaccard restricted to candidate pairs,
     as in :func:`lsh_verified_pairs`.
     """
+    from alphastats_spark.operators import ordered
+
+    # one exploded shingle table per side feeds signatures, sizes and the
+    # verify joins (see lsh_verified_pairs)
+    sh_n = ordered.persist_tracked(
+        _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
+    )
+    sh_o = ordered.persist_tracked(
+        _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
+    )
     bn = _band_table(
-        minhash_signatures(new_df, id_col, text_col, k), id_col, k, rows_per_band
-    ).withColumnRenamed(id_col, "new_id")
+        sh_n.groupBy("new_id").agg(*minhash_signature_cols(k)), "new_id", k, rows_per_band
+    )
     bo = _band_table(
-        minhash_signatures(corpus_df, id_col, text_col, k), id_col, k, rows_per_band
-    ).withColumnRenamed(id_col, "match_id")
+        sh_o.groupBy("match_id").agg(*minhash_signature_cols(k)), "match_id", k, rows_per_band
+    )
     cands = (
         F.broadcast(bn)
         .join(bo, ["band", "sig"])
         .select("new_id", "match_id")
         .distinct()
-    )
-
-    sh_n = new_df.select(
-        F.col(id_col).alias("new_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
-    )
-    sh_o = corpus_df.select(
-        F.col(id_col).alias("match_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
     common = (
         cands.join(sh_n, "new_id")
@@ -768,10 +841,9 @@ def containment_pairs(
     derive from the same common-count table, so containment costs no more
     than Jaccard. Rounded before thresholding for cross-engine stability.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    from alphastats_spark.operators import ordered
+
+    sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

@@ -55,6 +55,19 @@ def _persist_pass(df: DataFrame) -> DataFrame:
     return df
 
 
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist a frame into the pass-cache registry.
+
+    For operators whose plan fans out over a shared subframe (the dedup
+    pipelines' exploded shingle table, a report enrichment frame): without
+    a persist each join/aggregate branch re-executes the subframe's whole
+    lineage — the dedup verify stage re-ran the interpreted shingle
+    explode four times before this. Registering here (instead of a bare
+    ``persist()``) lets fully-materializing callers release every cache a
+    query created with one :func:`release_pass_caches` call."""
+    return _persist_pass(df)
+
+
 def pass_cache_mark() -> int:
     """Registry position; pass to :func:`release_pass_caches` to release
     only the caches created after this point (scoped cleanup)."""
