@@ -11,17 +11,16 @@ Each headline query exercises a different part of the engine:
   q_monthly    — calendar re-bucketing
   q_report     — full batched 36-row report
 
-Scale validation (round 5, scripts/scale_run.py, local[32]): on a
-synthetic sf1 (10x these inputs: 1.5M orders / 6M lineitem) the same six
-queries total 9.13s vs 7.95s at sf0.1 — wall-time exponent ~0.06 in data
-size (scans scale and parallelize; the derived analytics frame is
-calendar-shaped). The keyed long-frame path (long_frame.metrics_by_key)
-at 200 -> 2000 assets x ~2520 days (0.5M -> 5M rows) runs 12.97s -> 31.0s
-— exponent 0.38, strongly sub-linear: per-key windows parallelize across
-the added keys instead of deepening any single partition. The second
-decade (scale_run.py with scale=10: sf10, 100x the bench inputs) totals
-16.88s — 2.1x the sf0.1 wall for 100x the data — and 20k assets x 2520
-days (50M rows) through metrics_by_key runs 71.1s (exponent 0.59).
+Scale validation is a per-round committed artifact from round 6 on:
+SCALE_rN.json via scripts/gen_scale.py (scale_run.py sf1 + sf10,
+scale_ext.py extension families). Round-6 record: sf1 (10x these
+inputs) totals 9.70s and sf10 (100x) 10.6s — 1.3x the sf0.1 wall for
+100x the data; the keyed long-frame path (long_frame.metrics_by_key)
+runs 200 -> 2000 assets (0.5M -> 5M rows) at 9.7 -> 9.9s (exponent
+0.009) and 2000 -> 20000 assets (50M rows) at 24.9 -> 32.1s (exponent
+0.11; r5: 0.59) — per-key windows parallelize across added keys, and
+the ordered-pass SQL-string rewrite removed the driver-side build
+latency that previously dominated the keyed path.
 """
 
 from __future__ import annotations
@@ -152,7 +151,16 @@ def main() -> None:
             ev, steps=["signup", "click", "purchase"], max_gap_s=86_400
         ).collect()
 
-    ext_queries = {"q_dedup": x_dedup, "q_ann": x_ann, "q_funnel": x_funnel}
+    # synthetic scale dirs (scripts/scale_run.py) carry only the financial
+    # tables — the extension group runs only where its inputs exist (the
+    # extension families' scale probe is scripts/scale_ext.py)
+    ext_queries = {}
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        ext_queries["q_dedup"] = x_dedup
+    if os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        ext_queries["q_ann"] = x_ann
+    if os.path.exists(f"{sf_dir}/events.parquet"):
+        ext_queries["q_funnel"] = x_funnel
 
     # best-of-3: the first pass absorbs residual JIT/compilation noise and
     # min is the standard steady-state estimator. All raw runs are emitted
