@@ -230,6 +230,92 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.length(F.regexp_replace(F.bin(x), "0", "")).cast("int")
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """EXACT near-duplicate pairs within ``max_hamming`` SimHash bits,
+    without ever forming the all-pairs product — the banded pigeonhole of
+    Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling"
+    (WWW 2007): split the ``bits``-bit signature into
+    ``n_bands = max_hamming + 1`` disjoint bit-bands; two signatures that
+    differ in ≤ ``max_hamming`` bits can touch at most ``max_hamming``
+    bands, so they MUST agree exactly on at least one band. The per-band
+    equi-join therefore generates a candidate SUPERSET and the exact
+    ``bit_count`` filter makes the output identical to a full pairwise
+    scan — an exactness guarantee, unlike MinHash-LSH's probabilistic
+    recall.
+
+    Plan: one band explode (rows × n_bands) → equi-join per
+    (band, band-value) bucket → distinct → popcount filter. At corpus
+    scale the bucket sizes are the usual LSH skew surface — AQE skew-join
+    splitting applies, and wider bands (larger ``n_bands`` than the
+    pigeonhole minimum trades candidate volume for more joins).
+
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming ≤ max_hamming``.
+    """
+    if n_bands is None:
+        # smallest divisor of `bits` that still satisfies the pigeonhole
+        # (n_bands > max_hamming): fewest joins with even band widths
+        n_bands = next(
+            b for b in range(max_hamming + 1, bits + 1) if bits % b == 0
+        )
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} for the pigeonhole guarantee"
+        )
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible into n_bands={n_bands} bands")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+
+    sigs = simhash(df, id_col, text_col, bits)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming_distance(F.col("__sa"), F.col("__sb")).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

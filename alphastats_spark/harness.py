@@ -2074,7 +2074,7 @@ ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 def _ivfpq_oracle_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 8,
                       m: int = 4, n_codes: int = 16, seed: int = 42,
-                      sample_rows: int = 10_000) -> str:
+                      sample_rows: int = 10_000, refine: int = 0) -> str:
     """Oracle for similarity.ivfpq_topk (pure-ADC path).
 
     Everything non-SQL is a pure seeded function shared with the Spark
@@ -2125,15 +2125,32 @@ def _ivfpq_oracle_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 8,
     score = " + ".join(
         f"list_extract({_plane_sql(lut[s_i])}, c{s_i} + 1)" for s_i in range(m)
     )
-    return f"""
+    base = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 g AS (SELECT vec_id, e, {g_list} AS gd FROM v),
 a AS (SELECT vec_id, e, (list_position(gd, list_min(gd)) - 1) AS ivf_list FROM g),
 p AS (SELECT vec_id, e FROM a
       WHERE ivf_list IN ({", ".join(str(x) for x in probes)})),
-cd AS (SELECT vec_id, {", ".join(code_cols)} FROM p)
+cd AS (SELECT vec_id, {", ".join(code_cols)} FROM p)"""
+    if not refine:
+        return base + f"""
 SELECT vec_id, ROUND({score}, {ROUND}) AS adc_dist
 FROM cd ORDER BY adc_dist, vec_id LIMIT {k}"""
+    # two-stage: the rounded-ADC shortlist (same deterministic
+    # (adc_dist, vec_id) order as similarity.ivfpq_topk's refine branch)
+    # re-ranked by exact cosine — the same list_dot_product/sqrt pairing
+    # the ann_cosine_topk gate already pins against Spark's
+    # cosine_similarity
+    return base + f""",
+adc AS (SELECT vec_id, ROUND({score}, {ROUND}) AS adc_dist
+        FROM cd ORDER BY adc_dist, vec_id LIMIT {refine}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT s.vec_id,
+  ROUND(list_dot_product(v.e, qe)
+    / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qe, qe))),
+    {ROUND}) AS cosine
+FROM adc s JOIN v ON v.vec_id = s.vec_id, q
+ORDER BY cosine DESC, s.vec_id LIMIT {k}"""
 
 
 def _knn_join_sql(
@@ -2647,6 +2664,21 @@ WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), {ROUND}) >= 0.5""")
         lambda spark, sf_dir: dedup.simhash(_docs(spark, sf_dir)),
         _simhash_sql())
 
+    # Banded SimHash near-dup pairs (Manku-Jain-Das Sarma, WWW 2007): the
+    # pigeonhole band join is EXACT for hamming <= max_hamming, so the
+    # oracle can verify it against the straightforward all-pairs scan —
+    # a full value check that the candidate-superset + popcount-filter
+    # plan loses nothing (functions/dedup.py:simhash_near_dups).
+    add("dedup_simhash_pairs",
+        lambda spark, sf_dir: dedup.simhash_near_dups(
+            _docs(spark, sf_dir), max_hamming=3
+        ),
+        _simhash_cte() + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
+
     # Connected components over the exact-Jaccard pair graph: iterative
     # min-label propagation on Spark vs a recursive-CTE transitive closure
     # in DuckDB — a full value oracle for an iterative distributed algorithm.
@@ -2890,6 +2922,27 @@ GROUP BY label, pos""")
     # refine-reranked two-stage variant are pinned in pytest.
     add("ann_ivfpq_topk", _ann_ivfpq,
         _ivfpq_oracle_sql(k=20, n_centroids=16, nprobe=8, m=4, n_codes=16))
+
+    def _ann_ivfpq_refine(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(10_000).collect()
+        sample = [r[1] for r in rows]
+        qvec = [float(x) for x in next(r[1] for r in rows if r[0] == 0)]
+        cents = similarity.kmeans_train(sample, 16, 5, 42)
+        books = similarity.pq_train(sample, m=4, n_codes=16, n_iters=5, seed=42)
+        return similarity.ivfpq_topk(
+            emb, qvec, cents, books, k=20, nprobe=8, refine=100
+        )
+
+    # The two-stage production shape (Jégou et al. 2011 §IV): cheap ADC
+    # over the probed lists shortlists `refine` candidates, exact cosine
+    # re-ranks the shortlist — millions scored by m table lookups, exact
+    # math only over hundreds. Value-hashed end to end: the oracle
+    # rebuilds the identical shortlist (rounded-ADC order, vec_id
+    # tiebreak) and the identical cosine re-rank.
+    add("ann_ivfpq_refine", _ann_ivfpq_refine,
+        _ivfpq_oracle_sql(k=20, n_centroids=16, nprobe=8, m=4, n_codes=16,
+                          refine=100))
 
     # The fake-decoder gate entry (media_decode_features, r1-r3) was retired
     # once the real decode/resize/frame-sample triad became value-hashed:
@@ -4251,7 +4304,9 @@ SELECT doc_id, CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'unknown' END AS l
 FROM best_s"""
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """Shared CTE chain ending in ``sigs(doc_id, simhash)`` — used by the
+    signature gate and the banded near-dup pair gate."""
     from alphastats_spark.functions.dedup import SIMHASH_BITS
 
     sums = ", ".join(
@@ -4268,8 +4323,12 @@ WITH toks AS (
 hashed AS (
   SELECT doc_id, CAST(('0x' || SUBSTR(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
 ),
-bits AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
-SELECT doc_id, ({sig}) AS simhash FROM bits"""
+bits AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT doc_id, ({sig}) AS simhash FROM bits)"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte() + "\nSELECT doc_id, simhash FROM sigs"
 
 
 def _events(spark: SparkSession, sf_dir: str):

@@ -81,6 +81,41 @@ class TestDedup:
         d03 = dedup_hamming(spark, sigs[0], sigs[3])
         assert d01 < d03  # near-dup closer than unrelated doc
 
+    def test_simhash_banded_pairs_exact(self, spark):
+        """The Manku pigeonhole band join must equal the brute-force
+        all-pairs hamming scan EXACTLY (it is a guarantee, not a recall
+        trade), and reject configs that void the guarantee."""
+        import itertools
+
+        import pytest as _pytest
+
+        words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+        rows = []
+        for i in range(40):
+            if i % 8 == 0:
+                text = " ".join(words * 3)  # shared hub text → 0-distance dups
+            elif i % 8 == 1:
+                text = " ".join(words * 3) + " extra" + str(i)  # near dup
+            else:
+                text = " ".join(words[(i * 5 + j) % 8] + str((i * 13 + j * 7) % 23) for j in range(20))
+            rows.append((i, text))
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_near_dups(docs, max_hamming=4).collect()
+        }
+        sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        brute = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+        }
+        assert got == brute and got, (len(got), len(brute))
+
+        with _pytest.raises(ValueError):
+            dedup.simhash_near_dups(docs, max_hamming=4, n_bands=4)
+
     def test_embedding_near_dups(self, spark):
         rows = [
             (0, [1.0, 0.0, 0.0]),
