@@ -388,6 +388,22 @@ def ivf_index(
     return df.withColumn("ivf_list", _centroid_id_expr(F.col(vec_col), centroids))
 
 
+def write_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index as parquet PARTITIONED BY the inverted
+    list id — the production "index once, probe per query" shape: a
+    reader filtering ``ivf_list IN (probes)`` prunes to ``nprobe`` of the
+    ``n_centroids`` partition directories at the scan, so each query
+    reads ~nprobe/n_centroids of the index bytes regardless of corpus
+    size (pruning pinned by tests/test_sources_plans.py)."""
+    ivf_index(df, centroids, vec_col).write.partitionBy("ivf_list").mode(mode).parquet(path)
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

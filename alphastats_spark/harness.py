@@ -2904,6 +2904,32 @@ GROUP BY label, pos""")
     # recall@20 = 0.85 at sf0.01 (nprobe=4 was 0.50).
     add("ann_ivf_topk", _ann_ivf, _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8))
 
+    def _ann_ivf_partitioned(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        emb = _embs(spark, sf_dir)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        cents = similarity.ivf_centroids(emb, n_centroids=16, seed=42)
+        d = tempfile.mkdtemp(prefix="as_ivf_idx_")
+        try:
+            similarity.write_ivf_index(emb, cents, d)
+            back = spark.read.parquet(d)
+            out = similarity.ivf_topk(back, qvec, cents, k=20, nprobe=8, indexed=True)
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    # The production retrieval shape: index materialized once, parquet
+    # PARTITIONED BY ivf_list, per-query probes prune to nprobe of the 16
+    # partition directories at the scan (similarity.write_ivf_index;
+    # pruning pinned in tests/test_sources_plans.py). Same oracle as the
+    # in-memory path — the partitioned round-trip must not change a bit.
+    add("ann_ivf_partitioned", _ann_ivf_partitioned,
+        _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8))
+
     def _ann_ivfpq(spark, sf_dir):
         emb = _embs(spark, sf_dir)
         rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(10_000).collect()

@@ -683,3 +683,40 @@ def test_lsh_band_join_skew_split(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """A materialized IVF index (write_ivf_index: parquet partitioned by
+    ivf_list) must serve a probe query through PartitionFilters — nprobe
+    of n_centroids directories read, never the whole index — and return
+    the same rows as the in-memory path."""
+    import re
+
+    from alphastats_spark.functions import similarity as S
+    from alphastats_spark.plans.audit import explain_string
+
+    n, dim = 200, 8
+    rows = [
+        (i, [((i * 31 + j * 7) % 97) / 97.0 - 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sample = [r[1] for r in emb.orderBy("vec_id").limit(n).collect()]
+    cents = S.kmeans_train(sample, 8, 5, 42)
+    q = [float(x) for x in sample[0]]
+
+    path = str(tmp_path / "ivf_idx")
+    S.write_ivf_index(emb, cents, path)
+    back = spark.read.parquet(path)
+
+    out = S.ivf_topk(back, q, cents, k=10, nprobe=3, indexed=True)
+    got = [(r["vec_id"], r["cosine"]) for r in out.collect()]
+    expect = [
+        (r["vec_id"], r["cosine"])
+        for r in S.ivf_topk(emb, q, cents, k=10, nprobe=3).collect()
+    ]
+    assert got == expect and len(got) == 10
+
+    text = explain_string(out, "formatted")
+    m = re.search(r"PartitionFilters: \[(?P<pf>[^\]]*)\]", text)
+    assert m is not None and "ivf_list" in m.group("pf"), text[:1500]
