@@ -842,6 +842,16 @@ def incremental_near_dups(
     bo = _band_table(
         sh_o.groupBy("match_id").agg(*minhash_signature_cols(k)), "match_id", k, rows_per_band
     )
+    return _verified_matches(bn, bo, sh_n, sh_o, threshold)
+
+
+def _verified_matches(
+    bn: DataFrame, bo: DataFrame, sh_n: DataFrame, sh_o: DataFrame, threshold: float
+) -> DataFrame:
+    """Band-collision candidates verified by exact shingle Jaccard —
+    shared by the frame-to-frame incremental path and the materialized
+    dedup-index path. ``bn``/``sh_n`` key by ``new_id``, ``bo``/``sh_o``
+    by ``match_id``; the batch side broadcasts."""
     cands = (
         F.broadcast(bn)
         .join(bo, ["band", "sig"])
@@ -888,6 +898,13 @@ def incremental_admit(
     matches = incremental_near_dups(
         new_df, corpus_df, id_col, text_col, threshold=threshold
     )
+    return _admit_rank(new_df, matches, id_col)
+
+
+def _admit_rank(new_df: DataFrame, matches: DataFrame, id_col: str) -> DataFrame:
+    """Fold verified ``(new_id, match_id, jaccard)`` matches into the
+    per-new-document admission row (shared by the frame-to-frame and
+    materialized-index admission paths)."""
     best = matches.groupBy("new_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.max(F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nid"))).alias("__b"),
@@ -903,6 +920,65 @@ def incremental_admit(
             (F.col("n_matches").isNull()).alias("admitted"),
         )
     )
+
+
+def write_dedup_index(
+    corpus_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus side of the incremental dedup as a stored
+    index: ``<path>/bands`` (the MinHash band table, parquet PARTITIONED
+    BY band) and ``<path>/shingles`` (the exploded (id, shingle) table
+    the exact-Jaccard verification joins against). Ingest batches then
+    admit via :func:`admit_against_index` without ever re-tokenizing or
+    re-hashing the corpus — the production shape where the corpus is
+    billions of documents and ingest cost must be O(batch)."""
+    from alphastats_spark.operators import ordered
+
+    sh = ordered.persist_tracked(
+        _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
+    )
+    bands = _band_table(
+        sh.groupBy("match_id").agg(*minhash_signature_cols(k)), "match_id", k, rows_per_band
+    )
+    bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
+    sh.write.mode(mode).parquet(f"{path}/shingles")
+
+
+def admit_against_index(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """:func:`incremental_admit` against a MATERIALIZED corpus index
+    (:func:`write_dedup_index`): same output contract, but only the new
+    batch is tokenized/hashed — the corpus band and shingle tables come
+    off parquet. The batch band table still broadcasts, so the stored
+    corpus tables never reshuffle beyond their band/shingle join keys."""
+    from alphastats_spark.operators import ordered
+
+    spark = new_df.sparkSession
+    bo = spark.read.parquet(f"{index_path}/bands")
+    sh_o = spark.read.parquet(f"{index_path}/shingles")
+    sh_n = ordered.persist_tracked(
+        _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
+    )
+    bn = _band_table(
+        sh_n.groupBy("new_id").agg(*minhash_signature_cols(k)), "new_id", k, rows_per_band
+    )
+    matches = _verified_matches(bn, bo, sh_n, sh_o, threshold)
+    return _admit_rank(new_df, matches, id_col)
 
 
 def containment_pairs(

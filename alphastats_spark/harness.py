@@ -4242,12 +4242,7 @@ FROM documents GROUP BY ROLLUP (source, lang)""")
     _inc_bands = ", ".join(
         f"({b}, mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(dedup.MINHASH_K // 2)
     )
-    add("dedup_incremental_admit",
-        lambda spark, sf_dir: dedup.incremental_admit(
-            _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0),
-            _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0),
-            threshold=0.5),
-        f"""
+    _inc_admit_sql = f"""
 WITH t AS (SELECT doc_id, (doc_id % 5 = 0) AS is_new,
                   string_split({_NORM_SQL}, ' ') AS toks FROM documents),
 sh AS (
@@ -4285,7 +4280,40 @@ SELECT n.doc_id,
        COALESCE(s.jaccard, 0.0) AS best_jaccard,
        (s.new_id IS NULL) AS admitted
 FROM (SELECT doc_id FROM t WHERE is_new) n
-LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id""")
+LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id"""
+
+    add("dedup_incremental_admit",
+        lambda spark, sf_dir: dedup.incremental_admit(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0),
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0),
+            threshold=0.5),
+        _inc_admit_sql)
+
+    def _index_admit(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="as_dedup_idx_")
+        try:
+            dedup.write_dedup_index(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0), d
+            )
+            out = dedup.admit_against_index(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0), d,
+                threshold=0.5,
+            )
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    # The same admission audit against a MATERIALIZED corpus index
+    # (dedup.write_dedup_index: band table partitioned by band + stored
+    # shingle table) — the ingest-time shape where the corpus is never
+    # re-tokenized. Same oracle as the frame-to-frame path: the parquet
+    # round-trip of the index must not change a bit.
+    add("dedup_index_admit", _index_admit, _inc_admit_sql)
 
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
     # among radius-1 bucket-mates in either of 2 independent LSH tables.
