@@ -4242,7 +4242,7 @@ FROM documents GROUP BY ROLLUP (source, lang)""")
     _inc_bands = ", ".join(
         f"({b}, mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(dedup.MINHASH_K // 2)
     )
-    _inc_admit_sql = f"""
+    _inc_cte = f"""
 WITH t AS (SELECT doc_id, (doc_id % 5 = 0) AS is_new,
                   string_split({_NORM_SQL}, ' ') AS toks FROM documents),
 sh AS (
@@ -4256,7 +4256,9 @@ bands AS (SELECT doc_id, is_new, b.band, b.sig
           FROM sig, LATERAL (VALUES {_inc_bands}) AS b(band, sig)),
 cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
          FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
-         WHERE l.is_new AND NOT r.is_new),
+         WHERE l.is_new AND NOT r.is_new)"""
+
+    _inc_admit_sql = _inc_cte + f""",
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (SELECT c.new_id, c.match_id, COUNT(*) AS cnt
            FROM cand c
@@ -4314,6 +4316,47 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id"""
     # re-tokenized. Same oracle as the frame-to-frame path: the parquet
     # round-trip of the index must not change a bit.
     add("dedup_index_admit", _index_admit, _inc_admit_sql)
+
+    def _stream_index_cands(spark, sf_dir):
+        import shutil
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import streaming_index_candidates
+
+        idx = tempfile.mkdtemp(prefix="as_didx_")
+        src = tempfile.mkdtemp(prefix="as_stream_new_")
+        try:
+            dedup.write_dedup_index(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0), idx
+            )
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0).coalesce(1) \
+                .write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+            bands = spark.read.parquet(f"{idx}/bands")
+            name = f"stream_idx_{uuid.uuid4().hex[:8]}"
+            sq = (
+                streaming_index_candidates(stream, bands)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
+            rows = spark.table(name).select("new_id", "match_id").distinct().collect()
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+            shutil.rmtree(src, ignore_errors=True)
+        return spark.createDataFrame(rows, "new_id bigint, match_id bigint")
+
+    # Streaming ingest against the materialized index: arriving documents
+    # band per row (no stream-side shuffle) and stream-static-join the
+    # stored band table — GENUINE Structured Streaming (file source →
+    # memory sink, availableNow), stateless, candidates identical to the
+    # batch band collision set (the shared `cand` CTE).
+    add("dedup_streaming_index_candidates", _stream_index_cands,
+        _inc_cte + "\nSELECT new_id, match_id FROM cand")
 
     # Approximate kNN self-join: every vector's top-5 cosine neighbours
     # among radius-1 bucket-mates in either of 2 independent LSH tables.

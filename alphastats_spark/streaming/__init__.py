@@ -13,6 +13,7 @@ from alphastats_spark.streaming.metrics import (
     session_metrics,
     streaming_dedup_candidates,
     streaming_drawdowns,
+    streaming_index_candidates,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "session_metrics",
     "streaming_dedup_candidates",
     "streaming_drawdowns",
+    "streaming_index_candidates",
 ]

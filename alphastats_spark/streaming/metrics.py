@@ -241,6 +241,80 @@ def session_metrics(
     )
 
 
+def _stream_banded(
+    df: DataFrame, id_col: str, text_col: str, k: int, rows_per_band: int
+) -> DataFrame:
+    """Per-row MinHash band rows ``(__id, band, sig)`` for a document
+    stream — ``array_min`` over the shingle array, no shuffle, identical
+    band values to the batch group-min (shingles are already distinct).
+    The shingle array is PROJECTED before the per-hash transforms: an
+    interpreted lambda re-evaluates any non-trivial closed-over
+    subexpression per element, so nesting ``shingles(text)`` inside each
+    of the k transforms would re-run the whole tokenization k×|shingles|
+    times per row (same trap as functions/dedup._grams_over)."""
+    from alphastats_spark.functions.dedup import shingles
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        shingles(F.col(text_col)).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+
+    def mh(j: int) -> Column:
+        prefix = f"seed{j}:"
+        # unary lambda — F.transform would pass the array index to a 2-arg one
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    n_bands = k // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[mh(b * rows_per_band + r) for r in range(rows_per_band)]).alias(
+                "sig"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    return base.select("__id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "__id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    )
+
+
+def streaming_index_candidates(
+    stream_df: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming ingest admission, stage 1: candidate matches of a
+    document STREAM against a MATERIALIZED corpus dedup index
+    (``functions.dedup.write_dedup_index`` — pass its ``<path>/bands``
+    table, keyed by ``match_id``).
+
+    Stream-static equi-join on (band, sig): stateless on the stream side
+    (each arriving document is banded per row, no shuffle), and the
+    static index side is a parquet table the planner re-reads per
+    micro-batch — at scale a bucketed/partitioned-by-band layout, so the
+    corpus is never re-hashed and never streams. This is the
+    ingest-pipeline front door: candidates feed exact verification (a
+    ``foreachBatch`` calling the batch Jaccard verifier) or a quarantine
+    sink.
+
+    Output per micro-batch: ``(new_id, match_id, band)`` — one row per
+    colliding band; distinct downstream.
+    """
+    banded = _stream_banded(stream_df, id_col, text_col, k, rows_per_band)
+    idx = index_bands.select(
+        F.col("match_id").cast("long").alias("match_id"), "band", "sig"
+    )
+    return banded.join(idx, ["band", "sig"]).select(
+        F.col("__id").alias("new_id"), "match_id", "band"
+    )
+
+
 def streaming_dedup_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -263,33 +337,10 @@ def streaming_dedup_candidates(
     Output: (id_a, id_b, band) with id_a < id_b; pairs can repeat across
     bands/batches — dedupe downstream (e.g. in the sink or a batch pass).
     """
-    from alphastats_spark.functions.dedup import shingles
-
-    sh = shingles(F.col(text_col))
-
-    def mh(j: int) -> Column:
-        prefix = f"seed{j}:"
-        # unary lambda — F.transform would pass the array index to a 2-arg one
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s))))
-
-    n_bands = k // rows_per_band
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[mh(b * rows_per_band + r) for r in range(rows_per_band)]).alias(
-                "sig"
-            ),
-        )
-        for b in range(n_bands)
-    ]
-    banded = (
-        df.where(F.size(sh) > 0)
-        .select(F.col(id_col).cast("long").alias("__id"), F.explode(F.array(*band_structs)).alias("b"))
-        .select(
-            F.concat_ws("#", F.col("b.band").cast("string"), F.col("b.sig")).alias("__key"),
-            F.col("b.band").alias("__band"),
-            F.col("__id"),
-        )
+    banded = _stream_banded(df, id_col, text_col, k, rows_per_band).select(
+        F.concat_ws("#", F.col("band").cast("string"), F.col("sig")).alias("__key"),
+        F.col("band").alias("__band"),
+        F.col("__id"),
     )
 
     out_schema = T.StructType(
