@@ -63,6 +63,10 @@ def main() -> None:
     warm = ordered.with_order(warm, "d")
     warm = ordered.add_drawdown_columns(warm, {"dd": "r"})
     warm.agg(F.min("dd"), X.sharpe(F.col("r"), None, 252, True), X.tail_ratio(F.col("r"))).collect()
+    # ... and the episode machinery's stack/groupBy codegen (q_episodes'
+    # first run otherwise pays ~1.5s of JIT that shows up as spread)
+    stats.longest_drawdown_days(harness.load_returns(spark, sf_dir).limit(500)).collect()
+    ordered.release_pass_caches()
 
     def q_snapshot():
         rets = harness.load_returns(spark, sf_dir)
