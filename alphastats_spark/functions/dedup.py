@@ -274,7 +274,11 @@ def simhash_near_dups(
     width = bits // n_bands
     mask = (1 << width) - 1
 
-    sigs = simhash(df, id_col, text_col, bits)
+    from alphastats_spark.operators import ordered
+
+    # the tokenize/explode/groupBy signature computation feeds BOTH sides
+    # of the self-join — persist it once (same pattern as lsh_verified_pairs)
+    sigs = ordered.persist_tracked(simhash(df, id_col, text_col, bits))
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -894,7 +898,15 @@ def incremental_admit(
     not null, which would coerce to NaN through arrow interchange) and
     ``admitted`` means no near-duplicate already exists in the corpus.
     The ranking window partitions by new-doc id — parallel across the
-    batch, never a global sort."""
+    batch, never a global sort.
+
+    SCALE NOTE — small-corpus convenience form only: every call
+    re-tokenizes and re-hashes ``corpus_df`` from scratch (measured
+    exponent 1.16 over corpus size, SCALE_r06.json), so repeated ingest
+    against a growing corpus is quadratic in total. The production shape
+    is :func:`write_dedup_index` once + :func:`admit_against_index` per
+    batch — identical output contract, O(batch) per call, corpus never
+    re-tokenized."""
     matches = incremental_near_dups(
         new_df, corpus_df, id_col, text_col, threshold=threshold
     )
@@ -938,7 +950,16 @@ def write_dedup_index(
     the exact-Jaccard verification joins against). Ingest batches then
     admit via :func:`admit_against_index` without ever re-tokenizing or
     re-hashing the corpus — the production shape where the corpus is
-    billions of documents and ingest cost must be O(batch)."""
+    billions of documents and ingest cost must be O(batch).
+
+    ``<path>/meta`` records the hash parameters (k, rows_per_band, n) the
+    index was built with: an admit pass hashed with DIFFERENT parameters
+    produces zero band collisions and silently admits every near-duplicate,
+    so the readers (:func:`admit_against_index`,
+    :func:`alphastats_spark.streaming.streaming_index_candidates`) load
+    these as defaults and fail loudly on an explicit mismatch. Written as
+    a single-row Spark JSON table, so the index stays portable to any
+    Hadoop-compatible filesystem (no driver-local ``open()``)."""
     from alphastats_spark.operators import ordered
 
     sh = ordered.persist_tracked(
@@ -949,6 +970,43 @@ def write_dedup_index(
     )
     bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
     sh.write.mode(mode).parquet(f"{path}/shingles")
+    corpus_df.sparkSession.createDataFrame(
+        [(int(k), int(rows_per_band), int(n), 1)],
+        "k int, rows_per_band int, n int, version int",
+    ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def read_index_meta(spark, path: str):
+    """The ``(k, rows_per_band, n)`` parameters stored by
+    :func:`write_dedup_index`, or None for a pre-metadata index."""
+    try:
+        row = spark.read.json(f"{path}/meta").collect()
+    except Exception:
+        return None
+    return row[0] if row else None
+
+
+def _resolve_index_params(meta, k, rows_per_band, n):
+    """Fill None parameters from index metadata (module defaults when the
+    index predates metadata); raise on an explicit value that contradicts
+    what the index was built with — a silent mismatch yields zero band
+    collisions, i.e. every near-duplicate admitted."""
+    resolved = []
+    for name, given, default in (
+        ("k", k, MINHASH_K), ("rows_per_band", rows_per_band, 2), ("n", n, 3)
+    ):
+        stored = getattr(meta, name, None) if meta is not None else None
+        if given is None:
+            resolved.append(int(stored) if stored is not None else default)
+        else:
+            if stored is not None and int(given) != int(stored):
+                raise ValueError(
+                    f"{name}={given} does not match the index (built with "
+                    f"{name}={int(stored)}); a mismatched hash yields zero "
+                    "band collisions and admits every near-duplicate"
+                )
+            resolved.append(int(given))
+    return tuple(resolved)
 
 
 def admit_against_index(
@@ -956,19 +1014,26 @@ def admit_against_index(
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    k: int | None = None,
+    rows_per_band: int | None = None,
     threshold: float = 0.5,
-    n: int = 3,
+    n: int | None = None,
 ) -> DataFrame:
     """:func:`incremental_admit` against a MATERIALIZED corpus index
     (:func:`write_dedup_index`): same output contract, but only the new
     batch is tokenized/hashed — the corpus band and shingle tables come
     off parquet. The batch band table still broadcasts, so the stored
-    corpus tables never reshuffle beyond their band/shingle join keys."""
+    corpus tables never reshuffle beyond their band/shingle join keys.
+
+    ``k``/``rows_per_band``/``n`` default to the parameters stored in the
+    index's ``meta`` table; passing explicit values that contradict the
+    index raises (zero band collisions ⇒ every near-dup admitted)."""
     from alphastats_spark.operators import ordered
 
     spark = new_df.sparkSession
+    k, rows_per_band, n = _resolve_index_params(
+        read_index_meta(spark, index_path), k, rows_per_band, n
+    )
     bo = spark.read.parquet(f"{index_path}/bands")
     sh_o = spark.read.parquet(f"{index_path}/shingles")
     sh_n = ordered.persist_tracked(
@@ -981,13 +1046,23 @@ def admit_against_index(
     return _admit_rank(new_df, matches, id_col)
 
 
+#: Default document-frequency cap for the containment self-join. A shingle
+#: shared by D documents contributes D² join rows; at corpus scale a single
+#: boilerplate trigram (license header, nav bar) makes D ~ 1% of the corpus
+#: and the join quadratic. 1000 is far above any honest co-occurrence at
+#: the tested scales (sf0.01 max df ≈ 60) while bounding the hot-key cost
+#: to 10⁶ rows per shingle at ANY corpus size — the safe-by-default 100 TB
+#: configuration. Pass ``max_shingle_df=None`` for the exact uncapped join.
+CONTAINMENT_MAX_SHINGLE_DF = 1000
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = CONTAINMENT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Asymmetric shingle containment ``|A∩B| / |A|``: document A is
     (mostly) contained in document B. Catches the duplication Jaccard
@@ -1002,6 +1077,16 @@ def containment_pairs(
     one shingle equi-join computed ONCE (a < b), then both direction rows
     derive from the same common-count table, so containment costs no more
     than Jaccard. Rounded before thresholding for cross-engine stability.
+
+    Unlike the Jaccard variant, the skew cap DEFAULTS ON
+    (``max_shingle_df=CONTAINMENT_MAX_SHINGLE_DF``): containment is the
+    one pass whose semantics *invite* boilerplate-heavy corpora (wrapper
+    detection), so the unguarded self-join is the unsafe default. Capping
+    drops hot shingles from the *common* count only (per-document sizes
+    stay exact), so capped containment is a slight underestimate — and
+    exactly equal to the uncapped result whenever no shingle's document
+    frequency exceeds the cap (pinned by
+    ``tests/test_functions.py::test_containment_cap_noop_below_df``).
     """
     from alphastats_spark.operators import ordered
 

@@ -67,7 +67,11 @@ def funnel(
     per-user detail ``(user_col, lvl int, t_first bigint, t_last bigint)``
     — the reached level and the first/last conversion instants (0 when the
     user never reached step 1), from which time-to-convert distributions
-    aggregate directly.
+    aggregate directly. Events whose type is not in ``steps`` are filtered
+    before the per-user fold (semantics-preserving, see plan note below),
+    so ``per_user=True`` emits rows only for users with at least one
+    step-type event — a lvl-0 user with zero step events is absent rather
+    than present-at-zero (no funnel metric distinguishes the two).
     """
     gap_us = F.lit(int(max_gap_s) * 1_000_000)
     seq = F.array_sort(
@@ -99,8 +103,16 @@ def funnel(
         F.lit(0).cast("long").alias("t0"),
     )
     acc = F.aggregate(seq, zero, advance)
+    # the fold can only advance on events whose type is one of `steps`
+    # (every `ok` predicate requires e.et == steps[i], and the strict-after/
+    # gap comparisons reference only accumulator timestamps set by such
+    # events), so restricting the collect_list input to step types is
+    # semantics-preserving — and shrinks the shuffle and per-user array by
+    # the non-step fraction, which is also the cheap power-user-skew
+    # mitigation (a user's 10⁶ page-views no longer ride along)
     levels = (
         df.select(user_col, us_col, type_col)
+        .where(F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
         .agg(
             acc["lvl"].alias("lvl"),

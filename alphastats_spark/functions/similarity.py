@@ -180,12 +180,31 @@ def lsh_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+#: Target expected LSH bucket size for auto-sized knn_join planes:
+#: n_planes = ⌈log₂(n / TARGET)⌉ keeps E[|bucket|] ≈ TARGET regardless of
+#: corpus size, so candidate volume Σ|b|² ≈ n·TARGET stays LINEAR in n.
+KNN_JOIN_TARGET_BUCKET = 32
+
+
+def knn_join_planes(n_rows: int, target_bucket: int = KNN_JOIN_TARGET_BUCKET) -> int:
+    """Corpus-relative plane count: smallest ``p`` with ``n / 2**p ≤
+    target_bucket`` (floored at 3 so tiny corpora still bucket at all).
+    5k vectors → 8 planes, 50k → 11, 10⁹ → 25 — expected bucket size
+    stays ~``target_bucket`` and the self-join candidate count stays
+    ~``n·target_bucket`` at every scale, the linearity the fixed default
+    (6 planes ⇒ n²/64 candidates, measured exponent 1.29 in
+    SCALE_r06.json) could not deliver."""
+    import math as _math
+
+    return max(3, _math.ceil(_math.log2(max(n_rows, 2) / target_bucket)))
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 42,
     n_tables: int = 2,
     dim: int | None = None,
@@ -204,8 +223,14 @@ def knn_join(
     candidate count is Σ|bucket|² ≈ n²/2^planes, not n²; tables union;
     duplicate pairs collapse with one more (qid, nid) groupBy; ranking is a
     window PARTITIONED BY query id (parallel across vectors, no global
-    sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`;
-    pick ``n_planes`` ∝ log₂(corpus) to keep buckets bounded.
+    sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`.
+
+    ``n_planes=None`` (the default) auto-sizes from the corpus via
+    :func:`knn_join_planes` — one cheap ``df.count()`` (a map-side count,
+    no shuffle of the vectors) buys plane count ∝ log₂(n), the difference
+    between linear and quadratic candidate volume at scale. Pass an
+    explicit ``n_planes`` to pin buckets (the oracle-gated queries do, for
+    cross-engine determinism).
 
     ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
     per table: the query side EXPLODES to its bucket plus ``n_planes``
@@ -217,6 +242,8 @@ def knn_join(
         raise ValueError("multiprobe must be 0 or 1")
     if dim is None:
         dim = infer_dim(df, vec_col)
+    if n_planes is None:
+        n_planes = knn_join_planes(df.count())
 
     norm = _norm(_as_double(F.col(vec_col)))
     base = df.select(

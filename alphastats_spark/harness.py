@@ -2619,14 +2619,24 @@ WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
     # Asymmetric doc-in-doc containment |A∩B|/|A| at 0.8 — the wrapper/
     # quote duplication Jaccard misses when sizes differ; both directions
     # derived from one a<b shingle equi-join.
+    # The oracle mirrors the production default max_shingle_df cap
+    # structurally (dfreq CTE + capped join input), so parity holds at any
+    # sf — not just where no shingle happens to exceed the cap. Sizes stay
+    # uncapped on both sides, exactly as in containment_pairs.
     add("dedup_containment",
         lambda spark, sf_dir: dedup.containment_pairs(
             _docs(spark, sf_dir), threshold=0.8),
         _SHINGLE_CTE + f""",
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN dfreq ON sh.shingle = dfreq.shingle
+  WHERE dfreq.df <= {dedup.CONTAINMENT_MAX_SHINGLE_DF}
+),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 scored AS (
@@ -4336,7 +4346,7 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id"""
             bands = spark.read.parquet(f"{idx}/bands")
             name = f"stream_idx_{uuid.uuid4().hex[:8]}"
             sq = (
-                streaming_index_candidates(stream, bands)
+                streaming_index_candidates(stream, bands, index_path=idx)
                 .writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")

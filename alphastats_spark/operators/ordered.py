@@ -29,6 +29,8 @@ still correct (sign-flip / collapse-to-zero) beyond that.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -82,6 +84,29 @@ def release_pass_caches(from_mark: int = 0) -> None:
     del _PASS_CACHES[from_mark:]
     for df in tail:
         df.unpersist()
+
+
+@contextmanager
+def pass_cache_scope():
+    """Scope pass-caches to a fully-materializing block::
+
+        with ordered.pass_cache_scope():
+            result = dedup.lsh_verified_pairs(docs).collect()
+
+    On exit, every cache registered inside the block is unpersisted. This
+    is the release obligation for DIRECT library callers: dedup/similarity
+    pipelines persist shared intermediates (shingle/band tables) into the
+    registry and intentionally do NOT auto-release (the cache must outlive
+    the caller's eventual action), so a long-lived session issuing many
+    such queries without a scope accumulates caches unboundedly. Only
+    wrap blocks that fully materialize their result inside the block —
+    a DataFrame returned out of the scope loses its caches' benefit (it
+    stays CORRECT; the lineage simply recomputes)."""
+    mark = pass_cache_mark()
+    try:
+        yield
+    finally:
+        release_pass_caches(mark)
 
 
 def with_order(df: DataFrame, temporal_name: str | None) -> DataFrame:

@@ -254,6 +254,14 @@ def _stream_banded(
     times per row (same trap as functions/dedup._grams_over)."""
     from alphastats_spark.functions.dedup import shingles
 
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        # a string/uuid id would cast to null and silently join nothing —
+        # fail loudly instead of admitting every near-duplicate
+        raise TypeError(
+            f"{id_col} must be an integral type to band against a stored "
+            f"long-keyed index, got {id_type}"
+        )
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
         shingles(F.col(text_col)).alias("__sh"),
@@ -285,9 +293,10 @@ def streaming_index_candidates(
     stream_df: DataFrame,
     index_bands: DataFrame,
     id_col: str = "doc_id",
-    k: int = 8,
-    rows_per_band: int = 2,
+    k: int | None = None,
+    rows_per_band: int | None = None,
     text_col: str = "text",
+    index_path: str | None = None,
 ) -> DataFrame:
     """Streaming ingest admission, stage 1: candidate matches of a
     document STREAM against a MATERIALIZED corpus dedup index
@@ -305,12 +314,33 @@ def streaming_index_candidates(
 
     Output per micro-batch: ``(new_id, match_id, band)`` — one row per
     colliding band; distinct downstream.
+
+    Stream bands MUST be hashed with the index's build parameters or no
+    collision ever fires (every near-dup silently admitted): pass
+    ``index_path`` to load ``k``/``rows_per_band`` from the stored meta
+    (and to fail loudly on an explicit mismatch); without it, ``None``
+    falls back to the library-wide defaults ``dedup.MINHASH_K``/2 that
+    ``write_dedup_index`` also uses, so the two stay in lockstep when a
+    global constant changes.
     """
+    from alphastats_spark.functions import dedup
+
+    meta = (
+        dedup.read_index_meta(stream_df.sparkSession, index_path)
+        if index_path is not None
+        else None
+    )
+    k, rows_per_band, _ = dedup._resolve_index_params(meta, k, rows_per_band, None)
     banded = _stream_banded(stream_df, id_col, text_col, k, rows_per_band)
     idx = index_bands.select(
         F.col("match_id").cast("long").alias("match_id"), "band", "sig"
     )
-    return banded.join(idx, ["band", "sig"]).select(
+    # broadcast the MICRO-BATCH band table (bounded by trigger size), never
+    # the stored index: the corpus side must stream through the join probe
+    # side with no exchange — at 100 TB broadcasting (or reshuffling) the
+    # index per micro-batch is the scale killer. Pinned by
+    # tests/test_sources_plans.py::test_streaming_index_join_stored_side_unshuffled.
+    return F.broadcast(banded).join(idx, ["band", "sig"]).select(
         F.col("__id").alias("new_id"), "match_id", "band"
     )
 

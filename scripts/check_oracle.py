@@ -110,10 +110,17 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     results: dict[str, bool] = {}
+    from alphastats_spark.operators import ordered
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
         results[name] = False
+        # scope this query's tracked persists (shingle/token/band tables
+        # registered via ordered.persist_tracked) to the query: without the
+        # release, a 158-query session accumulates every intermediate cache
+        # and OOMs at larger scale factors
+        mark = ordered.pass_cache_mark()
         try:
             sdf = fn(spark, sf_dir)
             s_rows = sdf.collect()
@@ -122,6 +129,8 @@ def main() -> int:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             continue
+        finally:
+            ordered.release_pass_caches(mark)
         if name not in oracles:
             results[name] = True
             print(f"ok(rows-only) {name}: {len(s_rows)} rows")

@@ -1825,3 +1825,82 @@ def test_hourly_uniques_sketch_close_to_exact(spark):
     assert set(exact) == set(approx)
     for h, n in exact.items():
         assert abs(approx[h] - n) <= max(1, 0.05 * n), (h, n, approx[h])
+
+
+# ---------------------------------------------------------------------------
+# round 7: containment cap default, knn_join auto planes, pass-cache scope
+
+
+def test_containment_cap_noop_below_df(spark):
+    """The default max_shingle_df cap must be a strict no-op when every
+    shingle's document frequency is below the cap — capped (default) and
+    uncapped (None) runs return identical pairs."""
+    from alphastats_spark.functions import dedup
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 19}" for j in range(10))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    capped = sorted(
+        map(tuple, dedup.containment_pairs(df, threshold=0.3).collect())
+    )
+    exact = sorted(
+        map(
+            tuple,
+            dedup.containment_pairs(df, threshold=0.3, max_shingle_df=None).collect(),
+        )
+    )
+    assert capped == exact and len(capped) > 0
+
+
+def test_containment_cap_drops_hot_shingle_pairs(spark):
+    """Above the cap, hot-shingle contributions disappear from the common
+    count: with a boilerplate shingle shared by ALL docs and a cap of 1,
+    pairs supported only by that shingle vanish."""
+    from alphastats_spark.functions import dedup
+
+    # every doc = same 3-token boilerplate + one unique token
+    rows = [(i, f"the common header u{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = dedup.containment_pairs(df, threshold=0.1, max_shingle_df=None).count()
+    capped = dedup.containment_pairs(df, threshold=0.1, max_shingle_df=1).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_knn_join_auto_planes(spark):
+    """n_planes=None auto-sizes ∝ log₂(n/TARGET): the plane count grows
+    with the corpus and the auto path returns exactly the explicit path's
+    rows."""
+    from alphastats_spark.functions import similarity as S
+
+    assert S.knn_join_planes(5_000) == 8
+    assert S.knn_join_planes(50_000) == 11
+    assert S.knn_join_planes(10**9) == 25
+    assert S.knn_join_planes(10) == 3  # floor
+
+    n, dim = 300, 8
+    rows = [
+        (i, [((i * 31 + j * 7) % 97) / 97.0 - 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    auto = sorted(map(tuple, S.knn_join(emb, k=3).collect()))
+    explicit = sorted(
+        map(tuple, S.knn_join(emb, k=3, n_planes=S.knn_join_planes(n)).collect())
+    )
+    assert auto == explicit and len(auto) > 0
+
+
+def test_pass_cache_scope_releases(spark):
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.operators import ordered
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    before = ordered.pass_cache_mark()
+    with ordered.pass_cache_scope():
+        dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
+        assert ordered.pass_cache_mark() > before
+    assert ordered.pass_cache_mark() == before

@@ -720,3 +720,145 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     text = explain_string(out, "formatted")
     m = re.search(r"PartitionFilters: \[(?P<pf>[^\]]*)\]", text)
     assert m is not None and "ivf_list" in m.group("pf"), text[:1500]
+
+
+# ---------------------------------------------------------------------------
+# materialized dedup index: plan pins + parameter metadata (round 7)
+
+
+def _tiny_docs(spark, n=60):
+    rows = [
+        (i, " ".join(f"tok{(i * 13 + j * 7) % 23}" for j in range(12)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_admit_against_index_band_dpp(spark, tmp_path):
+    """admit_against_index must reach the stored band table through
+    DYNAMIC partition pruning: the broadcast batch band table supplies the
+    band values, so the parquet scan of <path>/bands reads only the
+    colliding band directories — the partition-layout payoff that makes
+    the stored index O(batch) to probe."""
+    import re
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.plans.audit import explain_string
+
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "didx")
+    dedup.write_dedup_index(docs.where("doc_id % 5 != 0"), path)
+    out = dedup.admit_against_index(docs.where("doc_id % 5 = 0"), path)
+    text = explain_string(out, "formatted")
+    bands_scans = [
+        b for b in text.split("\n\n") if "Scan parquet" in b and "/bands" in b
+    ]
+    assert bands_scans, text[:1500]
+    assert any(
+        re.search(r"PartitionFilters:.*dynamicpruningexpression\(band", b)
+        for b in bands_scans
+    ), bands_scans[0][:900]
+
+
+def test_streaming_index_join_stored_side_unshuffled(spark, tmp_path):
+    """The stream-static admission join must build (broadcast) from the
+    MICRO-BATCH side: the stored index streams through the probe side with
+    no BroadcastExchange and no shuffle — re-shipping a 100 TB index per
+    micro-batch is the scale killer the explicit broadcast(banded) hint
+    forbids by construction."""
+    import contextlib
+    import io
+    import uuid
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.streaming import streaming_index_candidates
+
+    docs = _tiny_docs(spark)
+    idx = str(tmp_path / "didx")
+    src = str(tmp_path / "src")
+    dedup.write_dedup_index(docs.where("doc_id % 5 != 0"), idx)
+    docs.where("doc_id % 5 = 0").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    bands = spark.read.parquet(f"{idx}/bands")
+    name = f"sic_{uuid.uuid4().hex[:8]}"
+    sq = (
+        streaming_index_candidates(stream, bands, index_path=idx)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert sq.awaitTermination(300), "stream did not finish"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sq.explain()
+    plan = buf.getvalue()
+    assert "BuildLeft" in plan and "BuildRight" not in plan, plan[:1200]
+    # the stored-index scan reads match_id/sig/band and sits under no
+    # exchange: every BroadcastExchange in the plan hangs off the stream
+    # (text-tokenizing) side
+    for line in plan.splitlines():
+        if "match_id" in line and "FileScan" in line:
+            break
+    else:
+        raise AssertionError(plan[:1200])
+
+
+def test_index_meta_roundtrip_and_mismatch(spark, tmp_path):
+    """write_dedup_index stores (k, rows_per_band, n); readers default to
+    the stored values and fail LOUDLY on an explicit mismatch — silently
+    mis-parameterized hashing yields zero band collisions, i.e. every
+    near-duplicate admitted."""
+    import pytest as _pytest
+
+    from alphastats_spark.functions import dedup
+
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "didx")
+    dedup.write_dedup_index(docs, path, k=8, rows_per_band=2, n=3)
+    meta = dedup.read_index_meta(spark, path)
+    assert (meta.k, meta.rows_per_band, meta.n) == (8, 2, 3)
+    with _pytest.raises(ValueError, match="does not match the index"):
+        dedup.admit_against_index(docs, path, k=4)
+    with _pytest.raises(ValueError, match="does not match the index"):
+        dedup.admit_against_index(docs, path, n=5)
+    # defaults load from meta: identical output to fully-explicit params
+    a = sorted(
+        map(tuple, dedup.admit_against_index(docs.limit(10), path).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.admit_against_index(
+                docs.limit(10), path, k=8, rows_per_band=2, n=3
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 10
+
+
+def test_stream_banded_rejects_non_integral_ids(spark, tmp_path):
+    from alphastats_spark.streaming.metrics import _stream_banded
+
+    df = spark.createDataFrame([("a", "some text here")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        _stream_banded(df, "doc_id", "text", 8, 2)
+
+
+def test_funnel_step_filter_pushed_to_scan(spark):
+    """The funnel pre-filters to step event types BEFORE the per-user
+    collect fold — visible as an In(event_type, ...) pushed filter on the
+    parquet scan, so non-step traffic (the power-user skew mass) never
+    enters the shuffle."""
+    from alphastats_spark.functions import events as ev_ops
+    from alphastats_spark.harness import _event_us
+    from alphastats_spark.plans.audit import scan_info
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = raw.select("user_id", _event_us(raw).alias("us"), "event_type")
+    out = ev_ops.funnel(ev, ["signup", "click", "purchase"])
+    scans = scan_info(out)
+    assert any(
+        "In(event_type" in s["pushed_filters"] for s in scans
+    ), scans
