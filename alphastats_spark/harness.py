@@ -1485,11 +1485,59 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND6_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND6_WINDOW]
+    front = [n for n in _ROUND7_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND7_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND7_WINDOW = [
+    # Round 7 window (50 slots). Priority (a) repaired fails: none — r6 was
+    # 50/50. Priority (b): the 5 round-6 registrations whose only green
+    # evidence is the replica sweep (never driver-gated — VERDICT r6
+    # "Next round" #1 and ADVICE r6 both demand they front this window).
+    "dedup_simhash_pairs", "ann_ivfpq_refine", "ann_ivf_partitioned",
+    "dedup_index_admit", "dedup_streaming_index_candidates",
+    # Priority (c): queries over machinery REVISED this round —
+    # containment_pairs' skew cap now defaults on (oracle gained the
+    # mirrored dfreq cap CTE), the funnel pre-filters to step types,
+    # knn_join grew plane auto-sizing around its bucketing, simhash
+    # pipelines persist signatures before the self-join, and
+    # _stream_banded gained the integral-id guard the streaming
+    # candidates path now transits.
+    "dedup_containment", "event_funnel", "event_funnel_times",
+    "ann_knn_join", "dedup_simhash", "dedup_streaming_candidates",
+    # Priority (d): the ENTIRE 17-name set whose newest driver-green row
+    # is still r3 — after this window no registered query's newest green
+    # predates r4.
+    "monthly_returns", "weekly_returns", "calendar_summary",
+    "trailing_windows", "best_month", "worst_year", "expected_monthly",
+    "win_month", "win_quarter", "multi_asset_sharpe",
+    "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
+    "emb_near_dups", "doc_repetition", "corpus_sample_stratified",
+    "doc_chunks",
+    # Priority (e): 22 rotation slots over the 35 remaining r4 greens,
+    # fronting every non-scalar-agg machinery family (islands, as-of/
+    # ffill, keyed long frame, autocorr penalty, media codecs, event
+    # analytics, pipeline curation) plus the 5 most distinct scalar
+    # aggregates (percentile: tail_ratio/cvar; moment bias: skew/
+    # kurtosis is left out as skew's twin; drawdown-derived: ulcer/
+    # serenity). The 13 r4 greens left out (comp, cagr, sharpe, sortino,
+    # volatility, expected_return, kurtosis, avg_return, win_rate,
+    # profit_factor, gain_to_pain_ratio, calmar, recovery_factor) are
+    # single-pass compositions over the same _agg_result machinery the
+    # in-window scalar picks exercise, re-verified by this round's
+    # committed replica sweep; they front the r8 rotation.
+    "consecutive_losses", "correlation", "r_squared", "treynor_ratio",
+    "multi_asset_greeks_long", "smart_sharpe", "smart_adjusted_sortino",
+    "media_resize_real", "media_frames_real",
+    "event_sessionization", "event_session_windows", "event_hourly_counts",
+    "event_hourly_streaming",
+    "corpus_pack_greedy", "doc_decontaminate", "doc_quality_filter",
+    "corpus_source_stats",
+    "tail_ratio", "cvar", "skew", "ulcer_index", "serenity_index",
+]
 
 
 _ROUND6_WINDOW = [
