@@ -25,14 +25,40 @@ from pyspark.sql import functions as F
 from alphastats_spark.operators import ordered
 
 
+#: Monotone, calendar-arithmetic bucket expressions for the as-of union
+#: frame. Each maps a timestamp column to a long that is non-decreasing in
+#: time (the two-phase ffill requirement) without consulting the session
+#: timezone. 366/24 multipliers over-allocate within-period slots, which
+#: preserves monotonicity across period boundaries (Dec 31 of year Y <
+#: Jan 1 of Y+1) at no cost.
+_ASOF_BUCKETS = {
+    "month": lambda ts: (F.year(ts) * 12 + F.month(ts)).cast("long"),
+    "day": lambda ts: (F.year(ts) * 366 + F.dayofyear(ts)).cast("long"),
+    "hour": lambda ts: (
+        (F.year(ts) * 366 + F.dayofyear(ts)) * 24 + F.hour(ts)
+    ).cast("long"),
+}
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
     left_on: str,
     right_on: str,
+    bucket: str = "month",
 ) -> DataFrame:
     """Backward as-of join: each left row gets the latest right row with
-    ``right_on <= left_on`` (inclusive), like Polars ``join_asof``."""
+    ``right_on <= left_on`` (inclusive), like Polars ``join_asof``.
+
+    ``bucket`` sets the ffill parallelism granularity — the coarse,
+    order-aligned key the two-phase fill partitions on. ``"month"`` (the
+    default) is right for daily financial series (a year of data = 12
+    parallel buckets, each ~21 rows); for tick/intra-day data a month is
+    one giant bucket, so pass ``"day"`` or ``"hour"`` to keep per-bucket
+    row counts bounded. Any granularity returns IDENTICAL rows (pinned by
+    ``tests/test_operators.py::test_asof_join_bucket_granularities_agree``)
+    — the bucket only shapes the physical partitioning, never the match
+    semantics."""
     value_cols = [c for c in right.columns if c != right_on]
     left_cols = [c for c in left.columns]
 
@@ -53,9 +79,11 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     # Order: timestamp, then right-before-left at ties (backward-inclusive).
+    if bucket not in _ASOF_BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_ASOF_BUCKETS)}, got {bucket!r}")
     unioned = unioned.withColumn(ordered.ORDER_COL, F.struct(F.col("__ts"), F.col("__side")))
     unioned = unioned.withColumn(
-        ordered.BUCKET_COL, (F.year("__ts") * 12 + F.month("__ts")).cast("long")
+        ordered.BUCKET_COL, _ASOF_BUCKETS[bucket](F.col("__ts"))
     )
     filled = ordered.add_ffill_columns(unioned, {f"{c}__f": F.col(c) for c in value_cols})
     out = filled.where(F.col("__side") == 1).select(

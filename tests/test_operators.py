@@ -61,3 +61,43 @@ def test_rolling_greeks(spark):
     by_key = {(r["asset"], r["d"]): r for r in ko.collect()}
     assert by_key[("c", last)]["r_beta"] == pytest.approx(-2 * by_key[("a", last)]["r_beta"])
     assert by_key[("c", last)]["r_corr"] == pytest.approx(-by_key[("a", last)]["r_corr"])
+
+
+def test_asof_join_bucket_granularities_agree(spark):
+    """The bucket granularity knob shapes only physical partitioning of
+    the ffill — month/day/hour must return identical matches, including
+    the backward-inclusive tie (right row at the exact left timestamp
+    wins) and intra-day ordering."""
+    import datetime as dt
+
+    from alphastats_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2023, 1, 15, 9, 30)
+    left = spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=m),) for m in range(0, 600, 7)],
+        "ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=m), float(m)) for m in range(0, 600, 13)],
+        "rts timestamp, v double",
+    )
+    outs = {
+        b: sorted(
+            (r["ts"], r["v"])
+            for r in asof_join(left, right, "ts", "rts", bucket=b).collect()
+        )
+        for b in ("month", "day", "hour")
+    }
+    assert outs["month"] == outs["day"] == outs["hour"]
+    # spot-check backward semantics: the equal-timestamp right row matches
+    # (inclusive tie at minute 0); left minute 7 looks back to right 0;
+    # left minute 14 looks back to right 13
+    got = dict(outs["month"])
+    assert got[t0] == 0.0
+    assert got[t0 + dt.timedelta(minutes=7)] == 0.0
+    assert got[t0 + dt.timedelta(minutes=14)] == 13.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket"):
+        asof_join(left, right, "ts", "rts", bucket="week")
