@@ -389,3 +389,52 @@ def test_fused_ordered_pass_matches_python(spark, xs):
         if last_nn is not None:
             assert g["ff"] == pytest.approx(last_nn, rel=1e-9)
         prev = v
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs vs a brute-force Python oracle (round 7)
+
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=3, max_size=9),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _brute_containment(texts, n=3, threshold=0.0):
+    def sh(tokens):
+        return {tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+
+    shs = [sh(t) for t in texts]
+    out = set()
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i == j or not shs[i]:
+                continue
+            c = round(len(shs[i] & shs[j]) / len(shs[i]), 7)
+            if c >= threshold and len(shs[i] & shs[j]) > 0:
+                out.add((i, j, c))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_doc_strategy)
+def test_containment_pairs_random(spark, docs):
+    """containment_pairs (default cap AND uncapped) against an
+    all-pairs set-arithmetic oracle on tiny random corpora: same pairs,
+    same rounded scores, both directions."""
+    from alphastats_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    expect = _brute_containment(docs, n=3, threshold=0.0)
+    for cap in (None, dedup.CONTAINMENT_MAX_SHINGLE_DF):
+        got = {
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in dedup.containment_pairs(
+                df, threshold=0.0, max_shingle_df=cap
+            ).collect()
+        }
+        assert got == expect, (cap, got ^ expect)
