@@ -977,3 +977,82 @@ def shard_corpus(
     return df.withColumn("shard_key", key).withColumn(
         "shard", F.pmod(F.col("shard_key"), F.lit(n_shards)).cast("int")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-group document quota: keep at most ``cap`` rows per
+    ``group_col`` (the Common-Crawl-style per-domain cap that stops a few
+    giant domains from dominating a training mix).
+
+    Which rows survive is deterministic — each row draws a 32-bit md5 key
+    from ``salt:id`` and the ``cap`` smallest keys per group win (ties
+    broken by id) — so the kept set is stable across runs, engines and
+    executor counts, and a re-crawl only displaces rows whose keys lose.
+
+    Skew-aware two-phase plan (the naive single-window version funnels
+    EVERY group through a rank shuffle):
+
+    1. one map-side-combinable ``groupBy(group).count()`` finds the
+       over-cap groups — at corpus scale that list is tiny (domains whose
+       row count exceeds ``cap``), so it broadcasts;
+    2. rows of at-or-under-cap groups pass through via a broadcast
+       anti-probe — **no shuffle at all** for the long tail, which is
+       most of a web corpus;
+    3. only over-cap groups' rows transit the ``row_number`` rank
+       shuffle, partitioned by group.
+
+    A single pathological group still ranks inside one task — the exact
+    price of an exact quota. When an approximate quota is acceptable,
+    pre-thin such groups with ``hash_bucket(id) < cap*fudge/count`` before
+    ranking; the deterministic key makes the two passes consistent.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.where(F.col("__n") > cap).select(group_col)
+    small = df.join(F.broadcast(over), group_col, "left_anti")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    ranked = (
+        df.join(F.broadcast(over), group_col, "semi")
+        .withColumn("__k", key)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(F.col("__k"), F.col(id_col))
+            ),
+        )
+        .where(F.col("__rn") <= cap)
+        .drop("__k", "__rn")
+    )
+    return small.unionByName(ranked)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    weights: dict[str, float] | None = None,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is drawn from the md5
+    of the GROUP key, so every row of a group (domain, cluster, dedup
+    lineage root) lands in the same split — near-duplicates that share a
+    group can never straddle the train/eval boundary, which is the leakage
+    mode a row-keyed split (``hash_split``) cannot prevent.
+
+    Same stateless one-projection plan as ``hash_split`` (no shuffle, no
+    RNG, stable under corpus growth); group-level proportions follow
+    ``weights`` in expectation, row-level proportions only to the extent
+    group sizes are balanced — the price of the no-leakage guarantee.
+    """
+    return hash_split(df, weights, id_col=group_col, salt=salt)

@@ -618,3 +618,60 @@ def group_centroids(
     return ex.groupBy(key_col, "pos").agg(
         F.avg("__v").alias("c"), F.count("__v").cast("long").alias("n_vecs")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = floor(v_i / scale + 0.5)`` — the 4x (float32) / 8x (float64)
+    index-compression step before an embedding corpus is shipped to an ANN
+    index or a GPU trainer. Zero vectors quantize to zeros with scale 0.
+
+    One stateless projection (no shuffle; column pruning reaches the
+    scan): ``max|v|`` is projected into its OWN select first — an
+    interpreted higher-order lambda re-evaluates closed-over
+    subexpressions per element, so binding the scale before the
+    per-element transform keeps the pass O(dim), not O(dim²) (see
+    :func:`alphastats_spark.functions.dedup._grams_over`).
+
+    ``floor(x + 0.5)`` is used instead of ``round`` because its
+    half-up-toward-+inf tie rule is the same IEEE-double expression in
+    every engine — the quantized codes are bit-reproducible, so a rebuilt
+    index is byte-identical to the shipped one.
+
+    Output: ``(id, q int8[] as array<int>, scale, n_dims)`` plus the
+    reconstruction-error bound ``max_abs_err = max|q_i*scale - v_i|``
+    (<= scale/2 by construction — kept as a per-vector audit column).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    qd = base.select(F.col(id_col), F.col("__v"), F.col("scale"), q.alias("q"))
+    err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.zip_with(
+                "q", "__v", lambda a, b: F.abs(a.cast("double") * F.col("scale") - b)
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return qd.select(
+        F.col(id_col),
+        F.col("q"),
+        F.col("scale"),
+        F.size("q").alias("n_dims"),
+        err.alias("max_abs_err"),
+    )

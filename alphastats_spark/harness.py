@@ -1494,9 +1494,14 @@ SELECT Metric, Strategy FROM (
 
 _ROUND7_WINDOW = [
     # Round 7 window (50 slots). Priority (a) repaired fails: none — r6 was
-    # 50/50. Priority (b): the 5 round-6 registrations whose only green
-    # evidence is the replica sweep (never driver-gated — VERDICT r6
-    # "Next round" #1 and ADVICE r6 both demand they front this window).
+    # 50/50. Priority (b): first the 5 queries REGISTERED this round
+    # (per-source cap, grouped split, deletion-neighborhood edit-distance
+    # join, int8 quantization, ORC roundtrip), then the 5 round-6
+    # registrations whose only green evidence is the replica sweep (never
+    # driver-gated — VERDICT r6 "Next round" #1 and ADVICE r6 both demand
+    # they front this window).
+    "corpus_cap_per_source", "corpus_group_split", "cust_fuzzy_names",
+    "emb_quantize_int8", "docs_orc_roundtrip",
     "dedup_simhash_pairs", "ann_ivfpq_refine", "ann_ivf_partitioned",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (c): queries over machinery REVISED this round —
@@ -1517,18 +1522,17 @@ _ROUND7_WINDOW = [
     "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
     "emb_near_dups", "doc_repetition", "corpus_sample_stratified",
     "doc_chunks",
-    # Priority (e): 22 rotation slots over the 35 remaining r4 greens,
+    # Priority (e): 17 rotation slots over the 35 remaining r4 greens,
     # fronting every non-scalar-agg machinery family (islands, as-of/
     # ffill, keyed long frame, autocorr penalty, media codecs, event
-    # analytics, pipeline curation) plus the 5 most distinct scalar
-    # aggregates (percentile: tail_ratio/cvar; moment bias: skew/
-    # kurtosis is left out as skew's twin; drawdown-derived: ulcer/
-    # serenity). The 13 r4 greens left out (comp, cagr, sharpe, sortino,
-    # volatility, expected_return, kurtosis, avg_return, win_rate,
-    # profit_factor, gain_to_pain_ratio, calmar, recovery_factor) are
-    # single-pass compositions over the same _agg_result machinery the
-    # in-window scalar picks exercise, re-verified by this round's
-    # committed replica sweep; they front the r8 rotation.
+    # analytics, pipeline curation). The 18 r4 scalar-agg greens left out
+    # (comp, cagr, sharpe, sortino, volatility, expected_return, skew,
+    # kurtosis, avg_return, win_rate, profit_factor, gain_to_pain_ratio,
+    # calmar, recovery_factor, tail_ratio, cvar, ulcer_index,
+    # serenity_index) are single-pass compositions over the same
+    # _agg_result machinery — re-verified by this round's committed
+    # replica sweep; they front the r8 rotation (5 of them were in-window
+    # until this round's 5 new registrations took priority (b) slots).
     "consecutive_losses", "correlation", "r_squared", "treynor_ratio",
     "multi_asset_greeks_long", "smart_sharpe", "smart_adjusted_sortino",
     "media_resize_real", "media_frames_real",
@@ -1536,7 +1540,6 @@ _ROUND7_WINDOW = [
     "event_hourly_streaming",
     "corpus_pack_greedy", "doc_decontaminate", "doc_quality_filter",
     "corpus_source_stats",
-    "tail_ratio", "cvar", "skew", "ulcer_index", "serenity_index",
 ]
 
 
@@ -4431,6 +4434,141 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id"""
             _embs(spark, sf_dir), k=5, n_planes=3, seed=42, n_tables=2,
             multiprobe=1),
         _knn_join_sql(k=5, n_planes=3, seed=42, n_tables=2, multiprobe=1))
+
+    # --- round 7 additions -------------------------------------------------
+
+    # Per-source quota (Common-Crawl-style per-domain cap): deterministic
+    # md5-keyed survivors, skew-aware two-phase plan (under-cap groups never
+    # shuffle; only over-cap groups rank). cap=10 against the 25-docs-per-
+    # source gate corpus, so every group exercises the rank branch; the
+    # pass-through branch is pinned by pytest on a skewed synthetic frame.
+    add("corpus_cap_per_source",
+        lambda spark, sf_dir: pipeline.cap_per_group(
+            _docs(spark, sf_dir), cap=10, group_col="source"
+        ).select("doc_id", "source"),
+        """
+WITH k AS (SELECT doc_id, source,
+  CAST(CONCAT('0x', substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8))
+       AS BIGINT) AS key
+  FROM documents),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+      FROM k)
+SELECT doc_id, source FROM r WHERE rn <= 10""")
+
+    # Leakage-safe grouped split: the md5 uniform is drawn from the SOURCE
+    # key, so a source's documents can never straddle train/eval. Cumulative
+    # thresholds are Python-computed and injected into both engines
+    # (hash_split discipline — 0.6 + 0.2 is not the literal 0.8 in binary).
+    _GS_C1 = 0.6
+    _GS_C2 = 0.6 + 0.2
+
+    add("corpus_group_split",
+        lambda spark, sf_dir: pipeline.group_split(
+            _docs(spark, sf_dir), group_col="source",
+            weights={"train": 0.6, "val": 0.2, "test": 0.2},
+        ).groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("doc_id").alias("sum_ids"),
+        ),
+        f"""
+WITH u AS (SELECT doc_id, source,
+  CAST(CAST(CONCAT('0x', substr(md5('gsplit:' || source), 1, 8))
+            AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+  FROM documents)
+SELECT CASE WHEN u < {_GS_C1!r} THEN 'train'
+            WHEN u < {_GS_C2!r} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM u GROUP BY 1""")
+
+    # Exact edit-distance self-join via deletion neighborhoods (FastSS):
+    # candidates from an equi-join on single-deletion variants, verified
+    # with the exact JVM levenshtein — no cross join anywhere. Run on
+    # customer names (dense distance-1 families: ids differing in one
+    # digit); the oracle is the brute-force O(n²) levenshtein pass that is
+    # feasible at the 1.5k-row gate scale and NOT at corpus scale — which
+    # is the point of the blocking.
+    def _fuzzy(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return dedup.edit_distance_join(
+            cust, max_distance=1, id_col="c_custkey", text_col="c_name"
+        ).select("id_a", "id_b", "distance")
+
+    add("cust_fuzzy_names", _fuzzy, """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1""")
+
+    # Symmetric per-vector int8 quantization: bit-reproducible codes
+    # (floor(x + 0.5) is the same IEEE-double expression in both engines),
+    # audited per vector by code-sum/energy and the max reconstruction
+    # error (<= scale/2 by construction).
+    add("emb_quantize_int8",
+        lambda spark, sf_dir: similarity.quantize_embeddings(
+            _embs(spark, sf_dir)
+        ).select(
+            "vec_id",
+            F.round("scale", ROUND).alias("scale"),
+            "n_dims",
+            F.aggregate("q", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).alias("sum_q"),
+            F.aggregate("q", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x.cast("bigint") * x).alias("sum_q2"),
+            F.round("max_abs_err", ROUND).alias("max_abs_err"),
+        ),
+        f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+qq AS (SELECT vec_id, v, scale,
+       CASE WHEN scale > 0
+            THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+            ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q FROM s)
+SELECT vec_id, ROUND(scale, {ROUND}) AS scale, CAST(len(q) AS INTEGER) AS n_dims,
+  CAST(list_sum(q) AS BIGINT) AS sum_q,
+  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS sum_q2,
+  ROUND(CASE WHEN scale > 0 THEN
+    list_max(list_transform(list_zip(q, v), z -> abs(z[1] * scale - z[2])))
+    ELSE 0.0 END, {ROUND}) AS max_abs_err
+FROM qq""")
+
+    # ORC sink/source roundtrip (the third columnar interchange format
+    # after parquet and the text formats): self-describing schema, so the
+    # read needs no explicit schema — profiled per lang against the parquet
+    # originals, which the lossless roundtrip must reproduce exactly.
+    def _orc_roundtrip(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from alphastats_spark.sources import readers
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        d = tempfile.mkdtemp(prefix="as_orc_rt_")
+        try:
+            readers.write_corpus(docs, d, format="orc", mode="overwrite")
+            back = readers.read_corpus(spark, d, format="orc")
+            rows = back.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("sum_len"),
+                F.sum("doc_id").alias("sum_ids"),
+            ).collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "lang string, n_docs bigint, sum_len bigint, sum_ids bigint"
+        )
+
+    add("docs_orc_roundtrip", _orc_roundtrip, """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang""")
 
 
 def _stop_list() -> str:

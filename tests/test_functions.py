@@ -1904,3 +1904,124 @@ def test_pass_cache_scope_releases(spark):
         dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()
         assert ordered.pass_cache_mark() > before
     assert ordered.pass_cache_mark() == before
+
+
+def test_cap_per_group_skewed(spark):
+    """Under-cap groups pass through untouched; over-cap groups keep
+    exactly `cap` deterministic md5-keyed survivors; reruns identical."""
+    from alphastats_spark.functions import pipeline
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = pipeline.cap_per_group(df, cap=5, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_src["small"] == {100, 101, 102}  # under cap: all kept
+    assert len(by_src["big"]) == 5
+    again = pipeline.cap_per_group(df, cap=5, group_col="source").collect()
+    assert sorted((r["doc_id"], r["source"]) for r in out) == sorted(
+        (r["doc_id"], r["source"]) for r in again
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pipeline.cap_per_group(df, cap=0)
+
+
+def test_cap_per_group_under_cap_no_rank_shuffle(spark):
+    """When NO group exceeds the cap, the kept set is the input and the
+    pass-through branch carries every row (the anti-join against an empty
+    over-cap list)."""
+    from alphastats_spark.functions import pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(12)], "doc_id bigint, source string"
+    )
+    out = pipeline.cap_per_group(df, cap=10, group_col="source")
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(12))
+
+
+def test_group_split_no_leakage(spark):
+    """Every row of a group lands in one split — the leakage invariant —
+    and the assignment is stable across calls."""
+    from alphastats_spark.functions import pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(70)], "doc_id bigint, source string"
+    )
+    out = pipeline.group_split(
+        df, group_col="source", weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    )
+    per_group = (
+        out.groupBy("source").agg(F.countDistinct("split").alias("k")).collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+    assert out.select("split").distinct().count() >= 2  # non-vacuous split
+
+
+def test_edit_distance_join_matches_bruteforce(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force pair
+    set at d=1 and d=2 (random small-alphabet strings force collisions,
+    including insert/delete pairs of different lengths)."""
+    import itertools
+    import random
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.operators import ordered
+
+    rng = random.Random(7)
+    strs = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 5)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(strs)), "doc_id bigint, text string"
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (1, 2):
+        with ordered.pass_cache_scope():
+            got = sorted(
+                (r["id_a"], r["id_b"], r["distance"])
+                for r in dedup.edit_distance_join(df, max_distance=d).collect()
+            )
+        want = sorted(
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(strs), 2)
+            if lev(a, b) <= d
+        )
+        assert got == want and len(want) > 0
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """|q_i*scale - v_i| <= scale/2 for every element, codes are in
+    [-127, 127], and the zero vector quantizes to zeros with scale 0."""
+    from alphastats_spark.functions import similarity
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1e-5, -3e-5, 2e-5, 5e-6]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb).collect()}
+    for vid, (_, vec) in zip([0, 1, 2], rows):
+        r = out[vid]
+        assert r["n_dims"] == 4
+        assert all(-127 <= q <= 127 for q in r["q"])
+        if all(x == 0.0 for x in vec):
+            assert r["scale"] == 0.0 and r["q"] == [0, 0, 0, 0]
+        else:
+            assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+            for q, v in zip(r["q"], vec):
+                assert abs(q * r["scale"] - v) <= r["scale"] / 2 + 1e-9
+    assert out[0]["q"][1] == -127  # max-magnitude element pins the scale
