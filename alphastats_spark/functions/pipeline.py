@@ -203,6 +203,7 @@ def decontaminate(
     threshold: float = 0.05,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-document benchmark-contamination signals (GPT-3/PaLM-style
     n-gram decontamination: a training document that shares long word
@@ -217,6 +218,15 @@ def decontaminate(
     100 TB corpus), so contamination is a map-side hash probe — no shuffle
     of the corpus beyond the per-doc distinct; both groupBys are map-side
     combinable and keyed by the same ``id_col``.
+
+    ``hashed=True`` is the LARGE-eval-set configuration: the broadcast
+    carries 8-byte ``xxhash64`` digests instead of raw gram strings (a
+    4–10x smaller table — the difference between an eval suite that fits
+    in executor memory and one that doesn't), and the hash-prefiltered
+    candidates — a sliver of the corpus — are then verified against the
+    raw eval grams with an ordinary shuffle semi-join, so 64-bit
+    collisions cannot flag a clean document and the output is bit-equal
+    to the exact path.
     """
     toks = text.tokens(text.normalize(F.col(text_col)))
     doc_grams = (
@@ -224,9 +234,17 @@ def decontaminate(
         .distinct()
     )
     totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    ev = eval_ngrams(eval_df, n, text_col)
+    if hashed:
+        ev_h = ev.select(F.xxhash64("gram").alias("__gh")).distinct()
+        cand = doc_grams.withColumn("__gh", F.xxhash64("gram")).join(
+            F.broadcast(ev_h), "__gh", "semi"
+        )
+        hit_grams = cand.join(ev, "gram", "semi").drop("__gh")
+    else:
+        hit_grams = doc_grams.join(F.broadcast(ev), "gram", "semi")
     hits = (
-        doc_grams.join(F.broadcast(eval_ngrams(eval_df, n, text_col)), "gram")
-        .groupBy(id_col)
+        hit_grams.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
     frac = F.col("n_contaminated") / F.col("n_ngrams")

@@ -1501,7 +1501,8 @@ _ROUND7_WINDOW = [
     # driver-gated — VERDICT r6 "Next round" #1 and ADVICE r6 both demand
     # they front this window).
     "corpus_cap_per_source", "corpus_group_split", "cust_fuzzy_names",
-    "emb_quantize_int8", "docs_orc_roundtrip",
+    "emb_quantize_int8", "docs_orc_roundtrip", "doc_decontaminate_hashed",
+    "dedup_streaming_exact",
     "dedup_simhash_pairs", "ann_ivfpq_refine", "ann_ivf_partitioned",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (c): queries over machinery REVISED this round —
@@ -1522,7 +1523,7 @@ _ROUND7_WINDOW = [
     "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
     "emb_near_dups", "doc_repetition", "corpus_sample_stratified",
     "doc_chunks",
-    # Priority (e): 17 rotation slots over the 35 remaining r4 greens,
+    # Priority (e): 15 rotation slots over the 35 remaining r4 greens,
     # fronting every non-scalar-agg machinery family (islands, as-of/
     # ffill, keyed long frame, autocorr penalty, media codecs, event
     # analytics, pipeline curation). The 18 r4 scalar-agg greens left out
@@ -1531,15 +1532,17 @@ _ROUND7_WINDOW = [
     # calmar, recovery_factor, tail_ratio, cvar, ulcer_index,
     # serenity_index) are single-pass compositions over the same
     # _agg_result machinery — re-verified by this round's committed
-    # replica sweep; they front the r8 rotation (5 of them were in-window
-    # until this round's 5 new registrations took priority (b) slots).
+    # replica sweep; they front the r8 rotation alongside
+    # doc_quality_filter and corpus_source_stats (all displaced when this
+    # round's 7 new registrations took priority (b) slots).
+    # doc_decontaminate stays: its machinery CHANGED this round (hashed
+    # broadcast variant; exact path's probe became an explicit semi-join).
     "consecutive_losses", "correlation", "r_squared", "treynor_ratio",
     "multi_asset_greeks_long", "smart_sharpe", "smart_adjusted_sortino",
     "media_resize_real", "media_frames_real",
     "event_sessionization", "event_session_windows", "event_hourly_counts",
     "event_hourly_streaming",
-    "corpus_pack_greedy", "doc_decontaminate", "doc_quality_filter",
-    "corpus_source_stats",
+    "corpus_pack_greedy", "doc_decontaminate",
 ]
 
 
@@ -3941,7 +3944,7 @@ FROM c""")
         eval_df = docs.where(F.col("doc_id") % 40 == 7)
         return pipeline.decontaminate(docs, eval_df, n=3, threshold=0.05)
 
-    add("doc_decontaminate", _decontam, f"""
+    _decontam_sql = f"""
 WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
 g AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
@@ -3960,7 +3963,22 @@ SELECT d.doc_id,
        COALESCE(hit.n_contaminated * 1.0 / tot.n_ngrams, 0.0) > 0.05 AS flagged
 FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
-LEFT JOIN hit ON d.doc_id = hit.doc_id""")
+LEFT JOIN hit ON d.doc_id = hit.doc_id"""
+
+    add("doc_decontaminate", _decontam, _decontam_sql)
+
+    # The hash-compacted broadcast variant: 8-byte xxhash64 digests
+    # broadcast instead of raw gram strings, candidates re-verified
+    # against the raw eval grams — output bit-equal to the exact path,
+    # so the SAME oracle gates both configurations.
+    def _decontam_hashed(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        eval_df = docs.where(F.col("doc_id") % 40 == 7)
+        return pipeline.decontaminate(
+            docs, eval_df, n=3, threshold=0.05, hashed=True
+        )
+
+    add("doc_decontaminate_hashed", _decontam_hashed, _decontam_sql)
 
     # Hard rule gate (Gopher-style) with reason codes. Thresholds are
     # corpus-relative so three of the five rules genuinely fire at sf0.01
@@ -4569,6 +4587,75 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM documents GROUP BY lang""")
+
+    # Stateful streaming exact dedup: docs arrive in TWO micro-batches
+    # (maxFilesPerTrigger=1 over mtime-ordered files, ids < 250 first);
+    # doc_id%10>=8 rows collapse onto 3 boilerplate texts, so duplicate
+    # groups straddle the batch boundary and the cross-batch state path
+    # (reject against a fingerprint owned by an EARLIER batch) is the one
+    # driver-checked. Because the earlier batch holds the smaller ids, the
+    # owner is min(doc_id) per fingerprint — a plain window in SQL.
+    def _stream_exact(spark, sf_dir):
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import streaming_exact_dedup
+
+        src = tempfile.mkdtemp(prefix="as_sdex_")
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 >= 8,
+                F.concat(F.lit("boiler text "), (F.col("doc_id") % 3).cast("string")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        try:
+            for i, pred in enumerate(
+                [F.col("doc_id") < 250, F.col("doc_id") >= 250]
+            ):
+                stage = f"{src}_stage{i}"
+                docs.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+                part = glob.glob(f"{stage}/part-*.parquet")[0]
+                dst = f"{src}/batch-{i:03d}.parquet"
+                shutil.move(part, dst)
+                os.utime(dst, (1_600_000_000 + 1000 * i,) * 2)
+                shutil.rmtree(stage, ignore_errors=True)
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            name = f"sdex_{uuid.uuid4().hex[:8]}"
+            sq = (
+                streaming_exact_dedup(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
+            rows = spark.table(name).select("doc_id", "first_id", "admitted").collect()
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "doc_id bigint, first_id bigint, admitted boolean"
+        )
+
+    add("dedup_streaming_exact", _stream_exact, f"""
+WITH inj AS (SELECT doc_id,
+  CASE WHEN doc_id % 10 >= 8
+       THEN 'boiler text ' || CAST(doc_id % 3 AS VARCHAR)
+       ELSE text END AS text
+  FROM documents),
+h AS (SELECT doc_id, md5({_NORM_SQL}) AS k FROM inj)
+SELECT doc_id,
+       CAST(MIN(doc_id) OVER (PARTITION BY k) AS BIGINT) AS first_id,
+       (doc_id = MIN(doc_id) OVER (PARTITION BY k)) AS admitted
+FROM h""")
 
 
 def _stop_list() -> str:

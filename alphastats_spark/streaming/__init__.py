@@ -13,6 +13,7 @@ from alphastats_spark.streaming.metrics import (
     session_metrics,
     streaming_dedup_candidates,
     streaming_drawdowns,
+    streaming_exact_dedup,
     streaming_index_candidates,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "session_metrics",
     "streaming_dedup_candidates",
     "streaming_drawdowns",
+    "streaming_exact_dedup",
     "streaming_index_candidates",
 ]

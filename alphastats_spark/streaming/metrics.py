@@ -483,3 +483,66 @@ def streaming_funnel_levels(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-seen admission over an unbounded document stream: every
+    arriving document is admitted iff its content fingerprint has never
+    been seen in ANY earlier micro-batch — exact streaming dedup, the
+    ingest-time twin of the batch :func:`~alphastats_spark.functions.dedup.
+    exact_duplicates`.
+
+    State (``applyInPandasWithState`` keyed by the md5 of the normalized
+    text) is ONE long per distinct content — the canonical owner id — so
+    the state store grows with distinct documents, not rows; that is the
+    irreducible memory of exact streaming dedup and exactly what RocksDB
+    state backends are for at corpus scale. Within a micro-batch, ties go
+    to the smallest id (deterministic under replay); across batches the
+    first batch to present a fingerprint owns it forever.
+
+    Output per row: ``(id, first_id, admitted)`` where ``first_id`` is the
+    owning document (itself when admitted).
+    """
+    from alphastats_spark.functions.text import normalize
+
+    key = F.coalesce(F.md5(normalize(F.col(text_col))), F.lit("__null__"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("first_id", T.LongType()),
+            T.StructField("admitted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first_id", T.LongType())])
+
+    def fold(key_, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = batch[id_col].astype("int64")
+        if state.exists:
+            first = int(state.get[0])
+            admitted = [False] * len(ids)
+        else:
+            first = int(ids.iloc[0])
+            admitted = [i == 0 for i in range(len(ids))]
+            state.update((first,))
+        yield pd.DataFrame(
+            {id_col: ids, "first_id": [first] * len(ids), "admitted": admitted}
+        )
+
+    return (
+        df.select(key.alias("__fp"), F.col(id_col).cast("long"))
+        .groupBy("__fp")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -161,6 +161,20 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
     t("weighted_sample", lambda: pipeline.weighted_sample(
         docs.withColumn("__w", F.length("text").cast("double")),
         weight=F.col("__w"), n=100).collect())
+
+    # round-7 additions: the skew-aware per-group quota (20 sources, all
+    # over-cap at both scales so the rank branch is the one timed) and the
+    # FastSS edit-distance join over customer-name-shaped keys (zero-padded
+    # ids: every key has O(digits × 9) distance-1 partners, so the pair
+    # count grows linearly with n — the blocking, not the data, is probed)
+    t("cap_per_group", lambda: pipeline.cap_per_group(
+        docs, cap=50, group_col="source").count())
+    keys = docs.select(
+        "doc_id",
+        F.concat(F.lit("Item#"), F.lpad(F.col("doc_id").cast("string"), 9, "0")
+                 ).alias("text"))
+    t("edit_distance_join", lambda: dedup.edit_distance_join(
+        keys, max_distance=1).count())
     docs.unpersist(), ev.unpersist()
     return out
 
@@ -191,6 +205,10 @@ def run_ann_suite(spark, embs) -> dict[str, float]:
     # probes the SHIPPED default, not a hand-tuned parameterization
     t("knn_join", lambda: similarity.knn_join(
         embs, k=5, seed=42, n_tables=2, multiprobe=1).count())
+    # round 7: int8 quantization — a stateless projection, expected ~1.0
+    # (compute-bound linear); probed to pin that it never shuffles
+    t("quantize_int8", lambda: similarity.quantize_embeddings(embs)
+        .agg(F.sum("n_dims"), F.max("max_abs_err")).collect())
     embs.unpersist()
     return out
 

@@ -2025,3 +2025,27 @@ def test_quantize_embeddings_roundtrip_bound(spark):
             for q, v in zip(r["q"], vec):
                 assert abs(q * r["scale"] - v) <= r["scale"] / 2 + 1e-9
     assert out[0]["q"][1] == -127  # max-magnitude element pins the scale
+
+
+def test_decontaminate_hashed_equals_exact(spark):
+    """The xxhash64-prefiltered path is bit-equal to the exact broadcast
+    path (candidates are re-verified against the raw eval grams)."""
+    from alphastats_spark.functions import pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox eats a dozen liquor jugs"),
+            (4, "completely unrelated words here only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = docs.where("doc_id = 1")
+    exact = sorted(map(tuple, pipeline.decontaminate(docs, ev, n=3).collect()))
+    hashed = sorted(
+        map(tuple, pipeline.decontaminate(docs, ev, n=3, hashed=True).collect())
+    )
+    assert exact == hashed
+    flagged = {r[0]: r[4] for r in exact}
+    assert flagged[1] and not flagged[4]  # non-vacuous: eval doc flags itself

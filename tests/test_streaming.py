@@ -399,3 +399,50 @@ def test_streaming_funnel_cross_batch_state(spark, tmp_path):
     assert latest[1] == 3
     # user 2's b at t=40 precedes its frontier (a at t=50): cannot chain
     assert latest[2] == 1
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """A fingerprint admitted in batch 1 rejects ALL later arrivals (state
+    survives the batch boundary); within a batch the smallest id owns."""
+    from alphastats_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "sdex_src")
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta"), (1, "alpha beta"), (2, "unique one")],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "unique two"), (12, "unique two")],
+        "doc_id bigint, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    sq = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdex_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    got = {
+        r["doc_id"]: (r["first_id"], r["admitted"])
+        for r in spark.sql("select * from sdex_test").collect()
+    }
+    assert got == {
+        1: (1, True),   # batch-1 owner (smallest id in batch)
+        3: (1, False),  # same batch, larger id
+        2: (2, True),
+        10: (1, False),  # batch 2: rejected by batch-1 state
+        11: (11, True),  # batch-2 owner
+        12: (11, False),
+    }
