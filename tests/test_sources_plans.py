@@ -862,3 +862,53 @@ def test_funnel_step_filter_pushed_to_scan(spark):
     assert any(
         "In(event_type" in s["pushed_filters"] for s in scans
     ), scans
+
+
+def test_audit_round7_operators(spark):
+    """Plan-audit guardrails for the round-7 operators: the per-group cap,
+    the deletion-neighborhood edit-distance join, int8 quantization, the
+    grouped split and both decontaminate configurations — no
+    single-partition funnels, no row UDFs, no nested-loop joins. The cap's
+    pass-through/rank side-tables probe via broadcast joins; the fuzzy
+    join's variant self-join is an equi-join (never cartesian)."""
+    import os
+
+    path = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{path}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    from alphastats_spark import plans
+    from alphastats_spark.functions import dedup, pipeline, similarity
+    from alphastats_spark.operators import ordered
+
+    docs = spark.read.parquet(f"{path}/documents.parquet")
+    emb = spark.read.parquet(f"{path}/embeddings.parquet")
+    cust = spark.read.parquet(f"{path}/customer.parquet")
+
+    # the over-cap predicate (count > cap) filters an AGGREGATE, which
+    # parquet can never push — the only allowed finding
+    kinds = {
+        f.kind
+        for f in plans.audit(pipeline.cap_per_group(docs, cap=10, group_col="source"))
+    }
+    assert kinds <= {"unfiltered-scan"}, kinds
+    assert plans.audit(pipeline.group_split(docs, group_col="source")) == []
+    assert plans.audit(similarity.quantize_embeddings(emb)) == []
+    with ordered.pass_cache_scope():
+        fz = dedup.edit_distance_join(
+            cust, 1, id_col="c_custkey", text_col="c_name"
+        )
+        # id_a < id_b / distance <= d filter DERIVED join columns — not
+        # pushable; the audit must still find no funnel/cartesian/row-UDF
+        kinds = {f.kind for f in plans.audit(fz)}
+        assert kinds <= {"unfiltered-scan"}, kinds
+    # hashed decontaminate: same modulo-carve-out pushdown exemption as
+    # the exact path (see test_audit_round4_operators)
+    kinds = {
+        f.kind
+        for f in plans.audit(
+            pipeline.decontaminate(
+                docs, docs.where(F.col("doc_id") % 40 == 7), n=3, hashed=True
+            )
+        )
+    }
+    assert kinds <= {"unfiltered-scan"}, kinds
