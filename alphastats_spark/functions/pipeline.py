@@ -1003,6 +1003,7 @@ def cap_per_group(
     group_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "cap",
+    order_by: Column | None = None,
 ) -> DataFrame:
     """Per-group document quota: keep at most ``cap`` rows per
     ``group_col`` (the Common-Crawl-style per-domain cap that stops a few
@@ -1029,6 +1030,16 @@ def cap_per_group(
     price of an exact quota. When an approximate quota is acceptable,
     pre-thin such groups with ``hash_bucket(id) < cap*fudge/count`` before
     ranking; the deterministic key makes the two passes consistent.
+
+    ``order_by`` turns the quota into best-k-per-group curation: survivors
+    are the ``cap`` rows per group with the SMALLEST values of that
+    expression (pass the negation for top-k, e.g. ``-F.col("quality")``
+    keeps the highest-quality documents per domain) instead of the
+    default unbiased md5 draw; ties still break by id.
+
+    Rows with a NULL group key pass through uncapped (null never matches
+    an equi-join probe) — ``coalesce`` the key to a sentinel first if the
+    ungrouped remainder should be quota'd as one group.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -1037,7 +1048,7 @@ def cap_per_group(
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     over = counts.where(F.col("__n") > cap).select(group_col)
     small = df.join(F.broadcast(over), group_col, "left_anti")
-    key = F.conv(
+    key = order_by if order_by is not None else F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
         16, 10,
     ).cast("bigint")

@@ -112,11 +112,19 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
     ev = ev.persist()
     docs.count(), ev.count()  # materialize inputs outside the timings
 
+    from alphastats_spark.operators import ordered
+
     out: dict[str, float] = {}
 
     def t(name, fn):
+        # each probe runs inside its own pass-cache scope so persisted
+        # intermediates (shingle/variant tables) are freed before the next
+        # probe — without this the caches accumulate across the suite and
+        # the later big-shuffle probes measure heap pressure, not the
+        # operator (knn_join 10x varied 32-91s run to run before this)
         t0 = time.time()
-        fn()
+        with ordered.pass_cache_scope():
+            fn()
         out[name] = round(time.time() - t0, 2)
 
     t("exact_dedup", lambda: dedup.exact_duplicates(docs).count())
@@ -184,13 +192,16 @@ def run_ann_suite(spark, embs) -> dict[str, float]:
 
     from alphastats_spark.functions import similarity
 
+    from alphastats_spark.operators import ordered
+
     embs = embs.persist()
     embs.count()
     out: dict[str, float] = {}
 
     def t(name, fn):
         t0 = time.time()
-        fn()
+        with ordered.pass_cache_scope():
+            fn()
         out[name] = round(time.time() - t0, 2)
 
     rows = embs.orderBy("vec_id").limit(10_000).collect()

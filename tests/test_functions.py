@@ -2049,3 +2049,17 @@ def test_decontaminate_hashed_equals_exact(spark):
     assert exact == hashed
     flagged = {r[0]: r[4] for r in exact}
     assert flagged[1] and not flagged[4]  # non-vacuous: eval doc flags itself
+
+
+def test_cap_per_group_order_by(spark):
+    """order_by turns the quota into best-k-per-group: smallest values
+    survive, negate for top-k; default md5 path unchanged."""
+    from alphastats_spark.functions import pipeline
+
+    rows = [(i, "g", float(i % 7)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, q double")
+    top = pipeline.cap_per_group(
+        df, cap=3, group_col="source", order_by=-F.col("q")
+    ).collect()
+    want = sorted(rows, key=lambda r: (-r[2], r[0]))[:3]
+    assert sorted((r["doc_id"]) for r in top) == sorted(r[0] for r in want)
