@@ -1500,7 +1500,8 @@ _ROUND7_WINDOW = [
     # registrations whose only green evidence is the replica sweep (never
     # driver-gated — VERDICT r6 "Next round" #1 and ADVICE r6 both demand
     # they front this window).
-    "corpus_cap_per_source", "corpus_group_split", "cust_fuzzy_names",
+    "corpus_cap_per_source", "corpus_top_docs_per_source",
+    "corpus_group_split", "cust_fuzzy_names",
     "emb_quantize_int8", "docs_orc_roundtrip", "doc_decontaminate_hashed",
     "dedup_streaming_exact",
     "dedup_simhash_pairs", "ann_ivfpq_refine", "ann_ivf_partitioned",
@@ -1523,7 +1524,7 @@ _ROUND7_WINDOW = [
     "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
     "emb_near_dups", "doc_repetition", "corpus_sample_stratified",
     "doc_chunks",
-    # Priority (e): 15 rotation slots over the 35 remaining r4 greens,
+    # Priority (e): 14 rotation slots over the 35 remaining r4 greens,
     # fronting every non-scalar-agg machinery family (islands, as-of/
     # ffill, keyed long frame, autocorr penalty, media codecs, event
     # analytics, pipeline curation). The 18 r4 scalar-agg greens left out
@@ -1534,7 +1535,8 @@ _ROUND7_WINDOW = [
     # _agg_result machinery — re-verified by this round's committed
     # replica sweep; they front the r8 rotation alongside
     # doc_quality_filter and corpus_source_stats (all displaced when this
-    # round's 7 new registrations took priority (b) slots).
+    # round's 8 new registrations took priority (b) slots;
+    # corpus_pack_greedy rotates to r8 likewise).
     # doc_decontaminate stays: its machinery CHANGED this round (hashed
     # broadcast variant; exact path's probe became an explicit semi-join).
     "consecutive_losses", "correlation", "r_squared", "treynor_ratio",
@@ -1542,7 +1544,7 @@ _ROUND7_WINDOW = [
     "media_resize_real", "media_frames_real",
     "event_sessionization", "event_session_windows", "event_hourly_counts",
     "event_hourly_streaming",
-    "corpus_pack_greedy", "doc_decontaminate",
+    "doc_decontaminate",
 ]
 
 
@@ -4473,6 +4475,22 @@ r AS (SELECT doc_id, source,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
       FROM k)
 SELECT doc_id, source FROM r WHERE rn <= 10""")
+
+    # The same quota machinery as best-k curation: order_by=-n_chars keeps
+    # the 3 LONGEST documents per source (ties by id) instead of the
+    # unbiased md5 draw — the other half of cap_per_group's contract.
+    add("corpus_top_docs_per_source",
+        lambda spark, sf_dir: pipeline.cap_per_group(
+            _docs(spark, sf_dir), cap=3, group_col="source",
+            order_by=-F.col("n_chars"),
+        ).select("doc_id", "source", "n_chars"),
+        """
+WITH r AS (SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE rn <= 3""")
 
     # Leakage-safe grouped split: the md5 uniform is drawn from the SOURCE
     # key, so a source's documents can never straddle train/eval. Cumulative
