@@ -962,27 +962,42 @@ def write_dedup_index(
     Hadoop-compatible filesystem (no driver-local ``open()``)."""
     from alphastats_spark.operators import ordered
 
-    sh = ordered.persist_tracked(
-        _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
-    )
-    bands = _band_table(
-        sh.groupBy("match_id").agg(*minhash_signature_cols(k)), "match_id", k, rows_per_band
-    )
-    bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
-    sh.write.mode(mode).parquet(f"{path}/shingles")
-    corpus_df.sparkSession.createDataFrame(
-        [(int(k), int(rows_per_band), int(n), 1)],
-        "k int, rows_per_band int, n int, version int",
-    ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    # fully materializing (everything lands on disk), so the shared
+    # shingle cache is scoped and released before returning — a long-lived
+    # session building one index per tenant must not accumulate persisted
+    # shingle frames in the pass-cache registry
+    with ordered.pass_cache_scope():
+        sh = ordered.persist_tracked(
+            _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
+        )
+        bands = _band_table(
+            sh.groupBy("match_id").agg(*minhash_signature_cols(k)),
+            "match_id", k, rows_per_band,
+        )
+        bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
+        sh.write.mode(mode).parquet(f"{path}/shingles")
+        corpus_df.sparkSession.createDataFrame(
+            [(int(k), int(rows_per_band), int(n), 1)],
+            "k int, rows_per_band int, n int, version int",
+        ).coalesce(1).write.mode(mode).json(f"{path}/meta")
 
 
 def read_index_meta(spark, path: str):
     """The ``(k, rows_per_band, n)`` parameters stored by
-    :func:`write_dedup_index`, or None for a pre-metadata index."""
+    :func:`write_dedup_index`, or None for a PRE-METADATA index (no
+    ``<path>/meta`` directory). Only the missing-path case maps to None:
+    any other read failure (transient filesystem error, permission
+    denial, corrupt JSON) re-raises — treating it as "no metadata" would
+    silently fall back to default hash parameters, i.e. zero band
+    collisions and every near-duplicate admitted."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.json(f"{path}/meta").collect()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     return row[0] if row else None
 
 

@@ -35,6 +35,20 @@ from alphastats_spark.operators import ordered
 # deterministic hash sampling (domain mixing)
 
 
+def _md5_key(col: Column, salt: str | None = None, hex_digits: int = 8) -> Column:
+    """First ``hex_digits`` hex digits of ``md5(salt ":" value)`` as a
+    BIGINT — the one engine-portable deterministic key every hash-keyed
+    operator derives from (bucketing, splits, shards, quotas, weighted
+    sampling). Each DuckDB oracle mirrors this expression verbatim
+    (``CAST(CONCAT('0x', substr(md5(...), 1, H)) AS BIGINT)``); widen or
+    re-salt here and there in lockstep or the engines silently diverge.
+    """
+    s = col.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(salt + ":"), s)
+    return F.conv(F.substring(F.md5(s), 1, hex_digits), 16, 10).cast("bigint")
+
+
 def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets) from the md5 of a value.
 
@@ -45,9 +59,7 @@ def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     incremental reruns — the property a production sampling step actually
     needs. The filter is a scan-level predicate: no shuffle, no state.
     """
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % n_buckets
-    )
+    return _md5_key(col) % n_buckets
 
 
 def stratified_sample(
@@ -914,10 +926,7 @@ def weighted_sample(
     oracle could not mirror the sentinel). Output: the selected rows with
     their ``weight`` and rounded ``priority``.
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("double")
-        + 0.5
-    ) / F.lit(4294967296.0)
+    u = (_md5_key(F.col(id_col)).cast("double") + 0.5) / F.lit(4294967296.0)
     w = weight.cast("double")
     out = (
         df.withColumn("__w", w)
@@ -954,10 +963,7 @@ def hash_split(
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {sum(weights.values())}")
     names = list(weights)
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
-        16, 10,
-    ).cast("double") / F.lit(4294967296.0)
+    u = _md5_key(F.col(id_col), salt).cast("double") / F.lit(4294967296.0)
     case = None
     cum = 0.0
     for name in names[:-1]:
@@ -988,10 +994,7 @@ def shard_corpus(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    key = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 12),
-        16, 10,
-    ).cast("bigint")
+    key = _md5_key(F.col(id_col), salt, hex_digits=12)
     return df.withColumn("shard_key", key).withColumn(
         "shard", F.pmod(F.col("shard_key"), F.lit(n_shards)).cast("int")
     )
@@ -1048,10 +1051,7 @@ def cap_per_group(
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     over = counts.where(F.col("__n") > cap).select(group_col)
     small = df.join(F.broadcast(over), group_col, "left_anti")
-    key = order_by if order_by is not None else F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
-        16, 10,
-    ).cast("bigint")
+    key = order_by if order_by is not None else _md5_key(F.col(id_col), salt)
     ranked = (
         df.join(F.broadcast(over), group_col, "semi")
         .withColumn("__k", key)

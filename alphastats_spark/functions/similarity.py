@@ -226,11 +226,14 @@ def knn_join(
     sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`.
 
     ``n_planes=None`` (the default) auto-sizes from the corpus via
-    :func:`knn_join_planes` — one cheap ``df.count()`` (a map-side count,
-    no shuffle of the vectors) buys plane count ∝ log₂(n), the difference
-    between linear and quadratic candidate volume at scale. Pass an
-    explicit ``n_planes`` to pin buckets (the oracle-gated queries do, for
-    cross-engine determinism).
+    :func:`knn_join_planes`: the (id, vec, norm) projection is persisted
+    (pass-cache registry — released by the caller's
+    ``ordered.pass_cache_scope``) and counted ONCE, so the sizing count
+    does not re-execute an expensive upstream lineage and the join tables
+    build from the cached projection. Plane count ∝ log₂(n) is the
+    difference between linear and quadratic candidate volume at scale.
+    Pass an explicit ``n_planes`` to pin buckets (the oracle-gated
+    queries do, for cross-engine determinism).
 
     ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
     per table: the query side EXPLODES to its bucket plus ``n_planes``
@@ -242,8 +245,6 @@ def knn_join(
         raise ValueError("multiprobe must be 0 or 1")
     if dim is None:
         dim = infer_dim(df, vec_col)
-    if n_planes is None:
-        n_planes = knn_join_planes(df.count())
 
     norm = _norm(_as_double(F.col(vec_col)))
     base = df.select(
@@ -251,6 +252,11 @@ def knn_join(
         _as_double(F.col(vec_col)).alias("__v"),
         norm.alias("__nrm"),
     )
+    if n_planes is None:
+        from alphastats_spark.operators import ordered
+
+        base = ordered.persist_tracked(base)
+        n_planes = knn_join_planes(base.count())
 
     pair_tables = []
     for t in range(n_tables):

@@ -242,7 +242,8 @@ def session_metrics(
 
 
 def _stream_banded(
-    df: DataFrame, id_col: str, text_col: str, k: int, rows_per_band: int
+    df: DataFrame, id_col: str, text_col: str, k: int, rows_per_band: int,
+    n: int = 3,
 ) -> DataFrame:
     """Per-row MinHash band rows ``(__id, band, sig)`` for a document
     stream — ``array_min`` over the shingle array, no shuffle, identical
@@ -264,7 +265,7 @@ def _stream_banded(
         )
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
-        shingles(F.col(text_col)).alias("__sh"),
+        shingles(F.col(text_col), n).alias("__sh"),
     ).where(F.size("__sh") > 0)
 
     def mh(j: int) -> Column:
@@ -295,6 +296,7 @@ def streaming_index_candidates(
     id_col: str = "doc_id",
     k: int | None = None,
     rows_per_band: int | None = None,
+    n: int | None = None,
     text_col: str = "text",
     index_path: str | None = None,
 ) -> DataFrame:
@@ -317,11 +319,11 @@ def streaming_index_candidates(
 
     Stream bands MUST be hashed with the index's build parameters or no
     collision ever fires (every near-dup silently admitted): pass
-    ``index_path`` to load ``k``/``rows_per_band`` from the stored meta
-    (and to fail loudly on an explicit mismatch); without it, ``None``
-    falls back to the library-wide defaults ``dedup.MINHASH_K``/2 that
-    ``write_dedup_index`` also uses, so the two stay in lockstep when a
-    global constant changes.
+    ``index_path`` to load ``k``/``rows_per_band``/``n`` (the shingle
+    width) from the stored meta (and to fail loudly on an explicit
+    mismatch); without it, ``None`` falls back to the library-wide
+    defaults ``dedup.MINHASH_K``/2/3 that ``write_dedup_index`` also
+    uses, so the two stay in lockstep when a global constant changes.
     """
     from alphastats_spark.functions import dedup
 
@@ -330,8 +332,8 @@ def streaming_index_candidates(
         if index_path is not None
         else None
     )
-    k, rows_per_band, _ = dedup._resolve_index_params(meta, k, rows_per_band, None)
-    banded = _stream_banded(stream_df, id_col, text_col, k, rows_per_band)
+    k, rows_per_band, n = dedup._resolve_index_params(meta, k, rows_per_band, n)
+    banded = _stream_banded(stream_df, id_col, text_col, k, rows_per_band, n)
     idx = index_bands.select(
         F.col("match_id").cast("long").alias("match_id"), "band", "sig"
     )

@@ -148,14 +148,18 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
     # O(batch)) — the production shape; the frame-to-frame
     # incremental_admit re-tokenizes the corpus per call (measured
     # exponent 1.16 in SCALE_r06) and is documented as small-corpus-only
+    import shutil
     import tempfile
 
     idx_dir = tempfile.mkdtemp(prefix="as_scale_idx_")
-    t("index_build", lambda: dedup.write_dedup_index(
-        docs.where("doc_id % 10 != 0"), idx_dir))
-    t("index_admit", lambda: dedup.admit_against_index(
-        docs.where("doc_id % 10 = 0"), idx_dir)
-        .groupBy("admitted").count().collect())
+    try:
+        t("index_build", lambda: dedup.write_dedup_index(
+            docs.where("doc_id % 10 != 0"), idx_dir))
+        t("index_admit", lambda: dedup.admit_against_index(
+            docs.where("doc_id % 10 = 0"), idx_dir)
+            .groupBy("admitted").count().collect())
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
     t("containment_capped", lambda: dedup.containment_pairs(
         docs, threshold=0.8, max_shingle_df=200).count())
     t("session_paths", lambda: events.session_paths(ev, k=5).collect())

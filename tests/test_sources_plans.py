@@ -851,6 +851,10 @@ def test_funnel_step_filter_pushed_to_scan(spark):
     collect fold — visible as an In(event_type, ...) pushed filter on the
     parquet scan, so non-step traffic (the power-user skew mass) never
     enters the shuffle."""
+    import os
+
+    if not os.path.exists("/root/testdata/sf0.001/events.parquet"):
+        pytest.skip("driver testdata not present")
     from alphastats_spark.functions import events as ev_ops
     from alphastats_spark.harness import _event_us
     from alphastats_spark.plans.audit import scan_info
@@ -912,3 +916,47 @@ def test_audit_round7_operators(spark):
         )
     }
     assert kinds <= {"unfiltered-scan"}, kinds
+
+
+def test_streaming_index_candidates_honors_stored_n(spark, tmp_path):
+    """An index built with a non-default shingle width n=5 must still
+    collide with stream bands when index_path is passed: the stream side
+    shingles with the STORED n, not the hardcoded default (pre-fix the n
+    from meta was discarded — zero collisions, every near-dup admitted)."""
+    import time as _time
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.streaming import streaming_index_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "didx5")
+    dedup.write_dedup_index(docs.where("doc_id < 4"), path, n=5)
+
+    src = str(tmp_path / "stream_src")
+    docs.where("doc_id >= 4").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    bands = spark.read.parquet(f"{path}/bands")
+    sq = (
+        streaming_index_candidates(stream, bands, index_path=path)
+        .writeStream.format("memory")
+        .queryName("sic_n5")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert sq.awaitTermination(120)
+    got = spark.sql(
+        "select distinct new_id, match_id from sic_n5"
+    ).collect()
+    # identical texts => every (new, corpus) pair collides in every band
+    assert {(r["new_id"], r["match_id"]) for r in got} == {
+        (n, m) for n in (4, 5) for m in (0, 1, 2, 3)
+    }
+    # explicit mismatching n still fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not match the index"):
+        streaming_index_candidates(stream, bands, index_path=path, n=3)
