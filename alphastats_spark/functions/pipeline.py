@@ -1085,3 +1085,29 @@ def group_split(
     group sizes are balanced — the price of the no-leakage guarantee.
     """
     return hash_split(df, weights, id_col=group_col, salt=salt)
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Per-group percentile normalization of a score column — the
+    calibration step before cross-domain thresholding: raw quality/LM
+    scores are not comparable across domains (a mediocre arXiv paper
+    outscores an excellent forum post), so curation cuts are taken on the
+    WITHIN-group percentile instead.
+
+    ``out_col`` = ``percent_rank() OVER (PARTITION BY group ORDER BY
+    value, id)`` — the deterministic SQL definition ((rank-1)/(n-1), 0 for
+    singleton groups), ties broken by id so the rank is reproducible and
+    engine-portable. One rank shuffle partitioned by group — parallel
+    across domains; a single pathological mega-group serializes only its
+    own rows (pre-thin with :func:`cap_per_group` when that matters).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -437,6 +437,24 @@ def write_ivf_index(
     ivf_index(df, centroids, vec_col).write.partitionBy("ivf_list").mode(mode).parquet(path)
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Index MAINTENANCE without retrain: assign a new vector batch to the
+    EXISTING coarse quantizer and parquet-append into the partition
+    directories — ingest cost is O(batch), the stored corpus is never
+    rewritten, and readers see the union immediately (partition pruning
+    unchanged). This is how a production IVF index absorbs a daily crawl;
+    re-clustering is a periodic offline rebuild, not an ingest step. Pass
+    the SAME centroids the index was built with — assignment against a
+    different quantizer splits a list across directories and silently
+    halves recall."""
+    ivf_index(df, centroids, vec_col).write.partitionBy("ivf_list").mode("append").parquet(path)
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

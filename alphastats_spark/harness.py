@@ -1501,9 +1501,10 @@ _ROUND7_WINDOW = [
     # driver-gated — VERDICT r6 "Next round" #1 and ADVICE r6 both demand
     # they front this window).
     "corpus_cap_per_source", "corpus_top_docs_per_source",
-    "corpus_group_split", "cust_fuzzy_names",
+    "doc_score_percentiles", "corpus_group_split", "cust_fuzzy_names",
     "emb_quantize_int8", "docs_orc_roundtrip", "doc_decontaminate_hashed",
     "dedup_streaming_exact",
+    "ann_ivf_append",
     "dedup_simhash_pairs", "ann_ivfpq_refine", "ann_ivf_partitioned",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (c): queries over machinery REVISED this round —
@@ -1524,7 +1525,7 @@ _ROUND7_WINDOW = [
     "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
     "emb_near_dups", "doc_repetition", "corpus_sample_stratified",
     "doc_chunks",
-    # Priority (e): 14 rotation slots over the 35 remaining r4 greens,
+    # Priority (e): 12 rotation slots over the 35 remaining r4 greens,
     # fronting every non-scalar-agg machinery family (islands, as-of/
     # ffill, keyed long frame, autocorr penalty, media codecs, event
     # analytics, pipeline curation). The 18 r4 scalar-agg greens left out
@@ -1535,14 +1536,16 @@ _ROUND7_WINDOW = [
     # _agg_result machinery — re-verified by this round's committed
     # replica sweep; they front the r8 rotation alongside
     # doc_quality_filter and corpus_source_stats (all displaced when this
-    # round's 8 new registrations took priority (b) slots;
-    # corpus_pack_greedy rotates to r8 likewise).
+    # round's 9 new registrations took priority (b) slots;
+    # corpus_pack_greedy and r_squared rotate to r8 likewise —
+    # r_squared shares the as-of machinery correlation and
+    # treynor_ratio keep in-window).
     # doc_decontaminate stays: its machinery CHANGED this round (hashed
     # broadcast variant; exact path's probe became an explicit semi-join).
-    "consecutive_losses", "correlation", "r_squared", "treynor_ratio",
+    "consecutive_losses", "correlation", "treynor_ratio",
     "multi_asset_greeks_long", "smart_sharpe", "smart_adjusted_sortino",
     "media_resize_real", "media_frames_real",
-    "event_sessionization", "event_session_windows", "event_hourly_counts",
+    "event_sessionization", "event_session_windows",
     "event_hourly_streaming",
     "doc_decontaminate",
 ]
@@ -2069,7 +2072,8 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
 def _ivf_oracle_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 4,
-                    seed: int = 42, sample_rows: int = 10_000) -> str:
+                    seed: int = 42, sample_rows: int = 10_000,
+                    train_mod: tuple[int, int] | None = None) -> str:
     """Oracle for similarity.ivf_topk.
 
     The coarse quantizer is deterministic end-to-end: the training sample is
@@ -2093,7 +2097,15 @@ def _ivf_oracle_sql(k: int = 20, n_centroids: int = 16, nprobe: int = 4,
     t = pq.read_table(f"{path}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
     vecs = t.column("embedding").to_pylist()
-    order = np.argsort(ids, kind="stable")[:sample_rows]
+    if train_mod is not None:
+        # centroids trained on a SUBSET (the index-append query builds the
+        # quantizer before the appended batch exists): keep ids where
+        # id % m != r, mirroring the Spark side's ivf_centroids input
+        m, r = train_mod
+        keep = np.nonzero(ids % m != r)[0]
+        order = keep[np.argsort(ids[keep], kind="stable")][:sample_rows]
+    else:
+        order = np.argsort(ids, kind="stable")[:sample_rows]
     cents = similarity.kmeans_train([vecs[i] for i in order], n_centroids, 5, seed)
     qvec = [float(x) for x in vecs[int(np.nonzero(ids == 0)[0][0])]]
     probes = similarity.ivf_probes(qvec, cents, nprobe)
@@ -2995,6 +3007,36 @@ GROUP BY label, pos""")
     # in-memory path — the partitioned round-trip must not change a bit.
     add("ann_ivf_partitioned", _ann_ivf_partitioned,
         _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8))
+
+    def _ann_ivf_append(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        emb = _embs(spark, sf_dir)
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        batch = emb.where(F.col("vec_id") % 5 == 0)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        cents = similarity.ivf_centroids(base, n_centroids=16, seed=42)
+        d = tempfile.mkdtemp(prefix="as_ivf_app_")
+        try:
+            similarity.write_ivf_index(base, cents, d)
+            similarity.append_to_ivf_index(batch, cents, d)
+            back = spark.read.parquet(d)
+            out = similarity.ivf_topk(back, qvec, cents, k=20, nprobe=8, indexed=True)
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    # Index MAINTENANCE: quantizer trained on the 80% base corpus, index
+    # written partitioned, then the held-out 20% batch parquet-APPENDS into
+    # the partition dirs without retrain or rewrite (the daily-crawl ingest
+    # shape). The probe then runs over the union; the oracle re-trains the
+    # same subset-derived centroids (train_mod) and scans all vectors, so
+    # the appended index must agree bit-for-bit with a from-scratch build.
+    add("ann_ivf_append", _ann_ivf_append,
+        _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8, train_mod=(5, 0)))
 
     def _ann_ivfpq(spark, sf_dir):
         emb = _embs(spark, sf_dir)
@@ -4491,6 +4533,24 @@ WITH r AS (SELECT doc_id, source, n_chars,
            FROM documents)
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM r WHERE rn <= 3""")
+
+    # Per-group percentile calibration: percent_rank of n_chars within
+    # source (deterministic (rank-1)/(n-1) with id tie-break) — the
+    # within-domain normalization a cross-domain quality cut needs.
+    add("doc_score_percentiles",
+        lambda spark, sf_dir: pipeline.percentile_normalize(
+            _docs(spark, sf_dir), "n_chars"
+        ).select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round("pct_rank", ROUND).alias("pct_rank"),
+        ),
+        f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id), {ROUND})
+         AS pct_rank
+FROM documents""")
 
     # Leakage-safe grouped split: the md5 uniform is drawn from the SOURCE
     # key, so a source's documents can never straddle train/eval. Cumulative

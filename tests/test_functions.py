@@ -2063,3 +2063,30 @@ def test_cap_per_group_order_by(spark):
     ).collect()
     want = sorted(rows, key=lambda r: (-r[2], r[0]))[:3]
     assert sorted((r["doc_id"]) for r in top) == sorted(r[0] for r in want)
+
+
+def test_ivf_append_equals_fresh_build(spark, tmp_path):
+    """append_to_ivf_index: base index + appended batch reads back
+    identical (rows and list assignment) to one from-scratch build of the
+    union with the SAME centroids — ingest is O(batch), no rewrite."""
+    from alphastats_spark.functions import similarity
+
+    n, dim = 120, 8
+    rows = [
+        (i, [((i * 37 + j * 11) % 101) / 101.0 - 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = emb.where("vec_id % 4 != 0")
+    batch = emb.where("vec_id % 4 = 0")
+    cents = similarity.ivf_centroids(base, n_centroids=4, seed=7)
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    similarity.write_ivf_index(base, cents, inc)
+    similarity.append_to_ivf_index(batch, cents, inc)
+    similarity.write_ivf_index(emb, cents, full)
+
+    key = lambda r: (r["ivf_list"], r["vec_id"])
+    a = sorted(spark.read.parquet(inc).select("vec_id", "ivf_list").collect(), key=key)
+    b = sorted(spark.read.parquet(full).select("vec_id", "ivf_list").collect(), key=key)
+    assert a == b and len(a) == n
