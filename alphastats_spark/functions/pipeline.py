@@ -1111,3 +1111,68 @@ def percentile_normalize(
 
     w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
     return df.withColumn(out_col, F.percent_rank().over(w))
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_gram_df: int | None = 1000,
+) -> DataFrame:
+    """Pairwise cross-source n-gram overlap — the corpus-audit matrix that
+    surfaces mirror sites, cross-posted content and eval leakage BETWEEN
+    ingest sources before any of them is trusted as "independent" data.
+
+    Output per unordered source pair (a < b): ``n_common`` distinct grams
+    shared, each side's distinct gram count, and the Jaccard overlap.
+
+    Plan shape: one explode to distinct (source, gram) — grouped per
+    SOURCE, not per document, so the frame is bounded by vocabulary ×
+    sources — then a gram self-join that meets only inside a gram's
+    source list, and one groupBy on the (a, b) pair. ``max_gram_df``
+    drops grams present in more than that many SOURCES before the
+    self-join (df here is per-source incidence, bounded by |sources|) —
+    ubiquitous boilerplate grams contribute pairs quadratically in their
+    incidence while carrying no signal about any specific pair; None
+    disables the guard when exact counts over all grams are required.
+    """
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    sg = (
+        df.select(F.col(group_col).alias("__src"), F.explode(_word_ngrams(toks, n)).alias("gram"))
+        .distinct()
+    )
+    sg = ordered.persist_tracked(sg)
+    if max_gram_df is not None:
+        dfreq = sg.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        sg = sg.join(
+            F.broadcast(dfreq.where(F.col("__df") > max_gram_df).select("gram")),
+            "gram", "left_anti",
+        )
+    # sizes AFTER the cap, so (n_common, n_grams_*, jaccard) is a
+    # consistent triple over the same (informative) gram universe
+    sizes = sg.groupBy("__src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("__src").alias("src_a"), "gram")
+    b = sg.select(F.col("__src").alias("src_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = F.broadcast(sizes)
+    return (
+        common.join(sz.select(F.col("__src").alias("src_a"), F.col("n_grams").alias("n_grams_a")), "src_a")
+        .join(sz.select(F.col("__src").alias("src_b"), F.col("n_grams").alias("n_grams_b")), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("n_grams_a").cast("bigint").alias("n_grams_a"),
+            F.col("n_grams_b").cast("bigint").alias("n_grams_b"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_common")),
+                7,
+            ).alias("jaccard"),
+        )
+    )

@@ -1501,7 +1501,8 @@ _ROUND7_WINDOW = [
     # driver-gated — VERDICT r6 "Next round" #1 and ADVICE r6 both demand
     # they front this window).
     "corpus_cap_per_source", "corpus_top_docs_per_source",
-    "doc_score_percentiles", "corpus_group_split", "cust_fuzzy_names",
+    "doc_score_percentiles", "corpus_overlap_matrix",
+    "corpus_group_split", "cust_fuzzy_names",
     "emb_quantize_int8", "docs_orc_roundtrip", "doc_decontaminate_hashed",
     "dedup_streaming_exact",
     "ann_ivf_append",
@@ -1525,7 +1526,7 @@ _ROUND7_WINDOW = [
     "doc_tfidf_topk", "corpus_ngram_counts", "doc_redact_pii",
     "emb_near_dups", "doc_repetition", "corpus_sample_stratified",
     "doc_chunks",
-    # Priority (e): 12 rotation slots over the 35 remaining r4 greens,
+    # Priority (e): 11 rotation slots over the 35 remaining r4 greens,
     # fronting every non-scalar-agg machinery family (islands, as-of/
     # ffill, keyed long frame, autocorr penalty, media codecs, event
     # analytics, pipeline curation). The 18 r4 scalar-agg greens left out
@@ -1544,7 +1545,7 @@ _ROUND7_WINDOW = [
     # broadcast variant; exact path's probe became an explicit semi-join).
     "consecutive_losses", "correlation", "treynor_ratio",
     "multi_asset_greeks_long", "smart_sharpe", "smart_adjusted_sortino",
-    "media_resize_real", "media_frames_real",
+    "media_resize_real",
     "event_sessionization", "event_session_windows",
     "event_hourly_streaming",
     "doc_decontaminate",
@@ -4533,6 +4534,36 @@ WITH r AS (SELECT doc_id, source, n_chars,
            FROM documents)
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM r WHERE rn <= 3""")
+
+    # Cross-source trigram overlap matrix: the corpus-audit surface for
+    # mirror sites / cross-posted content between ingest sources. The
+    # default gram-incidence cap (1000 SOURCES) is inert at the 20-source
+    # gate corpus, so the oracle needs no cap CTE; the capped path is
+    # pinned by pytest on a synthetic ubiquitous gram.
+    add("corpus_overlap_matrix",
+        lambda spark, sf_dir: pipeline.source_overlap_matrix(
+            _docs(spark, sf_dir), n=3
+        ),
+        f"""
+WITH t AS (SELECT source, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT source, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3)
+),
+sz AS (SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source),
+c AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT src_a, src_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(za.n_grams AS BIGINT) AS n_grams_a,
+       CAST(zb.n_grams AS BIGINT) AS n_grams_b,
+       ROUND(n_common * 1.0 / (za.n_grams + zb.n_grams - n_common), {ROUND})
+         AS jaccard
+FROM c
+JOIN sz za ON c.src_a = za.source
+JOIN sz zb ON c.src_b = zb.source""")
 
     # Per-group percentile calibration: percent_rank of n_chars within
     # source (deterministic (rank-1)/(n-1) with id tie-break) — the

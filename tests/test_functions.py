@@ -2090,3 +2090,32 @@ def test_ivf_append_equals_fresh_build(spark, tmp_path):
     a = sorted(spark.read.parquet(inc).select("vec_id", "ivf_list").collect(), key=key)
     b = sorted(spark.read.parquet(full).select("vec_id", "ivf_list").collect(), key=key)
     assert a == b and len(a) == n
+
+
+def test_source_overlap_matrix_cap_drops_ubiquitous_gram(spark):
+    """A gram present in more sources than max_gram_df is excluded from
+    the overlap counts AND from each side's gram universe, so the
+    (n_common, sizes, jaccard) triple stays consistent; with the cap off
+    the ubiquitous gram counts everywhere."""
+    from alphastats_spark.functions import pipeline
+    from alphastats_spark.operators import ordered
+
+    rows = [
+        (1, "s1", "common boiler phrase alpha one two"),
+        (2, "s2", "common boiler phrase beta three four"),
+        (3, "s3", "common boiler phrase gamma five six"),
+        (4, "s1", "unique to s1 only seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    with ordered.pass_cache_scope():
+        uncapped = {
+            (r["src_a"], r["src_b"]): r["n_common"]
+            for r in pipeline.source_overlap_matrix(df, n=3, max_gram_df=None).collect()
+        }
+        capped_rows = pipeline.source_overlap_matrix(df, n=3, max_gram_df=2).collect()
+    # 'common boiler phrase' hits all 3 sources -> dropped at cap 2
+    assert uncapped[("s1", "s2")] >= 1
+    capped = {(r["src_a"], r["src_b"]): r["n_common"] for r in capped_rows}
+    assert ("s1", "s2") not in capped or capped[("s1", "s2")] < uncapped[("s1", "s2")]
+    for r in capped_rows:  # triple consistency under the cap
+        assert r["n_common"] <= min(r["n_grams_a"], r["n_grams_b"])
