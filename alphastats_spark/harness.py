@@ -1494,12 +1494,14 @@ SELECT Metric, Strategy FROM (
 
 _ROUND7_WINDOW = [
     # Round 7 window (50 slots). Priority (a) repaired fails: none — r6 was
-    # 50/50. Priority (b): first the 5 queries REGISTERED this round
-    # (per-source cap, grouped split, deletion-neighborhood edit-distance
-    # join, int8 quantization, ORC roundtrip), then the 5 round-6
-    # registrations whose only green evidence is the replica sweep (never
-    # driver-gated — VERDICT r6 "Next round" #1 and ADVICE r6 both demand
-    # they front this window).
+    # 50/50. Priority (b): first the 11 queries REGISTERED this round
+    # (per-source cap + best-k order_by variant, percentile calibration,
+    # cross-source overlap matrix, grouped split, deletion-neighborhood
+    # edit-distance join, int8 quantization, ORC roundtrip, hashed
+    # decontamination, stateful streaming exact dedup, IVF index append),
+    # then the 5 round-6 registrations whose only green evidence is the
+    # replica sweep (never driver-gated — VERDICT r6 "Next round" #1 and
+    # ADVICE r6 both demand they front this window).
     "corpus_cap_per_source", "corpus_top_docs_per_source",
     "doc_score_percentiles", "corpus_overlap_matrix",
     "corpus_group_split", "cust_fuzzy_names",
@@ -1535,12 +1537,11 @@ _ROUND7_WINDOW = [
     # calmar, recovery_factor, tail_ratio, cvar, ulcer_index,
     # serenity_index) are single-pass compositions over the same
     # _agg_result machinery — re-verified by this round's committed
-    # replica sweep; they front the r8 rotation alongside
-    # doc_quality_filter and corpus_source_stats (all displaced when this
-    # round's 9 new registrations took priority (b) slots;
-    # corpus_pack_greedy and r_squared rotate to r8 likewise —
-    # r_squared shares the as-of machinery correlation and
-    # treynor_ratio keep in-window).
+    # replica sweep; they front the r8 rotation alongside the 6 names
+    # displaced when this round's 11 new registrations took priority (b)
+    # slots: doc_quality_filter, corpus_source_stats, corpus_pack_greedy,
+    # r_squared (shares the as-of machinery correlation and treynor_ratio
+    # keep in-window), event_hourly_counts and media_frames_real.
     # doc_decontaminate stays: its machinery CHANGED this round (hashed
     # broadcast variant; exact path's probe became an explicit semi-join).
     "consecutive_losses", "correlation", "treynor_ratio",
