@@ -669,6 +669,8 @@ def quantize_embeddings(
     Output: ``(id, q int8[] as array<int>, scale, n_dims)`` plus the
     reconstruction-error bound ``max_abs_err = max|q_i*scale - v_i|``
     (<= scale/2 by construction — kept as a per-vector audit column).
+    A NULL vector propagates as all-null outputs (no row is dropped), so
+    upstream null-handling policy stays with the caller.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
