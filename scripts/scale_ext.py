@@ -181,6 +181,11 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
     # count grows linearly with n — the blocking, not the data, is probed)
     t("cap_per_group", lambda: pipeline.cap_per_group(
         docs, cap=50, group_col="source").count())
+    t("percentile_normalize", lambda: pipeline.percentile_normalize(
+        docs.withColumn("__len", F.length("text")), "__len")
+        .agg(F.avg("pct_rank")).collect())
+    t("source_overlap_matrix", lambda: pipeline.source_overlap_matrix(
+        docs, n=3).count())
     keys = docs.select(
         "doc_id",
         F.concat(F.lit("Item#"), F.lpad(F.col("doc_id").cast("string"), 9, "0")

@@ -2119,3 +2119,26 @@ def test_source_overlap_matrix_cap_drops_ubiquitous_gram(spark):
     assert ("s1", "s2") not in capped or capped[("s1", "s2")] < uncapped[("s1", "s2")]
     for r in capped_rows:  # triple consistency under the cap
         assert r["n_common"] <= min(r["n_grams_a"], r["n_grams_b"])
+
+
+def test_percentile_normalize_matches_pandas(spark):
+    """percent_rank per group equals pandas' (rank-1)/(n-1) with the same
+    ascending (value, id) order; singleton group ranks 0."""
+    import pandas as pd
+
+    from alphastats_spark.functions import pipeline
+
+    rows = [(1, "a", 5.0), (2, "a", 1.0), (3, "a", 5.0), (4, "a", 2.0), (9, "b", 7.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, q double")
+    got = {
+        r["doc_id"]: r["pr"]
+        for r in pipeline.percentile_normalize(df, "q", out_col="pr").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "q"]).sort_values(
+        ["source", "q", "doc_id"]
+    )
+    for src, grp in pdf.groupby("source"):
+        n = len(grp)
+        for pos, doc in enumerate(grp["doc_id"]):
+            want = 0.0 if n == 1 else pos / (n - 1)
+            assert got[doc] == want, (doc, got[doc], want)
