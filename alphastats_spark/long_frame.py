@@ -57,7 +57,7 @@ def metrics_by_key(
     keys = [key_col]
 
     base = df.select(key_col, temporal, value_col)
-    base = keyed.with_order_keyed(base, temporal, keys)
+    base = keyed.with_order_keyed(base, temporal)
     # peak positions ride along in the same prefix pass: the episode stats
     # below then need no island pass of their own
     base = keyed.add_drawdown_columns_keyed(

@@ -145,8 +145,13 @@ def _episode_stats(
     # Single-scan unpivot via stack() — a union of N per-column selects would
     # recompute the whole drawdown plan N times.
     df = df.withColumn("__pos", pos)
+    def _lit(c: str) -> str:
+        # asset names land in single-quoted SQL literals — escape so a
+        # name like O'Brien cannot break (or inject into) the stack() expr
+        return c.replace("\\", "\\\\").replace("'", "\\'")
+
     stack_args = ", ".join(
-        f"'{c}', `{pos_cols[c]}`, cast(`{dd_cols[c]}` as double)" for c in cols
+        f"'{_lit(c)}', `{pos_cols[c]}`, cast(`{dd_cols[c]}` as double)" for c in cols
     )
     long_df = df.selectExpr(
         "__pos", f"stack({len(cols)}, {stack_args}) as (__asset, __island, __dd)"
@@ -154,15 +159,13 @@ def _episode_stats(
 
     if temporal_name is None:
         length = F.count(F.lit(1)).cast("long")
-    elif is_date:
-        length = (F.datediff(F.max("__pos"), F.min("__pos")) + 1).cast("long")
     else:
-        length = (
-            F.floor(
-                (F.unix_timestamp(F.max("__pos")) - F.unix_timestamp(F.min("__pos"))) / 86400
-            )
-            + 1
-        ).cast("long")
+        # calendar datediff for BOTH date and timestamp temporals — the
+        # same rule as the keyed mirror (keyed.py episode_stats_keyed), so
+        # wide-frame and long-frame drawdown-day metrics agree on
+        # identical series (elapsed-time floor(Δts/86400) undercounted a
+        # 23:00→01:00 episode as 1 day where the keyed path said 2)
+        length = (F.datediff(F.max("__pos"), F.min("__pos")) + 1).cast("long")
 
     episodes = long_df.groupBy("__asset", "__island").agg(
         F.min("__dd").alias("__min_dd"), length.alias("__len")

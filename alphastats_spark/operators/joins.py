@@ -25,12 +25,17 @@ from pyspark.sql import functions as F
 from alphastats_spark.operators import ordered
 
 
-#: Monotone, calendar-arithmetic bucket expressions for the as-of union
-#: frame. Each maps a timestamp column to a long that is non-decreasing in
-#: time (the two-phase ffill requirement) without consulting the session
-#: timezone. 366/24 multipliers over-allocate within-period slots, which
-#: preserves monotonicity across period boundaries (Dec 31 of year Y <
-#: Jan 1 of Y+1) at no cost.
+#: Monotone bucket expressions for the as-of union frame: a long that is
+#: non-decreasing in time (the two-phase ffill requirement). DATE inputs
+#: use calendar arithmetic (dates carry no timezone; the 366/24
+#: multipliers over-allocate within-period slots, preserving monotonicity
+#: across period boundaries at no cost). TIMESTAMP inputs use plain epoch
+#: division instead — year/dayofyear/hour on a timestamp read the SESSION
+#: timezone, and a zone whose DST fall-back crosses a bucket boundary
+#: would send later rows to an EARLIER bucket, silently breaking the fill
+#: order; floor(epoch/width) is strictly monotone in the instant by
+#: construction (the "month" width is a fixed 31 days — bucket boundaries
+#: never matter semantically, only the per-bucket row count does).
 _ASOF_BUCKETS = {
     "month": lambda ts: (F.year(ts) * 12 + F.month(ts)).cast("long"),
     "day": lambda ts: (F.year(ts) * 366 + F.dayofyear(ts)).cast("long"),
@@ -38,6 +43,8 @@ _ASOF_BUCKETS = {
         (F.year(ts) * 366 + F.dayofyear(ts)) * 24 + F.hour(ts)
     ).cast("long"),
 }
+
+_ASOF_EPOCH_WIDTH = {"month": 31 * 86400, "day": 86400, "hour": 3600}
 
 
 def asof_join(
@@ -62,19 +69,27 @@ def asof_join(
     value_cols = [c for c in right.columns if c != right_on]
     left_cols = [c for c in left.columns]
 
-    right_schema = {f.name: f.dataType for f in right.schema.fields}
+    # The right VALUES travel inside one struct: a right row's struct is
+    # non-null even when every value in it is null, so the forward fill
+    # stops at the MATCHED row and a matched-but-null benchmark value
+    # surfaces as null (Polars join_asof / DuckDB ASOF JOIN semantics)
+    # instead of filling through to an earlier non-null value.
+    rv_type = "struct<" + ", ".join(
+        f"`{f.name}`: {f.dataType.simpleString()}"
+        for f in right.schema.fields if f.name != right_on
+    ) + ">"
     l_tagged = left.select(
         F.col(left_on).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right_schema[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     left_schema = {f.name: f.dataType for f in left.schema.fields}
     r_tagged = right.select(
         F.col(right_on).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left_schema[c]).alias(c) for c in left_cols],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -82,13 +97,17 @@ def asof_join(
     if bucket not in _ASOF_BUCKETS:
         raise ValueError(f"bucket must be one of {sorted(_ASOF_BUCKETS)}, got {bucket!r}")
     unioned = unioned.withColumn(ordered.ORDER_COL, F.struct(F.col("__ts"), F.col("__side")))
-    unioned = unioned.withColumn(
-        ordered.BUCKET_COL, _ASOF_BUCKETS[bucket](F.col("__ts"))
+    is_ts = unioned.schema["__ts"].dataType.typeName() == "timestamp"
+    bucket_expr = (
+        F.floor(F.unix_timestamp(F.col("__ts")) / F.lit(_ASOF_EPOCH_WIDTH[bucket])).cast("long")
+        if is_ts
+        else _ASOF_BUCKETS[bucket](F.col("__ts"))
     )
-    filled = ordered.add_ffill_columns(unioned, {f"{c}__f": F.col(c) for c in value_cols})
+    unioned = unioned.withColumn(ordered.BUCKET_COL, bucket_expr)
+    filled = ordered.add_ffill_columns(unioned, {"__rv__f": F.col("__rv")})
     out = filled.where(F.col("__side") == 1).select(
         *[F.col(c) for c in left_cols],
-        *[F.col(f"{c}__f").alias(c) for c in value_cols],
+        *[F.col("__rv__f").getField(c).alias(c) for c in value_cols],
     )
     return out
 

@@ -32,9 +32,11 @@ from alphastats_spark.operators import ordered as ordered_mod
 from alphastats_spark.operators.ordered import BUCKET_COL, ORDER_COL
 
 
-def with_order_keyed(df: DataFrame, temporal_name: str, key_cols: list[str]) -> DataFrame:
+def with_order_keyed(df: DataFrame, temporal_name: str) -> DataFrame:
     """Attach ORDER/BUCKET columns for a keyed long frame (temporal required:
-    keyed frames are inherently unordered across partitions)."""
+    keyed frames are inherently unordered across partitions). The KEYS play
+    no part here — they enter at the window partitioning of every keyed
+    pass — so this is the plain temporal bucketing."""
     ts = F.col(temporal_name)
     return df.withColumn(ORDER_COL, ts).withColumn(
         BUCKET_COL, (F.year(ts) * 12 + F.month(ts)).cast("long")

@@ -190,6 +190,17 @@ def add_ordered_columns(
       takes the previous bucket's last-row value.
     * ``ffills`` map output → source expression; last non-null so far.
 
+    Order-key contract: rows with a NULL order/bucket sort FIRST (one null
+    bucket preceding every real bucket — the same nulls-first rule Polars'
+    sort applies before its cumulative ops), so a null-dated row
+    contributes to every later prefix; filter such rows upstream when that
+    is not wanted. ORDER_COL values should be UNIQUE within a bucket:
+    the bucket-boundary extraction is ``max_by(running, order)``, so rows
+    tied at a bucket's maximum order key make the carried boundary — and
+    therefore every later bucket's offset — depend on which tie row wins
+    (duplicate timestamps make cumulative semantics order-dependent in any
+    engine; the financial frames this serves have calendar-unique dates).
+
     Bucket totals come FROM the windowed frame: the within-bucket running
     aggregate at a bucket's LAST row IS the bucket total (window
     aggregates skip nulls, so this holds with nulls too; an all-null
@@ -277,11 +288,16 @@ def add_ordered_columns(
     for out in ffills:
         a, p = _q(out + "__in"), _q(out + "__prev")
         final.append(f"coalesce({a}, {p}) AS {_q(out)}")
+    # drop EXACTLY the helpers this pass generated (out+"__in"/"__prev",
+    # the staged __st_ columns and the lag marker) — a suffix heuristic
+    # would silently delete caller columns that merely END in "__in"
+    all_outs = [*sums, *maxes, *lags, *ffills]
+    helpers = {f"{o}__in" for o in all_outs} | {f"{o}__prev" for o in all_outs}
+    helpers.add("__as_rn")
     keep = [
         _q(c)
         for c in df.columns
-        if not (c.endswith("__in") or c.endswith("__prev") or c == "__as_rn"
-                or c.startswith("__st_"))
+        if c not in helpers and not c.startswith("__st_")
     ]
     return df.selectExpr(*keep, *final)
 
@@ -408,17 +424,14 @@ def add_drawdown_columns(
                 f"named_struct('p', {_q(out + '__pk')}.p, "
                 f"'n', coalesce({_q(out + '__nn')}, 0L)) AS {_q(out + '__pos')}"
             )
-    helper = [
-        c
-        for c in df.columns
-        if "__ls" in c
-        or "__neg" in c
-        or "__zero" in c
-        or c.endswith("__w")
-        or c.endswith("__peak")
-        or c.endswith("__pk")
-        or c.endswith("__nn")
-    ]
+    # drop EXACTLY the helpers generated for the requested outputs — a
+    # substring heuristic would silently delete caller columns whose
+    # names happen to contain "__ls"/"__neg"/... fragments
+    helper = {
+        f"{out}{suffix}"
+        for out in cols
+        for suffix in ("__ls", "__neg", "__zero", "__w", "__peak", "__pk", "__nn")
+    }
     return df.selectExpr(*[_q(c) for c in df.columns if c not in helper], *dd_cols)
 
 

@@ -75,7 +75,10 @@ def trailing_metrics(
         else F.floor(F.unix_timestamp(ts) / 86400)
     ).cast("long")
 
-    base = df.select(
+    # a null-temporal row has no trailing window (and its native + ghost
+    # copies would become range-frame peers of each other in the null
+    # bucket, double-counting) — excluded, like any date-based reference op
+    base = df.where(ts.isNotNull()).select(
         *[F.col(k) for k in key_cols],
         ts.alias(temporal),
         *[F.col(c) for c in cols],

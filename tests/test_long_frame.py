@@ -92,7 +92,7 @@ def test_keyed_drawdowns_match_keyless(spark, long_and_wide):
     from alphastats_spark.operators import keyed
 
     long_df, wides = long_and_wide
-    enriched = keyed.with_order_keyed(long_df, "d", ["asset"])
+    enriched = keyed.with_order_keyed(long_df, "d")
     enriched = keyed.add_drawdown_columns_keyed(enriched, ["asset"], {"dd": "r"})
     got = {
         (r["asset"], r["d"]): r["dd"]

@@ -101,3 +101,65 @@ def test_asof_join_bucket_granularities_agree(spark):
 
     with _pytest.raises(ValueError, match="bucket"):
         asof_join(left, right, "ts", "rts", bucket="week")
+
+
+def test_asof_join_null_value_not_filled_through(spark):
+    """A matched right row whose VALUE is null yields null (Polars
+    join_asof / DuckDB ASOF JOIN semantics), not the previous non-null
+    value; left rows before any right row also get null."""
+    import datetime as dt
+
+    from alphastats_spark.operators.joins import asof_join
+
+    D = lambda i: dt.date(2023, 1, i)
+    left = spark.createDataFrame(
+        [(D(1), 1.0), (D(2), 2.0), (D(3), 3.0), (D(4), 4.0)], "d date, r double"
+    )
+    right = spark.createDataFrame([(D(1), 0.01), (D(3), None)], "d date, b double")
+    got = [r["b"] for r in asof_join(left, right, "d", "d").orderBy("d").collect()]
+    assert got == [0.01, 0.01, None, None]
+    early = spark.createDataFrame([(dt.date(2022, 12, 30), 9.0)], "d date, r double")
+    assert asof_join(early, right, "d", "d").first()["b"] is None
+
+
+def test_asof_join_timestamp_buckets_epoch_monotone(spark):
+    """TIMESTAMP inputs bucket by epoch division (session-timezone-proof);
+    hourly series across a day boundary still match exactly."""
+    import datetime as dt
+
+    from alphastats_spark.operators.joins import asof_join
+
+    T = lambda h: dt.datetime(2023, 3, 25, h % 24) + dt.timedelta(days=h // 24)
+    left = spark.createDataFrame(
+        [(T(h), float(h)) for h in range(20, 30)], "t timestamp, r double"
+    )
+    right = spark.createDataFrame(
+        [(T(h), h * 10.0) for h in range(18, 30, 3)], "t timestamp, b double"
+    )
+    for bucket in ("day", "hour"):
+        got = {
+            r["r"]: r["b"]
+            for r in asof_join(left, right, "t", "t", bucket=bucket).collect()
+        }
+        want = {float(h): (h - (h - 18) % 3) * 10.0 for h in range(20, 30)}
+        assert got == want, (bucket, got)
+
+
+def test_ordered_pass_keeps_caller_columns_with_helper_like_names(spark):
+    """Caller columns whose names merely CONTAIN helper fragments
+    (margin__in, vol__lsum) survive the ordered and drawdown passes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.operators import ordered
+
+    rows = [(dt.date(2023, 1, i), 0.01 * i, 1.0, 2.0) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "d date, r double, `margin__in` double, `vol__lsum` double"
+    )
+    df = ordered.with_order(df, "d")
+    out = ordered.add_drawdown_columns(df, {"dd": "r"})
+    assert "margin__in" in out.columns and "vol__lsum" in out.columns
+    out2 = ordered.add_prefix_columns(df, sums={"cum": F.col("r")})
+    assert "margin__in" in out2.columns and "vol__lsum" in out2.columns

@@ -353,7 +353,7 @@ class TestDrawdownEpisodes:
         # keyed path: same series under one key, peak-pos episode ids
         long_rows = [("k", d, v) for d, v in zip(dates, vals)]
         ldf = spark.createDataFrame(long_rows, "key string, date date, value double")
-        ldf = keyed.with_order_keyed(ldf, "date", ["key"])
+        ldf = keyed.with_order_keyed(ldf, "date")
         ldf = keyed.add_drawdown_columns_keyed(
             ldf, ["key"], {"__dd": "value"}, with_peak_pos=True
         )
