@@ -190,12 +190,12 @@ def _candidates_from_sigs(
 
 
 def _token_hash(tok: Column) -> Column:
-    """Deterministic 32-bit token hash: first 8 hex chars of md5 → long.
+    """Deterministic 32-bit token hash — the canonical
+    :func:`alphastats_spark.functions.text.md5_long` key (md5 keeps the
+    DuckDB oracle exact; xxhash64 would be faster but engine-specific)."""
+    from alphastats_spark.functions.text import md5_long
 
-    md5 keeps the oracle exact in DuckDB (``CAST('0x'||SUBSTR(md5(t),1,8) AS
-    BIGINT)``); Spark's xxhash64 would be faster but engine-specific.
-    """
-    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return md5_long(tok)
 
 
 def simhash(
@@ -575,8 +575,27 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exiting by range exhaustion means labels are NOT a fixpoint:
+        # one duplicate cluster would surface under several cluster_ids
+        # and deduplicate() would keep multiple "representatives" of the
+        # same cluster — silent under-deduplication. A near-dup graph
+        # needing >max_iters hops means a pathological chain; fail loudly.
+        labels.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iters={max_iters} "
+            "label-propagation rounds (graph diameter exceeds it); raise "
+            "max_iters or pre-split the pathological component"
+        )
 
     edges.unpersist()
+    # the returned frame stays cached (callers branch over it); register it
+    # so release_pass_caches / pass_cache_scope can free it — a bare
+    # persist() here leaked one labels frame per deduplicate() call
+    from alphastats_spark.operators import ordered as _ordered
+
+    _ordered._PASS_CACHES.append(labels)
     return labels.select("id", "cluster_id")
 
 
@@ -916,10 +935,28 @@ def incremental_admit(
 def _admit_rank(new_df: DataFrame, matches: DataFrame, id_col: str) -> DataFrame:
     """Fold verified ``(new_id, match_id, jaccard)`` matches into the
     per-new-document admission row (shared by the frame-to-frame and
-    materialized-index admission paths)."""
-    best = matches.groupBy("new_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-        F.max(F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nid"))).alias("__b"),
+    materialized-index admission paths).
+
+    Best match = highest jaccard, ties to the LOWEST match id, via a
+    row_number window partitioned by new-doc id (parallel across the
+    batch). A plain ``(jaccard, -id)`` struct-max would be one shuffle
+    cheaper but ``-id`` implicitly casts non-numeric ids to double —
+    a string id like ``web-00042`` would become a null best_match_id
+    with n_matches > 0, silently corrupting the audit."""
+    from pyspark.sql import Window
+
+    id_type = dict(matches.dtypes).get("match_id", "bigint")
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    best = (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_matches",
+            F.count(F.lit(1)).over(Window.partitionBy("new_id")).cast("bigint"),
+        )
+        .where(F.col("__rn") == 1)
+        .select("new_id", "n_matches", "match_id", "jaccard")
     )
     return (
         new_df.select(F.col(id_col))
@@ -927,8 +964,8 @@ def _admit_rank(new_df: DataFrame, matches: DataFrame, id_col: str) -> DataFrame
         .select(
             F.col(id_col),
             F.coalesce("n_matches", F.lit(0).cast("bigint")).alias("n_matches"),
-            F.coalesce(-F.col("__b.nid"), F.lit(-1).cast("long")).alias("best_match_id"),
-            F.coalesce(F.col("__b.jaccard"), F.lit(0.0)).alias("best_jaccard"),
+            F.coalesce(F.col("match_id"), F.lit(-1).cast(id_type)).alias("best_match_id"),
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("best_jaccard"),
             (F.col("n_matches").isNull()).alias("admitted"),
         )
     )
@@ -993,12 +1030,28 @@ def read_index_meta(spark, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        row = spark.read.json(f"{path}/meta").collect()
+        # FAILFAST: PERMISSIVE (the default) would swallow a truncated /
+        # partially-written meta file as a _corrupt_record row with null
+        # fields, which _resolve_index_params would silently fill with
+        # module defaults — the exact mismatched-hash admission hole the
+        # metadata exists to close
+        row = (
+            spark.read.option("mode", "FAILFAST")
+            .schema("k int, rows_per_band int, n int, version int")
+            .json(f"{path}/meta")
+            .collect()
+        )
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
         raise
-    return row[0] if row else None
+    if not row or row[0]["k"] is None:
+        raise ValueError(
+            f"dedup index meta at {path}/meta is empty or corrupt; rebuild the "
+            "index (falling back to default hash parameters would silently "
+            "admit every near-duplicate)"
+        )
+    return row[0]
 
 
 def _resolve_index_params(meta, k, rows_per_band, n):

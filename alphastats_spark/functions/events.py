@@ -126,7 +126,12 @@ def funnel(
         F.count(F.when(F.col("lvl") >= i + 1, True)).alias(f"s{i}")
         for i in range(len(steps))
     ]
-    stack = ", ".join(f"{i + 1}, '{s}', s{i}" for i, s in enumerate(steps))
+    def _lit(v: str) -> str:
+        # step names land in single-quoted SQL literals — escape so an
+        # event type like o'reilly_click cannot break the stack() expr
+        return v.replace("\\", "\\\\").replace("'", "\\'")
+
+    stack = ", ".join(f"{i + 1}, '{_lit(s)}', s{i}" for i, s in enumerate(steps))
     return (
         levels.agg(*counters)
         .select(

@@ -36,17 +36,10 @@ from alphastats_spark.operators import ordered
 
 
 def _md5_key(col: Column, salt: str | None = None, hex_digits: int = 8) -> Column:
-    """First ``hex_digits`` hex digits of ``md5(salt ":" value)`` as a
-    BIGINT — the one engine-portable deterministic key every hash-keyed
-    operator derives from (bucketing, splits, shards, quotas, weighted
-    sampling). Each DuckDB oracle mirrors this expression verbatim
-    (``CAST(CONCAT('0x', substr(md5(...), 1, H)) AS BIGINT)``); widen or
-    re-salt here and there in lockstep or the engines silently diverge.
-    """
-    s = col.cast("string")
-    if salt is not None:
-        s = F.concat(F.lit(salt + ":"), s)
-    return F.conv(F.substring(F.md5(s), 1, hex_digits), 16, 10).cast("bigint")
+    """Alias of the canonical
+    :func:`alphastats_spark.functions.text.md5_long` hash key (see there
+    for the oracle-lockstep contract)."""
+    return text.md5_long(col, salt, hex_digits)
 
 
 def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
@@ -570,13 +563,20 @@ def mix_sample(
         .groupBy(strata_col)
         .agg(F.sum("__n").alias("__mass"))
     )
+    # coalesce AFTER the division: a zero-token-mass source divides by 0
+    # (null under non-ANSI), and least() SKIPS nulls — without the guard a
+    # weight-0 source with empty docs would keep rate 1.0, admitting a
+    # deliberately-excluded source wholesale
     rates = masses.select(
         F.col(strata_col),
         F.least(
             F.lit(1.0),
-            F.lit(float(token_budget))
-            * F.coalesce(share[F.col(strata_col)], F.lit(0.0))
-            / F.col("__mass"),
+            F.coalesce(
+                F.lit(float(token_budget))
+                * F.coalesce(share[F.col(strata_col)], F.lit(0.0))
+                / F.nullif(F.col("__mass"), F.lit(0)),
+                F.lit(0.0),
+            ),
         ).alias("keep_rate"),
     )
     out = df.join(F.broadcast(rates), strata_col, "left")
@@ -891,13 +891,19 @@ def lm_buckets(
     from alphastats_spark import expressions as X
 
     scored = lm_score(df, id_col, text_col, alpha)
-    qs = scored.agg(
+    # lm_score's 0.0 no-bigram sentinel sits ABOVE every real
+    # log-probability ((c2+a)/(c1+aV) < 1 always) — left in, a garbled
+    # 1-token doc would land in 'head' (the CCNet KEEP bucket) and shift
+    # the terciles corpus-wide; unscoreable docs are 'tail' by definition
+    # and excluded from the threshold computation
+    qs = scored.where(F.col("n_bigrams") > 0).agg(
         X.percentile(F.col("avg_logprob"), cuts[0], exact=True).alias("__q1"),
         X.percentile(F.col("avg_logprob"), cuts[1], exact=True).alias("__q2"),
     )
     lp = F.col("avg_logprob")
     bucket = (
-        F.when(lp > F.col("__q2"), F.lit("head"))
+        F.when(F.col("n_bigrams") == 0, F.lit("tail"))
+        .when(lp > F.col("__q2"), F.lit("head"))
         .when(lp > F.col("__q1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )

@@ -542,7 +542,12 @@ def normalize_expr(vec: Column) -> Column:
     standard production shape for cosine ANN."""
     v = _as_double(vec)
     nrm = _norm(v)
-    return F.transform(v, lambda x: x / nrm)
+    # zero vectors (hash_embed emits them for empty docs) stay zero
+    # instead of dividing by 0 — all-null arrays under non-ANSI, a
+    # DIVIDE_BY_ZERO job abort under ANSI
+    return F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(
+        F.transform(v, lambda x: x * 0.0)
+    )
 
 
 def pq_adc_lut(query: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
@@ -686,14 +691,18 @@ def quantize_embeddings(
         ),
     ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
     qd = base.select(F.col(id_col), F.col("__v"), F.col("scale"), q.alias("q"))
-    err = F.when(
-        F.col("scale") > 0,
-        F.array_max(
-            F.zip_with(
-                "q", "__v", lambda a, b: F.abs(a.cast("double") * F.col("scale") - b)
-            )
-        ),
-    ).otherwise(F.lit(0.0))
+    err = (
+        F.when(F.col("__v").isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col("scale") > 0,
+            F.array_max(
+                F.zip_with(
+                    "q", "__v", lambda a, b: F.abs(a.cast("double") * F.col("scale") - b)
+                )
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
     return qd.select(
         F.col(id_col),
         F.col("q"),

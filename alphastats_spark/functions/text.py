@@ -46,6 +46,20 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]+"), F.lit(0)))
 
 
+def md5_long(col: Column, salt: str | None = None, hex_digits: int = 8) -> Column:
+    """THE canonical engine-portable hash key: first ``hex_digits`` hex
+    digits of ``md5(salt ":" value)`` as a BIGINT. Every hash-keyed
+    operator (bucketing, splits, shards, quotas, token hashing, feature
+    hashing) derives from this ONE expression, and every DuckDB oracle
+    mirrors it verbatim (``CAST(CONCAT('0x', substr(md5(...), 1, H)) AS
+    BIGINT)``) — widen or re-salt here and in the oracles in lockstep or
+    the engines silently diverge."""
+    s = col.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(salt + ":"), s)
+    return F.conv(F.substring(F.md5(s), 1, hex_digits), 16, 10).cast("bigint")
+
+
 def normalize(text: Column) -> Column:
     """Canonical form for dedup: lowercase, strip non-alphanumerics,
     collapse whitespace."""
@@ -311,10 +325,7 @@ def hash_embed(
     (all-empty docs get the zero vector).
     """
     toks = tokens(normalize(F.col(text_col)))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10).cast("long")
-        % dim
-    ).cast("int")
+    bucket = (md5_long(F.col("__tok")) % dim).cast("int")
     counts = (
         df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
         .select(id_col, F.when(F.col("__tok").isNotNull(), bucket).alias("__b"))

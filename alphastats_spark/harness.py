@@ -4270,9 +4270,11 @@ scores AS (
          ROUND(COALESCE(agg.a, 0.0), {ROUND}) AS avg_logprob
   FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
 q AS (SELECT quantile_cont(avg_logprob, 1.0/3) AS q1,
-             quantile_cont(avg_logprob, 2.0/3) AS q2 FROM scores)
+             quantile_cont(avg_logprob, 2.0/3) AS q2
+      FROM scores WHERE n_bigrams > 0)
 SELECT doc_id, n_bigrams, avg_logprob,
-       CASE WHEN avg_logprob > q2 THEN 'head'
+       CASE WHEN n_bigrams = 0 THEN 'tail'
+            WHEN avg_logprob > q2 THEN 'head'
             WHEN avg_logprob > q1 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM scores, q""")

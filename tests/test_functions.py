@@ -2142,3 +2142,79 @@ def test_percentile_normalize_matches_pandas(spark):
         for pos, doc in enumerate(grp["doc_id"]):
             want = 0.0 if n == 1 else pos / (n - 1)
             assert got[doc] == want, (doc, got[doc], want)
+
+
+def test_admit_rank_string_ids(spark):
+    """best_match_id survives non-numeric ids (the struct-max negation
+    trick would cast 'web-00042' to a null double)."""
+    from alphastats_spark.functions.dedup import _admit_rank
+
+    new_df = spark.createDataFrame([("n1",), ("n2",)], "doc_id string")
+    matches = spark.createDataFrame(
+        [("n1", "web-00042", 0.9), ("n1", "web-00007", 0.9), ("n1", "web-00099", 0.5)],
+        "new_id string, match_id string, jaccard double",
+    )
+    out = {r["doc_id"]: r for r in _admit_rank(new_df, matches, "doc_id").collect()}
+    assert out["n1"]["best_match_id"] == "web-00007"  # tie -> lowest id
+    assert out["n1"]["n_matches"] == 3 and not out["n1"]["admitted"]
+    assert out["n2"]["best_match_id"] == "-1" and out["n2"]["admitted"]
+
+
+def test_read_index_meta_corrupt_raises(spark, tmp_path):
+    """A corrupt/empty meta file raises instead of silently resolving to
+    default hash parameters (which would admit every near-duplicate)."""
+    import os
+
+    import pytest as _pt
+
+    p = str(tmp_path / "idx")
+    os.makedirs(f"{p}/meta")
+    with open(f"{p}/meta/part-00000.json", "w") as f:
+        f.write('{"k": 16, "rows_per_ban')  # truncated mid-write
+    from alphastats_spark.functions import dedup
+
+    with _pt.raises(Exception):
+        dedup.read_index_meta(spark, p)
+    # missing path still maps to None (pre-metadata index)
+    assert dedup.read_index_meta(spark, str(tmp_path / "nope")) is None
+
+
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iters fails loudly instead of
+    returning non-fixpoint labels (silent under-deduplication)."""
+    import pytest as _pt
+
+    from alphastats_spark.functions import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(chain, max_iters=3)
+    ok = dedup.duplicate_clusters(chain, max_iters=15)
+    assert ok.select("cluster_id").distinct().count() == 1
+
+
+def test_funnel_step_name_with_quote(spark):
+    from alphastats_spark.functions import events
+
+    df = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "o'reilly_click")],
+        "user_id bigint, us bigint, event_type string",
+    )
+    out = {r["event_type"]: r["n_users"] for r in
+           events.funnel(df, ["view", "o'reilly_click"]).collect()}
+    assert out == {"view": 1, "o'reilly_click": 1}
+
+
+def test_normalize_expr_zero_vector(spark):
+    from alphastats_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["n"] for r in df.select(
+        "vec_id", similarity.normalize_expr(F.col("embedding")).alias("n")
+    ).collect()}
+    assert out[0] == [0.0, 0.0]
+    assert abs(out[1][0] - 0.6) < 1e-9 and abs(out[1][1] - 0.8) < 1e-9
