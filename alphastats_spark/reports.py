@@ -336,12 +336,20 @@ def metrics(
     add("Sharpe", per_col(lambda c: g("sharpe", c)))
 
     def _psr(c: str, base: float) -> float:
+        # guards mirror the Spark expression path (F.sqrt of a negative
+        # radicand -> NaN, fdiv by 0 -> inf): a high per-period SR or
+        # strong positive skew can push the radicand negative, and a
+        # 1-row frame divides by n-1=0 - neither may abort the report
         n = n_by_col[c]
+        if n is None or n <= 1:
+            return math.nan
         skew_v, kurt_v = g("skew", c), g("kurt", c)
-        sigma = math.sqrt(
-            (1 + (0.5 * base**2) - (skew_v * base) + (((kurt_v - 3) / 4) * base**2)) / (n - 1)
-        )
-        return _NORMAL.cdf((base - rf) / sigma)
+        radicand = (
+            1 + (0.5 * base**2) - (skew_v * base) + (((kurt_v - 3) / 4) * base**2)
+        ) / (n - 1)
+        if not radicand > 0:  # negative, zero or nan
+            return math.nan
+        return _NORMAL.cdf((base - rf) / math.sqrt(radicand))
 
     add("Prob. Sharpe Ratio", per_col(lambda c: _psr(c, g("sr0", c)) * pct))
     penalties = {}
@@ -375,8 +383,12 @@ def metrics(
                 lambda c: _calmar_value(main, c, compounded, periods_per_year)
             ),
         )
-        add("Skew", per_col(lambda c: g("skew_corr", c)))
-        add("Kurtosis", per_col(lambda c: g("kurt_corr", c)))
+        # the Skew/Kurtosis rows read the SAME bias-corrected aggregates
+        # the PSR computation already builds (skew_/kurt_) - the former
+        # skew_corr_/kurt_corr_ aliases were byte-identical duplicates in
+        # the codegen-width-bound aggregate pass
+        add("Skew", per_col(lambda c: g("skew", c)))
+        add("Kurtosis", per_col(lambda c: g("kurt", c)))
         add("Expected Daily", per_col(lambda c: g("geo", c) * pct))
         add("Expected Monthly", _cal_row(cal, "month", "geo", output_names, pct))
         add("Expected Yearly", _cal_row(cal, "year", "geo", output_names, pct))
@@ -404,17 +416,24 @@ def metrics(
     add_sep()
 
     def window_row(key: str, annualized: bool = False) -> dict[str, Any]:
-        if not temporal:
+        # an EMPTY prepared frame (e.g. a disjoint-date benchmark under
+        # match_dates=True) has no window aggregates at all - emit "-"
+        # rows rather than KeyError deep in assembly
+        if not temporal or f"w_{key}_{output_names[0]}" not in main:
             return dict.fromkeys(output_names, "-")
         values = {}
         for c in output_names:
             compv = g(f"w_{key}", c)
             if annualized:
                 n = g(f"wn_{key}", c)
+                base = 1 + compv
+                # negative base ** fractional is a COMPLEX number in
+                # Python (not an exception); Spark's F.pow says NaN -
+                # mirror it (odd count of sub--100% returns in a window)
                 values[c] = (
                     math.nan
-                    if n == 0
-                    else ((1 + compv) ** (periods_per_year / n) - 1) * pct
+                    if n == 0 or base < 0
+                    else (base ** (periods_per_year / n) - 1) * pct
                 )
             else:
                 values[c] = compv * pct
@@ -618,9 +637,6 @@ def _column_aggs_build(c, rf, compounded, ppy, full, windows):
     if full:
         out += [
             X.volatility(col, ppy, True).alias(f"vol_{c}"),
-            # pandas/reference-corrected variants for the Skew/Kurtosis rows
-            X.skew(col).alias(f"skew_corr_{c}"),
-            X.kurtosis(col).alias(f"kurt_corr_{c}"),
             X.expected_return(col).alias(f"geo_{c}"),
             X.kelly_criterion(col).alias(f"kelly_{c}"),
             X.risk_of_ruin(col).alias(f"ror_{c}"),
@@ -731,6 +747,10 @@ def _cagr_value(main, c, compounded, ppy, rf_key: str = "cagrbase") -> float:
     if base is None or not n:
         return math.nan
     total = float(base) + 1
+    if total < 0:
+        # negative ** fractional yields a COMPLEX in Python (no exception
+        # fires); Spark's F.pow yields NaN for the same input - mirror it
+        return math.nan
     n_years = int(n) / ppy
     try:
         return total ** (1 / n_years) - 1

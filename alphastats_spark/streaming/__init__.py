@@ -14,6 +14,7 @@ from alphastats_spark.streaming.metrics import (
     streaming_dedup_candidates,
     streaming_drawdowns,
     streaming_exact_dedup,
+    streaming_funnel_levels,
     streaming_index_candidates,
 )
 
@@ -24,5 +25,6 @@ __all__ = [
     "streaming_dedup_candidates",
     "streaming_drawdowns",
     "streaming_exact_dedup",
+    "streaming_funnel_levels",
     "streaming_index_candidates",
 ]

@@ -266,7 +266,9 @@ def _stream_banded(
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
         shingles(F.col(text_col), n).alias("__sh"),
-    ).where(F.size("__sh") > 0)
+    # null ids (null in source, or un-castable despite the integral-TYPE
+    # check) would crash int() in the stateful fold and poison the stream
+    ).where(F.col("__id").isNotNull() & (F.size("__sh") > 0))
 
     def mh(j: int) -> Column:
         prefix = f"seed{j}:"
@@ -476,6 +478,11 @@ def streaming_funnel_levels(
             F.col(us_col).cast("long").alias(us_col),
             F.col(type_col),
         )
+        # a null user/timestamp (null in source, or un-castable to long)
+        # would make the Arrow batch's astype('int64') raise and POISON
+        # the stream: the micro-batch fails, replays and fails forever.
+        # Malformed events carry no funnel position - drop them here.
+        .where(F.col(user_col).isNotNull() & F.col(us_col).isNotNull())
         .groupBy(user_col)
         .applyInPandasWithState(
             fold,
@@ -539,6 +546,10 @@ def streaming_exact_dedup(
 
     return (
         df.select(key.alias("__fp"), F.col(id_col).cast("long"))
+        # a null id would make the fold's astype('int64') raise and poison
+        # the stream (fail -> replay -> fail); an id-less document cannot
+        # be admitted or owned - drop it here
+        .where(F.col(id_col).isNotNull())
         .groupBy("__fp")
         .applyInPandasWithState(
             fold,
