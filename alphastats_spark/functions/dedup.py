@@ -1013,10 +1013,16 @@ def write_dedup_index(
         )
         bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
         sh.write.mode(mode).parquet(f"{path}/shingles")
+        # meta is ALWAYS overwrite, even when the band/shingle data mode is
+        # "append": appending a second meta row would leave the reader to
+        # guess which parameter set is live — and if a rebuild appended
+        # different parameters, resolving the stale row silently admits
+        # every near-duplicate (the reader also fails loudly on multi-row
+        # meta, so a pre-fix index raises instead of guessing)
         corpus_df.sparkSession.createDataFrame(
             [(int(k), int(rows_per_band), int(n), 1)],
             "k int, rows_per_band int, n int, version int",
-        ).coalesce(1).write.mode(mode).json(f"{path}/meta")
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def read_index_meta(spark, path: str):
@@ -1050,6 +1056,15 @@ def read_index_meta(spark, path: str):
             f"dedup index meta at {path}/meta is empty or corrupt; rebuild the "
             "index (falling back to default hash parameters would silently "
             "admit every near-duplicate)"
+        )
+    if len(row) > 1:
+        raise ValueError(
+            f"dedup index meta at {path}/meta holds {len(row)} rows — the "
+            "index was appended to by a writer with its own meta (or a "
+            "pre-fix append-mode build); which hash parameters are live is "
+            "ambiguous, and resolving a stale row silently admits every "
+            "near-duplicate. Rewrite <path>/meta with the single live "
+            "parameter row (or rebuild the index)."
         )
     return row[0]
 
@@ -1155,6 +1170,14 @@ def containment_pairs(
     exactly equal to the uncapped result whenever no shingle's document
     frequency exceeds the cap (pinned by
     ``tests/test_functions.py::test_containment_cap_noop_below_df``).
+
+    .. warning:: BEHAVIOR CHANGE (r7): the default was ``max_shingle_df=
+       None`` (uncapped) through round 6. Default callers on corpora where
+       boilerplate shingles exceed df 1000 now get capped — i.e.
+       underestimated — containment, and a pair of documents composed
+       mostly of hot shingles can drop below ``threshold``. Pass
+       ``max_shingle_df=None`` explicitly to restore the exact (but
+       skew-unsafe) pre-r7 behavior.
     """
     from alphastats_spark.operators import ordered
 

@@ -1006,6 +1006,12 @@ def shard_corpus(
     )
 
 
+#: Max over-cap groups the cap_per_group probe list may hold and still be
+#: force-broadcast (≈ tens of MB of keys at web-domain lengths). Past this
+#: the hint is dropped and AQE decides from the runtime size.
+OVER_CAP_BROADCAST_LIMIT = 500_000
+
+
 def cap_per_group(
     df: DataFrame,
     cap: int,
@@ -1044,7 +1050,10 @@ def cap_per_group(
     are the ``cap`` rows per group with the SMALLEST values of that
     expression (pass the negation for top-k, e.g. ``-F.col("quality")``
     keeps the highest-quality documents per domain) instead of the
-    default unbiased md5 draw; ties still break by id.
+    default unbiased md5 draw; ties still break by id. Rows whose order
+    expression is NULL sort LAST (``asc_nulls_last``) — an unscored row
+    must never win a quota slot over a scored one, which Spark's
+    nulls-first ascending default would otherwise let it do.
 
     Rows with a NULL group key pass through uncapped (null never matches
     an equi-join probe) — ``coalesce`` the key to a sentinel first if the
@@ -1054,17 +1063,40 @@ def cap_per_group(
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
+    from alphastats_spark.operators import ordered
+
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     over = counts.where(F.col("__n") > cap).select(group_col)
-    small = df.join(F.broadcast(over), group_col, "left_anti")
+    # Broadcasting the over-cap list unconditionally is only safe when the
+    # list is actually small — a tiny cap over a high-cardinality group
+    # column (cap=1 per URL, say) makes "over cap" most groups, and a
+    # forced broadcast of millions of keys exhausts driver/executor
+    # memory. One cheap map-side-combinable counting job (scoped persist,
+    # released before returning — no registry leak for unscoped callers)
+    # gates the hint; past the limit the hint is dropped and AQE picks the
+    # join strategy from the runtime size instead.
+    mark = ordered.pass_cache_mark()
+    sized = ordered.persist_tracked(over)
+    try:
+        n_over = sized.count()
+    finally:
+        ordered.release_pass_caches(mark)
+    probe = F.broadcast(over) if n_over <= OVER_CAP_BROADCAST_LIMIT else over
+    small = df.join(probe, group_col, "left_anti")
     key = order_by if order_by is not None else _md5_key(F.col(id_col), salt)
     ranked = (
-        df.join(F.broadcast(over), group_col, "semi")
+        df.join(probe, group_col, "semi")
         .withColumn("__k", key)
         .withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy(group_col).orderBy(F.col("__k"), F.col(id_col))
+                Window.partitionBy(group_col).orderBy(
+                    # NULL order keys lose: an unscored row must not beat a
+                    # scored one under best-k curation (Spark's asc default
+                    # is nulls-FIRST, which would hand nulls the quota)
+                    F.col("__k").asc_nulls_last(),
+                    F.col(id_col),
+                )
             ),
         )
         .where(F.col("__rn") <= cap)

@@ -1884,7 +1884,14 @@ def test_knn_join_auto_planes(spark):
         for i in range(n)
     ]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    from alphastats_spark.operators import ordered
+
+    mark = ordered.pass_cache_mark()
     auto = sorted(map(tuple, S.knn_join(emb, k=3).collect()))
+    # the sizing count's persist must be released inside knn_join — an
+    # unscoped default call must leave nothing in the pass-cache registry
+    # (the long-lived-session leak pattern)
+    assert ordered.pass_cache_mark() == mark
     explicit = sorted(
         map(tuple, S.knn_join(emb, k=3, n_planes=S.knn_join_planes(n)).collect())
     )
@@ -2063,6 +2070,35 @@ def test_cap_per_group_order_by(spark):
     ).collect()
     want = sorted(rows, key=lambda r: (-r[2], r[0]))[:3]
     assert sorted((r["doc_id"]) for r in top) == sorted(r[0] for r in want)
+
+
+def test_cap_per_group_order_by_nulls_lose(spark):
+    """Rows whose order expression is NULL must sort LAST: an unscored row
+    never wins a quota slot over a scored one (Spark's asc default is
+    nulls-first, which would hand nulls the quota)."""
+    from alphastats_spark.functions import pipeline
+
+    rows = [(i, "g", None if i < 10 else float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, q double")
+    kept = pipeline.cap_per_group(
+        df, cap=5, group_col="source", order_by=F.col("q")
+    ).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # scored rows are ids 10..19; smallest 5 scores = ids 10..14
+    assert ids == [10, 11, 12, 13, 14], f"null-scored rows won quota: {ids}"
+
+
+def test_cap_per_group_no_resident_cache(spark):
+    """The over-cap sizing count's persist is scoped inside cap_per_group:
+    an unscoped caller leaves nothing in the pass-cache registry."""
+    from alphastats_spark.functions import pipeline
+    from alphastats_spark.operators import ordered
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    mark = ordered.pass_cache_mark()
+    pipeline.cap_per_group(df, cap=5, group_col="source").collect()
+    assert ordered.pass_cache_mark() == mark
 
 
 def test_ivf_append_equals_fresh_build(spark, tmp_path):

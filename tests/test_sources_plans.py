@@ -838,6 +838,30 @@ def test_index_meta_roundtrip_and_mismatch(spark, tmp_path):
     assert a == b and len(a) == 10
 
 
+def test_index_meta_single_row_on_append(spark, tmp_path):
+    """meta is ALWAYS overwritten, even for mode='append' band/shingle
+    writes — appending a second meta row would leave the reader guessing
+    which hash parameters are live. A hand-corrupted multi-row meta fails
+    LOUDLY instead of silently resolving a stale parameter set (which
+    would admit every near-duplicate)."""
+    import pytest as _pytest
+
+    from alphastats_spark.functions import dedup
+
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "didx_app")
+    dedup.write_dedup_index(docs, path, k=8, rows_per_band=2, n=3)
+    dedup.write_dedup_index(docs, path, k=8, rows_per_band=2, n=3, mode="append")
+    meta = dedup.read_index_meta(spark, path)  # single row, no ambiguity
+    assert (meta.k, meta.rows_per_band, meta.n) == (8, 2, 3)
+    # simulate a pre-fix appended index: two meta rows with different params
+    spark.createDataFrame(
+        [(4, 2, 3, 1)], "k int, rows_per_band int, n int, version int"
+    ).coalesce(1).write.mode("append").json(f"{path}/meta")
+    with _pytest.raises(ValueError, match="ambiguous|holds 2 rows"):
+        dedup.read_index_meta(spark, path)
+
+
 def test_stream_banded_rejects_non_integral_ids(spark, tmp_path):
     from alphastats_spark.streaming.metrics import _stream_banded
 
