@@ -112,6 +112,35 @@ def _exploded_shingles(
     )
 
 
+def _hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """:func:`_exploded_shingles` with each shingle hashed to a 60-bit
+    BIGINT (15 hex digits of md5) before anything shuffles.
+
+    The all-pairs operators (`ngram_jaccard_pairs`, `containment_pairs`)
+    shuffle the shingle column three times — the dfreq groupBy and both
+    sides of the self-join, the dominant exchanges of the heaviest
+    SCALE_r07 probes — so carrying an 8-byte int instead of a raw
+    ~20-40-byte gram string cuts the shuffle width of those stages
+    several-fold. 15 hex digits (not the canonical 8 of
+    :func:`~alphastats_spark.functions.text.md5_long`) because the join
+    key universe is the corpus VOCABULARY: the birthday bound sits at
+    ~2^30 distinct shingles vs ~65k for 32 bits. Per-doc sizes count
+    ROWS, not distinct hashes, so they stay exact under any collision;
+    the DuckDB oracles mirror the hash verbatim (harness
+    ``_SHINGLE_HASH_CTE``), so cross-engine parity holds by construction
+    rather than by collision luck. NOT used by the index/admit paths —
+    the materialized band/shingle tables keep raw shingles as their
+    stored format.
+    """
+    from alphastats_spark.functions.text import md5_long
+
+    return _exploded_shingles(df, id_col, text_col, n).select(
+        F.col(id_col), md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
 ) -> DataFrame:
@@ -339,10 +368,13 @@ def ngram_jaccard_pairs(
     shingle document frequency drops those hot join keys from the *common*
     count only — pair similarity becomes a slight underestimate, which is
     the standard trade at 100 TB. Default ``None`` = exact (oracle parity).
+
+    Shingles shuffle as 60-bit hashes, not raw gram strings — see
+    :func:`_hashed_shingles` for the width/collision reasoning.
     """
     from alphastats_spark.operators import ordered
 
-    sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
+    sh = ordered.persist_tracked(_hashed_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
@@ -1178,10 +1210,13 @@ def containment_pairs(
        mostly of hot shingles can drop below ``threshold``. Pass
        ``max_shingle_df=None`` explicitly to restore the exact (but
        skew-unsafe) pre-r7 behavior.
+
+    Shingles shuffle as 60-bit hashes, not raw gram strings — see
+    :func:`_hashed_shingles` for the width/collision reasoning.
     """
     from alphastats_spark.operators import ordered
 
-    sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
+    sh = ordered.persist_tracked(_hashed_shingles(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

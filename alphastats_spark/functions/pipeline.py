@@ -181,12 +181,38 @@ def pack_documents(
 
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams from a token array; empty when fewer than ``n`` tokens
-    (guarding F.sequence's descending [1, 0] behaviour)."""
+    (guarding F.sequence's descending [1, 0] behaviour).
+
+    ``toks`` MUST be an already-projected column, never the inline
+    ``tokens(normalize(text))`` tree: the transform lambda closes over
+    ``toks`` and interpreted higher-order functions re-evaluate a
+    non-trivial closed-over subexpression once PER ELEMENT — the 25× trap
+    documented at ``dedup._grams_over`` (re-measured here in round 8:
+    projecting the token array first took source_overlap_matrix's gram
+    explode from ~60 s to ~8 s at the 50k-doc probe scale). Use
+    :func:`_exploded_grams` instead of calling this directly."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _exploded_grams(
+    df: DataFrame, keys: dict[str, Column], n: int, text_col: str
+) -> DataFrame:
+    """One row per (keys..., gram): tokenize in its OWN projection, then
+    explode — the only safe way to drive :func:`_word_ngrams` (see its
+    docstring for the per-element re-evaluation trap). ``keys`` maps
+    output column name → source expression."""
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    projected = df.select(
+        *[c.alias(name) for name, c in keys.items()], toks.alias("__toks")
+    )
+    return projected.select(
+        *[F.col(name) for name in keys],
+        F.explode(_word_ngrams(F.col("__toks"), n)).alias("gram"),
+    )
 
 
 def eval_ngrams(
@@ -195,10 +221,7 @@ def eval_ngrams(
     """The distinct normalized word n-grams of a benchmark/eval corpus —
     the blocklist side of decontamination. Eval sets are tiny relative to
     the training corpus, so downstream joins broadcast this frame."""
-    toks = text.tokens(text.normalize(F.col(text_col)))
-    return (
-        eval_df.select(F.explode(_word_ngrams(toks, n)).alias("gram")).distinct()
-    )
+    return _exploded_grams(eval_df, {}, n, text_col).distinct()
 
 
 def decontaminate(
@@ -233,11 +256,7 @@ def decontaminate(
     collisions cannot flag a clean document and the output is bit-equal
     to the exact path.
     """
-    toks = text.tokens(text.normalize(F.col(text_col)))
-    doc_grams = (
-        df.select(F.col(id_col), F.explode(_word_ngrams(toks, n)).alias("gram"))
-        .distinct()
-    )
+    doc_grams = _exploded_grams(df, {id_col: F.col(id_col)}, n, text_col).distinct()
     totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
     ev = eval_ngrams(eval_df, n, text_col)
     if hashed:
@@ -1175,9 +1194,16 @@ def source_overlap_matrix(
     incidence while carrying no signal about any specific pair; None
     disables the guard when exact counts over all grams are required.
     """
-    toks = text.tokens(text.normalize(F.col(text_col)))
+    # Hash each gram to a 60-bit BIGINT BEFORE the distinct: the distinct,
+    # the incidence groupBy, and the gram self-join — every exchange of
+    # this operator (the second-heaviest SCALE_r07 probe, exponent 0.80)
+    # — then shuffle 8-byte ints instead of raw gram strings. 15 hex
+    # digits keeps the birthday bound at ~2^30 distinct grams; the DuckDB
+    # oracle mirrors the hash verbatim, so a collision (which would merge
+    # two grams' incidence) stays bit-identical across engines.
     sg = (
-        df.select(F.col(group_col).alias("__src"), F.explode(_word_ngrams(toks, n)).alias("gram"))
+        _exploded_grams(df, {"__src": F.col(group_col)}, n, text_col)
+        .select(F.col("__src"), text.md5_long(F.col("gram"), hex_digits=15).alias("gram"))
         .distinct()
     )
     sg = ordered.persist_tracked(sg)

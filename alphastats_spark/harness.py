@@ -1936,6 +1936,17 @@ sh AS (
 )
 """
 
+#: Mirrors dedup._hashed_shingles: shingles as 60-bit BIGINTs (15 hex
+#: digits of md5) — the all-pairs operators shuffle hashes, not raw gram
+#: strings, and the oracle must hash IDENTICALLY so a collision (which
+#: merges two shingles' join keys) stays bit-identical across engines.
+_SHINGLE_HASH_CTE = _SHINGLE_CTE + """,
+shh AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+  FROM sh
+)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2696,12 +2707,12 @@ WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
     add("dedup_containment",
         lambda spark, sf_dir: dedup.containment_pairs(
             _docs(spark, sf_dir), threshold=0.8),
-        _SHINGLE_CTE + f""",
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+        _SHINGLE_HASH_CTE + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shh GROUP BY shingle),
 shc AS (
-  SELECT sh.doc_id, sh.shingle FROM sh
-  JOIN dfreq ON sh.shingle = dfreq.shingle
+  SELECT shh.doc_id, shh.shingle FROM shh
+  JOIN dfreq ON shh.shingle = dfreq.shingle
   WHERE dfreq.df <= {dedup.CONTAINMENT_MAX_SHINGLE_DF}
 ),
 common AS (
@@ -2726,11 +2737,11 @@ FROM dirs WHERE containment >= 0.8""")
 
     add("dedup_ngram_jaccard",
         lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5),
-        _SHINGLE_CTE + f""",
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        _SHINGLE_HASH_CTE + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -2766,11 +2777,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
         lambda spark, sf_dir: dedup.duplicate_clusters(
             dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
         ),
-        _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        _SHINGLE_HASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -4550,7 +4561,12 @@ FROM r WHERE rn <= 3""")
         f"""
 WITH t AS (SELECT source, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
 g AS (
-  SELECT DISTINCT source, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+  -- grams hashed to 60-bit BIGINTs before the DISTINCT, mirroring
+  -- source_overlap_matrix's shuffle-width hashing bit-for-bit
+  SELECT DISTINCT source,
+         CAST(CONCAT('0x', substr(md5(
+             array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 15))
+           AS BIGINT) AS gram
   FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
         FROM t WHERE len(toks) >= 3)
 ),

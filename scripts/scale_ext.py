@@ -48,12 +48,34 @@ def synth_docs(spark, n_docs: int):
     n_vocab = len(VOCAB)
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     base = spark.range(0, n_docs, 1, 32)
-    # 20-60 tokens per doc, token = hash(doc, pos) % vocab
+    # 20-60 tokens per doc. Token mixture (round 8): 75% from the 25-word
+    # hot head, 25% from a RARE tail whose size grows with the corpus
+    # (n_docs/2, floored at 1k) — the Heaps-law property real text has and
+    # the old fixed-25-word stream lacked. With only hot tokens the
+    # 3-gram universe saturates at 25^3, so every gram goes hot, the
+    # df-cap guards drop nearly everything at 100x, and the shingle
+    # self-join probes measure a degenerate (easier) corpus as scale
+    # grows; a growing tail keeps per-source vocabulary — and therefore
+    # dfreq/self-join key cardinality — expanding with n, which is the
+    # regime the 100 TB claims are actually about.
+    rare_n = max(n_docs // 2, 1_000)
+
+    def tok_stream(key, length):
+        return F.transform(
+            F.sequence(F.lit(1), length),
+            lambda i: F.when(
+                F.pmod(F.hash(key, i, F.lit(13)), F.lit(4)) == 0,
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(F.hash(key, i, F.lit(29)), F.lit(rare_n)).cast("string"),
+                ),
+            ).otherwise(
+                F.element_at(vocab, F.pmod(F.hash(key, i), F.lit(n_vocab)) + 1)
+            ),
+        )
+
     n_tok = (F.pmod(F.hash("id"), F.lit(41)) + 20).cast("int")
-    toks = F.transform(
-        F.sequence(F.lit(1), n_tok),
-        lambda i: F.element_at(vocab, F.pmod(F.hash(F.col("id"), i), F.lit(n_vocab)) + 1),
-    )
+    toks = tok_stream(F.col("id"), n_tok)
     # ~4% of docs share one of 5 verbatim 12-token spans (substring-dedup prey)
     span_id = F.pmod(F.hash(F.col("id") * 3 + 1), F.lit(25))
     span = F.transform(
@@ -61,13 +83,11 @@ def synth_docs(spark, n_docs: int):
         lambda i: F.element_at(vocab, F.pmod(F.hash(span_id % 5, i), F.lit(n_vocab)) + 1),
     )
     toks = F.when(span_id < 5, F.concat(span, toks)).otherwise(toks)
-    # ~8% near-duplicates: doc copies doc-(id%hub) text (same token stream)
+    # ~8% near-duplicates: doc copies doc-(id%hub) text (same token stream,
+    # same hot/rare mixture so the copies carry rare grams too)
     dup = F.pmod(F.hash(F.col("id") * 5 + 2), F.lit(25)) < 2
     hub = (F.col("id") - F.pmod(F.col("id"), F.lit(50))).cast("long")
-    toks_hub = F.transform(
-        F.sequence(F.lit(1), F.lit(30)),
-        lambda i: F.element_at(vocab, F.pmod(F.hash(hub, i), F.lit(n_vocab)) + 1),
-    )
+    toks_hub = tok_stream(hub, F.lit(30))
     text = F.array_join(F.when(dup, toks_hub).otherwise(toks), " ")
     return base.select(
         F.col("id").alias("doc_id"),
