@@ -656,13 +656,23 @@ def lsh_verified_pairs(
     """
     from alphastats_spark.operators import ordered
 
+    from alphastats_spark.functions.text import md5_long
+
     sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
     sigs = sh.groupBy(id_col).agg(*minhash_signature_cols(k))
     cands = _candidates_from_sigs(sigs, id_col, k, rows_per_band).select("id_a", "id_b")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    # the verify join shuffles on (id, shingle) twice; carry the shingle
+    # as a 60-bit hash, not the raw gram string (see _hashed_shingles —
+    # the persisted sh keeps RAW shingles because the minhash signature
+    # branch needs them; only the join projections hash)
+    a = sh.select(
+        F.col(id_col).alias("id_a"), md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+    )
     common = (
         cands.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
@@ -906,16 +916,29 @@ def _verified_matches(
     """Band-collision candidates verified by exact shingle Jaccard —
     shared by the frame-to-frame incremental path and the materialized
     dedup-index path. ``bn``/``sh_n`` key by ``new_id``, ``bo``/``sh_o``
-    by ``match_id``; the batch side broadcasts."""
+    by ``match_id``; the batch side broadcasts.
+
+    The verify join carries shingles as 60-bit hashes (see
+    :func:`_hashed_shingles` for the width/collision reasoning) — for the
+    index path that hashing is a scan-side projection over the stored raw
+    shingle table, so the index format is unchanged."""
+    from alphastats_spark.functions.text import md5_long
+
     cands = (
         F.broadcast(bn)
         .join(bo, ["band", "sig"])
         .select("new_id", "match_id")
         .distinct()
     )
+    hn = sh_n.select(
+        "new_id", md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+    )
+    ho = sh_o.select(
+        "match_id", md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+    )
     common = (
-        cands.join(sh_n, "new_id")
-        .join(sh_o, ["match_id", "shingle"])
+        cands.join(hn, "new_id")
+        .join(ho, ["match_id", "shingle"])
         .groupBy("new_id", "match_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -1099,6 +1122,39 @@ def read_index_meta(spark, path: str):
             "parameter row (or rebuild the index)."
         )
     return row[0]
+
+
+def compact_dedup_index(
+    spark,
+    path: str,
+    max_files: int = 4,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Periodic maintenance for an appended dedup index: each
+    ``write_dedup_index(mode="append")`` batch adds one small parquet
+    file per touched ``band=`` directory and to the flat shingle table,
+    so at ingest cadence the index hits the classic small-files failure.
+    Rewrites only what exceeds ``max_files`` — the band table per
+    partition directory, the shingle table as a whole — each into
+    ``ceil(bytes/target_bytes)`` files. ``<path>/meta`` (the hash
+    parameters the admit path FAILFAST-validates against) is never
+    touched. Value-preserving: pinned by the driver-gated
+    ``dedup_index_compacted`` query, whose oracle never sees the index.
+    Returns ``{"bands": stats, "shingles": stats}`` (see
+    :func:`~alphastats_spark.sources.maintenance.compact_partitioned_parquet`).
+    """
+    from alphastats_spark.sources.maintenance import compact_partitioned_parquet
+
+    return {
+        "bands": compact_partitioned_parquet(
+            spark, f"{path}/bands", "band",
+            max_files=max_files, target_bytes=target_bytes,
+        ),
+        "shingles": compact_partitioned_parquet(
+            spark, f"{path}/shingles", None,
+            max_files=max_files, target_bytes=target_bytes,
+        ),
+    }
 
 
 def _resolve_index_params(meta, k, rows_per_band, n):

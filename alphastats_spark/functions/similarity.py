@@ -470,6 +470,31 @@ def append_to_ivf_index(
     ivf_index(df, centroids, vec_col).write.partitionBy("ivf_list").mode("append").parquet(path)
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    max_files: int = 4,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Periodic maintenance for an appended IVF index: every
+    :func:`append_to_ivf_index` batch adds one small parquet file per
+    touched ``ivf_list=`` directory, and at ingest cadence the index
+    degrades into the classic small-files failure (scan planning lists
+    more files than it reads). Rewrites only the directories holding more
+    than ``max_files`` files, into ``ceil(bytes/target_bytes)`` files
+    each — value-preserving (pinned by the driver-gated
+    ``ann_ivf_compacted`` query) and pruning-preserving (the directories
+    keep their ``ivf_list=`` names, pinned in
+    tests/test_sources_plans.py). Returns the file-count stats dict of
+    :func:`~alphastats_spark.sources.maintenance.compact_partitioned_parquet`.
+    """
+    from alphastats_spark.sources.maintenance import compact_partitioned_parquet
+
+    return compact_partitioned_parquet(
+        spark, path, "ivf_list", max_files=max_files, target_bytes=target_bytes
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

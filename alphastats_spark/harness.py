@@ -1468,6 +1468,7 @@ SELECT Metric, Strategy FROM (
 
     _add_streaming(add)
     _add_extensions(add)
+    _add_alias_registrations(add, o)
 
     # Registration-order policy: the driver's correctness gate evaluates the
     # FIRST 50 registered queries each round. Each round's window is
@@ -1485,11 +1486,153 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND7_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND7_WINDOW]
+    front = [n for n in _ROUND8_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND8_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND8_WINDOW = [
+    # Round 8 window (50 slots). Priority (a) repaired fails: none — r7 was
+    # 50/50. Priority (b): the two queries over genuinely NEW machinery —
+    # parquet small-file compaction of the appended IVF / dedup indexes
+    # (sources/maintenance.py), each with an in-query no-op guard.
+    "ann_ivf_compacted", "dedup_index_compacted",
+    # Priority (c): queries over machinery REVISED this round — the
+    # all-pairs shingle/gram operators now shuffle 60-bit hashes with
+    # oracle-mirrored hashing AND every _word_ngrams consumer moved to the
+    # projected-token-array _exploded_grams (the 25× interpreted-lambda
+    # fix); cap_per_group gained asc_nulls_last ordering and the gated
+    # over-cap broadcast; knn_join releases its sizing cache;
+    # admit_against_index transits the new single-row-meta FAILFAST
+    # reader; the LSH verify joins (lsh_verified_pairs/_verified_matches —
+    # dedup_lsh_verified, dedup_corpus, both admit paths) hash their
+    # shingle join keys too. (dedup_streaming_index_candidates shares the
+    # meta reader but no changed join — its r7 green stands; rotates next
+    # round.)
+    "corpus_overlap_matrix", "dedup_containment", "dedup_ngram_jaccard",
+    "dedup_clusters", "doc_decontaminate", "doc_decontaminate_hashed",
+    "ann_knn_join", "corpus_cap_per_source", "corpus_top_docs_per_source",
+    "dedup_index_admit", "dedup_lsh_verified", "dedup_corpus",
+    "dedup_incremental_admit",
+    # Priority (d): the ENTIRE 24-name set whose newest driver-green row
+    # is still r4 (r7 verdict item 1) — the 18 single-pass scalar-agg
+    # singles plus the 6 displaced when r7's registrations took priority
+    # slots. After this window no registered query's newest green predates
+    # r5.
+    "comp", "cagr", "sharpe", "sortino", "volatility", "skew", "kurtosis",
+    "avg_return", "win_rate", "profit_factor", "gain_to_pain_ratio",
+    "tail_ratio", "cvar", "recovery_factor", "ulcer_index",
+    "serenity_index", "calmar", "expected_return",
+    "doc_quality_filter", "corpus_source_stats", "corpus_pack_greedy",
+    "r_squared", "event_hourly_counts", "media_frames_real",
+    # Priority (e): 11 of the 28 public-API alias/wrapper registrations
+    # new this round (verdict item 8 — registry now 1:1 with the public
+    # surface): the ones with BESPOKE oracle semantics front (the nine
+    # mtd…all_time trailing singles plus worst_month/best_year); the 17
+    # remaining (13 pure oracle-copy aliases like expected_shortfall≡cvar
+    # and r2≡r_squared, plus expected_yearly, win_year, avg_up_month,
+    # avg_down_month) are sweep-green in SWEEP_r08 and front the r9
+    # window.
+    "mtd", "ytd", "three_month", "six_month", "one_year", "three_year",
+    "five_year", "ten_year", "all_time",
+    "worst_month", "best_year",
+]
+
+
+def _add_alias_registrations(add, o: dict) -> None:
+    """Registry entries for the public wrapper/alias symbols that were
+    previously deduped out as "≡ base" — one gated query per public API
+    name, so the registry is a complete 1:1 of the reference surface
+    (round-8 verdict item). Three groups:
+
+    * pure aliases (``expected_shortfall = conditional_value_at_risk`` at
+      stats.py:332 etc.): the Spark side calls the ALIAS symbol — so the
+      binding itself is exercised — and the oracle is the base query's
+      SQL verbatim (looked up from ``o`` at registration time);
+    * ``aggregate="day"`` wrappers (best_day/worst_day/win_days/
+      expected_daily): day-bucketing is the identity on the daily returns
+      frame (stats._simple_returns short-circuits it), so these also
+      reuse the base oracle while calling the wrapper;
+    * calendar/trailing wrappers with their own semantics (best_year,
+      worst_month, avg_up/down_month, expected_yearly, win_year, and the
+      nine mtd…all_time singles): bespoke one-value oracles mirroring the
+      fragments the combined ``trailing_windows``/``calendar_summary``
+      queries already gate.
+    """
+    for alias, fn, base in [
+        ("expected_shortfall", stats.expected_shortfall, "cvar"),
+        ("conditional_drawdown_at_risk", stats.conditional_drawdown_at_risk, "cdar"),
+        ("ror", stats.ror, "risk_of_ruin"),
+        ("probabilistic_sharpe_ratio", stats.probabilistic_sharpe_ratio, "psr"),
+        ("geometric_mean", stats.geometric_mean, "expected_return"),
+        ("sortino_sqrt2", stats.sortino_sqrt2, "adjusted_sortino"),
+        ("smart_sortino_sqrt2", stats.smart_sortino_sqrt2, "smart_adjusted_sortino"),
+        ("gain_to_pain_ratio_monthly", stats.gain_to_pain_ratio_monthly,
+         "gain_to_pain_ratio_1m"),
+        ("best_day", stats.best_day, "best"),
+        ("worst_day", stats.worst_day, "worst"),
+        ("win_days", stats.win_days, "win_rate"),
+        ("expected_daily", stats.expected_daily, "expected_return"),
+    ]:
+        add(alias, _metric_query(fn), o[base])
+    add("r2", _bench_query(stats.r2), o["r_squared"])
+
+    monthly_cte = RETURNS_CTE + (
+        ", grp AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS gr FROM rets "
+        "GROUP BY YEAR(d), MONTH(d))"
+    )
+    yearly_cte = RETURNS_CTE + (
+        ", grp AS (SELECT EXP(SUM(LN(1 + r))) - 1 AS gr FROM rets GROUP BY YEAR(d))"
+    )
+    add("worst_month", _metric_query(stats.worst_month),
+        monthly_cte + f"\nSELECT ROUND(MIN(gr), {ROUND}) AS value FROM grp")
+    add("avg_up_month", _metric_query(stats.avg_up_month),
+        monthly_cte + f"\nSELECT ROUND(AVG(CASE WHEN gr > 0 THEN gr END), {ROUND}) AS value FROM grp")
+    add("avg_down_month", _metric_query(stats.avg_down_month),
+        monthly_cte + f"\nSELECT ROUND(AVG(CASE WHEN gr < 0 THEN gr END), {ROUND}) AS value FROM grp")
+    add("best_year", _metric_query(stats.best_year),
+        yearly_cte + f"\nSELECT ROUND(MAX(gr), {ROUND}) AS value FROM grp")
+    add("expected_yearly", _metric_query(stats.expected_yearly),
+        yearly_cte
+        + f"\nSELECT ROUND(POW(EXP(SUM(LN(1 + gr))), 1.0 / COUNT(gr)) - 1, {ROUND}) AS value FROM grp")
+    add("win_year", _metric_query(stats.win_year),
+        yearly_cte
+        + f"\nSELECT ROUND(SUM(CASE WHEN gr > 0 THEN 1 ELSE 0 END) * 1.0"
+          f" / SUM(CASE WHEN gr <> 0 THEN 1 ELSE 0 END), {ROUND}) AS value FROM grp")
+
+    # the nine trailing/period singles — same fragments the combined
+    # trailing_windows query gates, one value each
+    mx = RETURNS_CTE + ", mx AS (SELECT MAX(d) AS md FROM rets)"
+
+    def _one(where: str, annualized: bool) -> str:
+        agg = (
+            "POW(EXP(SUM(LN(1 + r))), 252.0 / COUNT(r)) - 1"
+            if annualized
+            else "EXP(SUM(LN(1 + r))) - 1"
+        )
+        return (
+            mx
+            + f"\nSELECT ROUND((SELECT {agg} FROM rets, mx {where}), {ROUND}) AS value"
+        )
+
+    add("mtd", _metric_query(stats.mtd),
+        _one("WHERE YEAR(d) = YEAR(md) AND MONTH(d) = MONTH(md)", False))
+    add("ytd", _metric_query(stats.ytd), _one("WHERE YEAR(d) = YEAR(md)", False))
+    add("three_month", _metric_query(stats.three_month),
+        _one("WHERE d >= md - INTERVAL 3 MONTH", False))
+    add("six_month", _metric_query(stats.six_month),
+        _one("WHERE d >= md - INTERVAL 6 MONTH", False))
+    add("one_year", _metric_query(stats.one_year),
+        _one("WHERE d >= md - INTERVAL 12 MONTH", False))
+    add("three_year", _metric_query(stats.three_year),
+        _one("WHERE d >= md - INTERVAL 36 MONTH", True))
+    add("five_year", _metric_query(stats.five_year),
+        _one("WHERE d >= md - INTERVAL 60 MONTH", True))
+    add("ten_year", _metric_query(stats.ten_year),
+        _one("WHERE d >= md - INTERVAL 120 MONTH", True))
+    add("all_time", _metric_query(stats.all_time), _one("", True))
 
 
 _ROUND7_WINDOW = [
@@ -2672,7 +2815,7 @@ FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.
         lambda spark, sf_dir: dedup.lsh_verified_pairs(
             _docs(spark, sf_dir), threshold=0.5
         ),
-        _SHINGLE_CTE + f""",
+        _SHINGLE_HASH_CTE + f""",
 sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.band, b.sig
@@ -2686,8 +2829,8 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS cnt
   FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  JOIN shh a ON a.doc_id = c.id_a
+  JOIN shh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -2811,7 +2954,7 @@ SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src""")
         lambda spark, sf_dir: dedup.deduplicate(
             _docs(spark, sf_dir), threshold=0.5, lineage=True
         ),
-        _SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+        _SHINGLE_HASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
 sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.band, b.sig
@@ -2825,8 +2968,8 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS cnt
   FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  JOIN shh a ON a.doc_id = c.id_a
+  JOIN shh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
 vpairs AS (
@@ -3049,6 +3192,45 @@ GROUP BY label, pos""")
     # same subset-derived centroids (train_mod) and scans all vectors, so
     # the appended index must agree bit-for-bit with a from-scratch build.
     add("ann_ivf_append", _ann_ivf_append,
+        _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8, train_mod=(5, 0)))
+
+    def _ann_ivf_compacted(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        emb = _embs(spark, sf_dir)
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        cents = similarity.ivf_centroids(base, n_centroids=16, seed=42)
+        d = tempfile.mkdtemp(prefix="as_ivf_cmp_")
+        try:
+            similarity.write_ivf_index(base, cents, d)
+            for m in range(5):
+                similarity.append_to_ivf_index(
+                    emb.where(F.col("vec_id") % 25 == 5 * m), cents, d
+                )
+            stats = similarity.compact_ivf_index(spark, d, max_files=2)
+            if not stats["files_after"] < stats["files_before"]:
+                raise AssertionError(
+                    f"compaction was a no-op on a 6-write index: {stats}"
+                )
+            back = spark.read.parquet(d)
+            out = similarity.ivf_topk(back, qvec, cents, k=20, nprobe=8, indexed=True)
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    # Index COMPACTION (similarity.compact_ivf_index): the appended index
+    # above, after five more per-batch appends, rewritten into byte-sized
+    # files per ivf_list directory. The oracle never sees the index — it
+    # re-derives the same top-k from the raw vectors — so a green hash IS
+    # the value-preservation proof; the in-query file-count assertion
+    # makes a silently no-op compactor fail the gate rather than
+    # trivially pass it. File-count + pruning pins live in
+    # tests/test_sources_plans.py::test_compact_ivf_index.
+    add("ann_ivf_compacted", _ann_ivf_compacted,
         _ivf_oracle_sql(k=20, n_centroids=16, nprobe=8, train_mod=(5, 0)))
 
     def _ann_ivfpq(spark, sf_dir):
@@ -4397,11 +4579,14 @@ cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
          WHERE l.is_new AND NOT r.is_new)"""
 
     _inc_admit_sql = _inc_cte + f""",
+shh AS (SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+        FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (SELECT c.new_id, c.match_id, COUNT(*) AS cnt
            FROM cand c
-           JOIN sh a ON a.doc_id = c.new_id
-           JOIN sh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+           JOIN shh a ON a.doc_id = c.new_id
+           JOIN shh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
            GROUP BY 1, 2),
 ver AS (SELECT new_id, match_id,
                ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) AS jaccard
@@ -4454,6 +4639,48 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id"""
     # re-tokenized. Same oracle as the frame-to-frame path: the parquet
     # round-trip of the index must not change a bit.
     add("dedup_index_admit", _index_admit, _inc_admit_sql)
+
+    def _index_admit_compacted(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="as_dedup_cmp_")
+        try:
+            corpus = _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0)
+            # same corpus as dedup_index_admit, built as one base write
+            # plus two append batches — the ingest shape compaction serves
+            dedup.write_dedup_index(corpus.where(F.col("doc_id") % 3 == 0), d)
+            for m in (1, 2):
+                dedup.write_dedup_index(
+                    corpus.where(F.col("doc_id") % 3 == m), d, mode="append"
+                )
+            stats = dedup.compact_dedup_index(spark, d, max_files=1)
+            if not (
+                stats["bands"]["files_after"] < stats["bands"]["files_before"]
+                and stats["shingles"]["files_after"] < stats["shingles"]["files_before"]
+            ):
+                raise AssertionError(
+                    f"compaction was a no-op on a 3-write index: {stats}"
+                )
+            out = dedup.admit_against_index(
+                _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0), d,
+                threshold=0.5,
+            )
+            rows = out.collect()
+            schema = out.schema
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    # Index COMPACTION (dedup.compact_dedup_index): the same admission
+    # audit, but the corpus index is built as base + two appends and then
+    # compacted (band dirs + flat shingle table rewritten to byte-sized
+    # files, meta untouched) before the batch admits. Same oracle as the
+    # other two admission paths — it derives admission from the raw
+    # documents table, so a green hash proves the compaction rewrite
+    # changed nothing the admit join can see; the in-query file-count
+    # assertion fails the gate if the compactor silently no-ops.
+    add("dedup_index_compacted", _index_admit_compacted, _inc_admit_sql)
 
     def _stream_index_cands(spark, sf_dir):
         import shutil

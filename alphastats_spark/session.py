@@ -30,12 +30,20 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+#: spark.sql.streaming.stateStore.providerClass value for the RocksDB
+#: backend — the production state store for the stateful streaming paths.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def build_session(
     app_name: str = "alphastats-spark",
     master: str | None = None,
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's recommended conf.
 
@@ -43,6 +51,19 @@ def build_session(
     manager); pass ``local[N]`` with ``cores=N`` for single-node runs.
     ``shuffle_partitions`` defaults to ``2 * cores`` locally and 2-3× the
     cluster's total cores in a deployment (set it explicitly there).
+
+    ``rocksdb_state_store=True`` switches Structured Streaming state to
+    the RocksDB provider (built into Spark since 3.2 — no extra jars).
+    The default HDFS-backed provider keeps every key IN EXECUTOR HEAP;
+    for the unbounded-key stateful operators here —
+    ``streaming_exact_dedup`` holds one entry per DISTINCT document ever
+    seen, ``streaming_index_candidates``'s band state grows with the
+    corpus — heap state is a slow OOM at ingest scale, while RocksDB
+    spills to local SSD and keeps heap flat. Opt-in (not default) because
+    state-store provider is fixed per checkpoint: flipping it under an
+    existing checkpoint fails the restart, so turning it on must be a
+    deliberate per-deployment choice. Bounded-state operators (rolling
+    windows, per-session aggregates) don't need it.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
@@ -73,6 +94,11 @@ def build_session(
         # scan, which none of our plans are, and it perturbs the
         # vectorized-read path for everything else.
     }
+    if rocksdb_state_store:
+        conf["spark.sql.streaming.stateStore.providerClass"] = ROCKSDB_STATE_STORE
+        # changelog checkpointing ships per-batch deltas instead of
+        # snapshotting the whole store — the matching knob for large state
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] = "true"
     conf.update(extra_conf or {})
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -7,6 +7,7 @@ year-partitioned parquet layout gives partition pruning on the trailing
 date filters (``stats._date_filtered_returns``).
 """
 
+from alphastats_spark.sources.maintenance import compact_partitioned_parquet
 from alphastats_spark.sources.readers import (
     long_to_wide,
     prices_to_returns,
@@ -23,4 +24,5 @@ __all__ = [
     "prices_to_returns",
     "long_to_wide",
     "wide_to_long",
+    "compact_partitioned_parquet",
 ]

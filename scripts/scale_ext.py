@@ -253,15 +253,57 @@ def run_ann_suite(spark, embs) -> dict[str, float]:
     return out
 
 
+def run_deep_suite(spark, docs, embs) -> dict[str, float]:
+    """The FOUR heaviest probes (per SCALE_r07 exponents: containment
+    0.92, overlap matrix 0.80, lsh_deduplicate 0.44, knn_join 0.74) at a
+    second decade — 100x the 1x shape. One decade of measurement can hide
+    a super-linear term behind fixed overheads; the 10x→100x exponent
+    either confirms the linearity claim where it matters or exposes the
+    crack two orders of magnitude before production would."""
+    from alphastats_spark.functions import dedup, pipeline, similarity
+    from alphastats_spark.operators import ordered
+
+    docs = docs.persist()
+    embs = embs.persist()
+    docs.count(), embs.count()
+    out: dict[str, float] = {}
+
+    def t(name, fn):
+        t0 = time.time()
+        with ordered.pass_cache_scope():
+            fn()
+        out[name] = round(time.time() - t0, 2)
+        print(f"  deep {name}: {out[name]}s", flush=True)
+
+    t("lsh_deduplicate", lambda: dedup.deduplicate(docs, lineage=True)
+        .groupBy("reason").count().collect())
+    t("containment_capped", lambda: dedup.containment_pairs(
+        docs, threshold=0.8, max_shingle_df=200).count())
+    t("source_overlap_matrix", lambda: pipeline.source_overlap_matrix(
+        docs, n=3).count())
+    t("knn_join", lambda: similarity.knn_join(
+        embs, k=5, seed=42, n_tables=2, multiprobe=1).count())
+    docs.unpersist(), embs.unpersist()
+    return out
+
+
+DEEP_PROBES = ("lsh_deduplicate", "containment_capped",
+               "source_overlap_matrix", "knn_join")
+
+
 def main() -> None:
     from alphastats_spark.session import build_session
 
+    deep = "--deep" in sys.argv
+
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
     # 1g default (single-JVM driver hosts all 32 executor threads), exactly
-    # as the sf0.1 registry sweep did in check_oracle.py
+    # as the sf0.1 registry sweep did in check_oracle.py; the 100x deep
+    # probes get 48g for the same reason one decade up
     spark = build_session(
         master="local[32]", cores=32,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.driver.memory": "48g" if deep else "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -279,7 +321,18 @@ def main() -> None:
     exponents = {
         k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2) for k in r1
     }
-    print(json.dumps({"t_1x": r1, "t_10x": r10, "exponent": exponents}))
+    result = {"t_1x": r1, "t_10x": r10, "exponent": exponents}
+    if deep:
+        r100 = run_deep_suite(
+            spark, synth_docs(spark, 500_000), synth_embs(spark, 500_000)
+        )
+        print("100x:", json.dumps(r100), flush=True)
+        result["t_100x"] = r100
+        result["exponent_10x_100x"] = {
+            k: round(math.log10(max(r100[k], 1e-3) / max(r10[k], 1e-3)), 2)
+            for k in DEEP_PROBES
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -722,6 +722,85 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert m is not None and "ivf_list" in m.group("pf"), text[:1500]
 
 
+def test_compact_ivf_index(spark, tmp_path):
+    """compact_ivf_index after repeated appends: file counts drop to the
+    byte-sized target, values and the ivf_list partition layout (and
+    therefore probe-time pruning) are bit-identical, and directories at
+    or under max_files are left alone."""
+    import os
+    import re
+
+    from alphastats_spark.functions import similarity as S
+    from alphastats_spark.plans.audit import explain_string
+
+    n, dim = 200, 8
+    rows = [
+        (i, [((i * 31 + j * 7) % 97) / 97.0 - 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sample = [r[1] for r in emb.orderBy("vec_id").limit(n).collect()]
+    cents = S.kmeans_train(sample, 8, 5, 42)
+    path = str(tmp_path / "ivf_app")
+    S.write_ivf_index(emb.where("vec_id % 2 = 0"), cents, path)
+    for m_ in range(4):
+        S.append_to_ivf_index(emb.where(f"vec_id % 8 = {2 * m_ + 1}"), cents, path)
+
+    def n_files(p):
+        return sum(
+            1
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    before_files = n_files(path)
+    stats = S.compact_ivf_index(spark, path, max_files=2)
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after_rows == before_rows and len(after_rows) == n
+    assert stats["files_after"] < stats["files_before"] == before_files
+    assert n_files(path) == stats["files_after"]
+    # pruning survives: the compacted index still serves probes through
+    # PartitionFilters on ivf_list
+    q = [float(x) for x in sample[0]]
+    out = S.ivf_topk(spark.read.parquet(path), q, cents, k=10, nprobe=3, indexed=True)
+    text = explain_string(out, "formatted")
+    m = re.search(r"PartitionFilters: \[(?P<pf>[^\]]*)\]", text)
+    assert m is not None and "ivf_list" in m.group("pf"), text[:1500]
+    # idempotent: a second pass finds nothing over threshold
+    again = S.compact_ivf_index(spark, path, max_files=2)
+    assert again["partitions_compacted"] == 0
+    assert again["files_after"] == again["files_before"] == stats["files_after"]
+
+
+def test_compact_dedup_index(spark, tmp_path):
+    """compact_dedup_index after append-mode batches: band + shingle file
+    counts drop, contents are bit-identical, meta survives verbatim, and
+    admit_against_index over the compacted index equals the pre-compaction
+    admission."""
+    from alphastats_spark.functions import dedup
+
+    docs = _tiny_docs(spark, n=90)
+    path = str(tmp_path / "didx_cmp")
+    dedup.write_dedup_index(docs.where("doc_id % 3 = 0"), path)
+    for m_ in (1, 2):
+        dedup.write_dedup_index(docs.where(f"doc_id % 3 = {m_}"), path, mode="append")
+    batch = docs.limit(15)
+    before_admit = sorted(map(tuple, dedup.admit_against_index(batch, path).collect()))
+    b_bands = sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect()))
+    b_sh = sorted(map(tuple, spark.read.parquet(f"{path}/shingles").collect()))
+    stats = dedup.compact_dedup_index(spark, path, max_files=1)
+    assert stats["bands"]["files_after"] < stats["bands"]["files_before"]
+    assert stats["shingles"]["files_after"] < stats["shingles"]["files_before"]
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect())) == b_bands
+    assert sorted(map(tuple, spark.read.parquet(f"{path}/shingles").collect())) == b_sh
+    meta = dedup.read_index_meta(spark, path)
+    assert (meta.k, meta.rows_per_band, meta.n) == (8, 2, 3)
+    after_admit = sorted(map(tuple, dedup.admit_against_index(batch, path).collect()))
+    assert after_admit == before_admit
+
+
 # ---------------------------------------------------------------------------
 # materialized dedup index: plan pins + parameter metadata (round 7)
 

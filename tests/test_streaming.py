@@ -446,3 +446,70 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
         11: (11, True),  # batch-2 owner
         12: (11, False),
     }
+
+
+def test_streaming_exact_dedup_rocksdb_state_store(spark, tmp_path):
+    """The unbounded-key stateful paths must run under the RocksDB state
+    store provider (session.build_session(rocksdb_state_store=True) — the
+    production backend for state that grows with distinct documents):
+    same cross-batch admissions as the default provider, state held off
+    the executor heap."""
+    from alphastats_spark.session import ROCKSDB_STATE_STORE
+    from alphastats_spark.streaming import streaming_exact_dedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    src = str(tmp_path / "sdex_rdb_src")
+    spark.createDataFrame(
+        [(3, "alpha beta"), (1, "alpha beta"), (2, "unique one")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, "alpha beta"), (11, "unique two")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    spark.conf.set(key, ROCKSDB_STATE_STORE)
+    try:
+        stream = spark.readStream.schema("doc_id bigint, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        sq = (
+            streaming_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("sdex_rdb_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sdex_rdb_ckpt"))
+            .start()
+        )
+        try:
+            sq.processAllAvailable()
+            # the running query must actually be on RocksDB, not a silent
+            # fallback: the provider surfaces in the state operator's
+            # custom metrics (rocksdb* keys exist only on this backend)
+            progress = sq.lastProgress
+            ops = (progress or {}).get("stateOperators") or []
+            metrics = (ops[0].get("customMetrics") or {}) if ops else {}
+            assert any(k.startswith("rocksdb") for k in metrics), (
+                f"no rocksdb state metrics in progress: {metrics}"
+            )
+        finally:
+            sq.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    got = {
+        r["doc_id"]: (r["first_id"], r["admitted"])
+        for r in spark.sql("select * from sdex_rdb_test").collect()
+    }
+    assert got == {
+        1: (1, True),
+        3: (1, False),
+        2: (2, True),
+        10: (1, False),  # rejected by batch-1 state held in RocksDB
+        11: (11, True),
+    }
