@@ -46,7 +46,7 @@ def last_json_lines(stdout: str) -> list[dict]:
 
 def run(cmd: list[str]) -> str:
     print("::", " ".join(cmd), flush=True)
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO)
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=7200, cwd=REPO)
     if p.returncode != 0:
         sys.stderr.write(p.stdout[-2000:] + "\n" + p.stderr[-4000:] + "\n")
         raise SystemExit(f"{cmd} failed")
@@ -68,7 +68,10 @@ def main() -> None:
         final = next(o for o in reversed(out) if o.get("metric") == "scale_validation")
         result["financial"][f"sf{scale:g}"] = final
 
-    ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py"]))
+    # --deep adds the 100x point for the four heaviest probes (r7 verdict
+    # item 3: two-decade exponents for containment / overlap matrix /
+    # lsh_deduplicate / knn_join)
+    ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--deep"]))
     result["extensions"] = next(o for o in reversed(ext) if "exponent" in o)
 
     path = f"{REPO}/SCALE_r{rnd:02d}.json"
