@@ -134,10 +134,10 @@ def _hashed_shingles(
     the materialized band/shingle tables keep raw shingles as their
     stored format.
     """
-    from alphastats_spark.functions.text import md5_long
+    from alphastats_spark.functions.text import hash_key60
 
     return _exploded_shingles(df, id_col, text_col, n).select(
-        F.col(id_col), md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+        F.col(id_col), hash_key60(F.col("shingle")).alias("shingle")
     )
 
 
@@ -200,10 +200,39 @@ def lsh_candidate_pairs(
     return _candidates_from_sigs(sigs, id_col, k, rows_per_band)
 
 
+#: Max documents per (band, signature) bucket before the bucket is dropped
+#: from LSH candidate generation. A bucket of D documents contributes D²
+#: candidate pairs, and boilerplate-heavy corpora produce mega-buckets —
+#: MinHash's min over a doc's shingles lands on a globally-common shingle
+#: for a large fraction of documents at once, so D grows WITH the corpus
+#: and the band self-join goes quadratic (measured: the round-8 deep scale
+#: probe at 500k synthetic docs with a 25-word hot vocabulary head spilled
+#: >79 GB and died on disk before this guard existed; at 50k the same
+#: blow-up hid inside a tolerable 64 s). 1000 is far above any honest
+#: near-dup cluster at the tested scales while bounding the per-bucket
+#: cost to 10⁶ pairs at ANY corpus size — the same safe-by-default
+#: posture as CONTAINMENT_MAX_SHINGLE_DF. Recall cost: a pair is lost
+#: only if EVERY band it collides in is over the cap; true near-dups
+#: collide in multiple independent bands. The DuckDB oracles mirror the
+#: cap structurally, so cross-engine parity holds at any scale factor.
+MAX_BAND_BUCKET = 1000
+
+
 def _candidates_from_sigs(
-    sigs: DataFrame, id_col: str, k: int, rows_per_band: int
+    sigs: DataFrame,
+    id_col: str,
+    k: int,
+    rows_per_band: int,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     bands = _band_table(sigs, id_col, k, rows_per_band)
+    if max_band_bucket is not None:
+        bsz = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
+        bands = bands.join(
+            F.broadcast(bsz.where(F.col("__bn") > max_band_bucket).select("band", "sig")),
+            ["band", "sig"],
+            "left_anti",
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -656,7 +685,7 @@ def lsh_verified_pairs(
     """
     from alphastats_spark.operators import ordered
 
-    from alphastats_spark.functions.text import md5_long
+    from alphastats_spark.functions.text import hash_key60
 
     sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
     sigs = sh.groupBy(id_col).agg(*minhash_signature_cols(k))
@@ -668,10 +697,10 @@ def lsh_verified_pairs(
     # the persisted sh keeps RAW shingles because the minhash signature
     # branch needs them; only the join projections hash)
     a = sh.select(
-        F.col(id_col).alias("id_a"), md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+        F.col(id_col).alias("id_a"), hash_key60(F.col("shingle")).alias("shingle")
     )
     b = sh.select(
-        F.col(id_col).alias("id_b"), md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+        F.col(id_col).alias("id_b"), hash_key60(F.col("shingle")).alias("shingle")
     )
     common = (
         cands.join(a, "id_a")
@@ -922,7 +951,7 @@ def _verified_matches(
     :func:`_hashed_shingles` for the width/collision reasoning) — for the
     index path that hashing is a scan-side projection over the stored raw
     shingle table, so the index format is unchanged."""
-    from alphastats_spark.functions.text import md5_long
+    from alphastats_spark.functions.text import hash_key60
 
     cands = (
         F.broadcast(bn)
@@ -931,10 +960,10 @@ def _verified_matches(
         .distinct()
     )
     hn = sh_n.select(
-        "new_id", md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+        "new_id", hash_key60(F.col("shingle")).alias("shingle")
     )
     ho = sh_o.select(
-        "match_id", md5_long(F.col("shingle"), hex_digits=15).alias("shingle")
+        "match_id", hash_key60(F.col("shingle")).alias("shingle")
     )
     common = (
         cands.join(hn, "new_id")
@@ -1053,6 +1082,17 @@ def write_dedup_index(
     a single-row Spark JSON table, so the index stays portable to any
     Hadoop-compatible filesystem (no driver-local ``open()``)."""
     from alphastats_spark.operators import ordered
+
+    # an APPEND into an existing index must hash with the index's own
+    # parameters: band rows hashed with different (k, rows_per_band, n)
+    # never collide with the stored corpus's rows, so every near-dup of
+    # the original corpus would be silently admitted — and because meta
+    # is rewritten below, the mismatch would also be invisible to the
+    # readers' FAILFAST checks. Raise at write time instead.
+    if mode == "append":
+        existing = read_index_meta(corpus_df.sparkSession, path)
+        if existing is not None:
+            _resolve_index_params(existing, k, rows_per_band, n)
 
     # fully materializing (everything lands on disk), so the shared
     # shingle cache is scoped and released before returning — a long-lived

@@ -1082,24 +1082,20 @@ def cap_per_group(
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
-    from alphastats_spark.operators import ordered
-
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     over = counts.where(F.col("__n") > cap).select(group_col)
     # Broadcasting the over-cap list unconditionally is only safe when the
     # list is actually small — a tiny cap over a high-cardinality group
     # column (cap=1 per URL, say) makes "over cap" most groups, and a
     # forced broadcast of millions of keys exhausts driver/executor
-    # memory. One cheap map-side-combinable counting job (scoped persist,
-    # released before returning — no registry leak for unscoped callers)
-    # gates the hint; past the limit the hint is dropped and AQE picks the
-    # join strategy from the runtime size instead.
-    mark = ordered.pass_cache_mark()
-    sized = ordered.persist_tracked(over)
-    try:
-        n_over = sized.count()
-    finally:
-        ordered.release_pass_caches(mark)
+    # memory. One map-side-combinable counting job gates the hint (the
+    # one deliberately EAGER step in this operator — the hint is a
+    # plan-time decision, so it cannot wait for an action); past the
+    # limit the hint is dropped and AQE picks the join strategy from the
+    # runtime size instead. No persist: a single count runs the lineage
+    # once either way, and the group-count aggregate is cheap relative to
+    # the joins it guards.
+    n_over = over.count()
     probe = F.broadcast(over) if n_over <= OVER_CAP_BROADCAST_LIMIT else over
     small = df.join(probe, group_col, "left_anti")
     key = order_by if order_by is not None else _md5_key(F.col(id_col), salt)
@@ -1203,7 +1199,7 @@ def source_overlap_matrix(
     # two grams' incidence) stays bit-identical across engines.
     sg = (
         _exploded_grams(df, {"__src": F.col(group_col)}, n, text_col)
-        .select(F.col("__src"), text.md5_long(F.col("gram"), hex_digits=15).alias("gram"))
+        .select(F.col("__src"), text.hash_key60(F.col("gram")).alias("gram"))
         .distinct()
     )
     sg = ordered.persist_tracked(sg)

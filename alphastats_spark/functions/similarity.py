@@ -226,16 +226,14 @@ def knn_join(
     sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`.
 
     ``n_planes=None`` (the default) auto-sizes from the corpus via
-    :func:`knn_join_planes`: one counting job sizes the plane count, and
-    the cache it registers for that count is released before the join
-    plan is built — a default call leaves NOTHING resident, so unscoped
-    long-lived-session callers don't accumulate registry entries (callers
-    with expensive upstream lineage who want the projection cached across
-    the count AND the joins should wrap the call in
-    ``ordered.pass_cache_scope`` and persist upstream themselves). Plane
-    count ∝ log₂(n) is the difference between linear and quadratic
-    candidate volume at scale. Pass an explicit ``n_planes`` to pin
-    buckets (the oracle-gated queries do, for cross-engine determinism).
+    :func:`knn_join_planes`: one bare, column-pruned counting job — no
+    persist, so a default call leaves NOTHING resident in the pass-cache
+    registry and unscoped long-lived-session callers accumulate no
+    entries (callers with expensive upstream lineage should persist
+    upstream themselves before calling). Plane count ∝ log₂(n) is the
+    difference between linear and quadratic candidate volume at scale.
+    Pass an explicit ``n_planes`` to pin buckets (the oracle-gated
+    queries do, for cross-engine determinism).
     NOTE (behavior change vs rounds ≤6): the old fixed default was
     ``n_planes=6``; default results differ from pre-r7 releases because
     bucket boundaries move with the corpus-sized plane count.
@@ -258,20 +256,14 @@ def knn_join(
         norm.alias("__nrm"),
     )
     if n_planes is None:
-        from alphastats_spark.operators import ordered
-
-        # scope the sizing cache to the count: persist so the count job
-        # runs the upstream lineage once, release immediately so a default
-        # call leaves no resident cache in the pass registry (the
-        # long-lived-session leak pattern). The joins below recompute the
-        # projection — exactly the pre-auto-sizing behavior plus one
-        # count job.
-        mark = ordered.pass_cache_mark()
-        sized = ordered.persist_tracked(base)
-        try:
-            n_planes = knn_join_planes(sized.count())
-        finally:
-            ordered.release_pass_caches(mark)
+        # one bare counting job — column-pruned to nothing by Catalyst, so
+        # it never materializes the vectors. Deliberately NOT persisted:
+        # a single count runs the lineage once either way, a persist would
+        # force full-width materialization of every vector, and releasing
+        # it before the joins (required so a default call leaves nothing
+        # in the pass-cache registry — the long-lived-session leak
+        # pattern) would waste the cache anyway.
+        n_planes = knn_join_planes(base.count())
 
     pair_tables = []
     for t in range(n_tables):

@@ -60,6 +60,20 @@ def md5_long(col: Column, salt: str | None = None, hex_digits: int = 8) -> Colum
     return F.conv(F.substring(F.md5(s), 1, hex_digits), 16, 10).cast("bigint")
 
 
+def hash_key60(col: Column) -> Column:
+    """THE canonical 60-bit join-key hash: :func:`md5_long` at 15 hex
+    digits. Used wherever a shingle/gram column becomes a shuffle or join
+    key (the all-pairs dedup operators, the LSH verify joins, the
+    cross-source overlap matrix) — 8-byte keys instead of raw gram
+    strings, with the birthday bound at ~2^30 distinct values (the
+    default 8-digit key collides from ~65k). Every DuckDB oracle mirrors
+    it as ``CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT)``
+    (harness ``_SHINGLE_HASH_CTE``); widen here and in the oracles in
+    lockstep or the engines silently diverge — which is why this is ONE
+    helper and not a per-site ``hex_digits=15`` literal."""
+    return md5_long(col, hex_digits=15)
+
+
 def normalize(text: Column) -> Column:
     """Canonical form for dedup: lowercase, strip non-alphanumerics,
     collapse whitespace."""

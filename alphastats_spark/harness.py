@@ -2770,9 +2770,13 @@ sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.band, b.sig
   FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
-)
+),
+bover AS (SELECT band, sig FROM bands GROUP BY band, sig
+          HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
+bcap AS (SELECT b.* FROM bands b ANTI JOIN bover o
+         ON b.band = o.band AND b.sig = o.sig)
 SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_bands
-FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+FROM bcap l JOIN bcap r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 GROUP BY 1, 2""")
 
     # Streaming LSH dedup: same band semantics as dedup_lsh_candidates but
@@ -2821,9 +2825,13 @@ bands AS (
   SELECT doc_id, b.band, b.sig
   FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
 ),
+bover AS (SELECT band, sig FROM bands GROUP BY band, sig
+          HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
+bcap AS (SELECT b.* FROM bands b ANTI JOIN bover o
+         ON b.band = o.band AND b.sig = o.sig),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+  FROM bcap l JOIN bcap r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
@@ -2960,9 +2968,13 @@ bands AS (
   SELECT doc_id, b.band, b.sig
   FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
 ),
+bover AS (SELECT band, sig FROM bands GROUP BY band, sig
+          HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
+bcap AS (SELECT b.* FROM bands b ANTI JOIN bover o
+         ON b.band = o.band AND b.sig = o.sig),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+  FROM bcap l JOIN bcap r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (

@@ -18,8 +18,10 @@ metadata-preserving:
   partition into one unsplittable file;
 * the rewrite goes through a temp directory and lands via Spark's
   dynamic partition-overwrite committer, so untouched partitions are
-  never rewritten and a crashed compaction leaves the index readable
-  (the temp dir is orphaned, not the data);
+  never rewritten; the temp copy is deleted only AFTER the write-back
+  commits, so a compaction that crashes mid-swap always leaves a
+  complete copy of the affected data — in place (crash before the
+  swap) or at ``<path>__compact_tmp`` (crash during it);
 * nothing outside the selected partition directories is touched — the
   dedup index's ``meta`` parameter record lives in a sibling directory
   and survives verbatim.
@@ -123,12 +125,15 @@ def compact_partitioned_parquet(
             }
         k = max(1, math.ceil(sum(b for _, b in files) / target_bytes))
         tmp = path.rstrip("/") + "__compact_tmp"
-        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(tmp), True)
-        try:
-            spark.read.parquet(path).repartition(k).write.mode("overwrite").parquet(tmp)
-            spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        finally:
-            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(tmp), True)
+        jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(jtmp, True)
+        spark.read.parquet(path).repartition(k).write.mode("overwrite").parquet(tmp)
+        # tmp is deleted ONLY after the write-back commits: if the
+        # overwrite dies after clearing the live directory, the complete
+        # compacted copy survives at <path>__compact_tmp for manual
+        # recovery instead of being reaped by a finally
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        fs.delete(jtmp, True)
         return {
             "files_before": before, "files_after": len(_data_files(fs, root)),
             "partitions_compacted": 1, "partitions_total": 1,
@@ -191,7 +196,10 @@ def compact_partitioned_parquet(
             .write.partitionBy(partition_col).mode("overwrite").parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        fs.delete(jtmp, True)
+    # reached only after the dynamic overwrite committed — a write-back
+    # failure leaves the complete compacted copy at <path>__compact_tmp
+    # for recovery (the docstring's crash-readability guarantee)
+    fs.delete(jtmp, True)
 
     after_total = 0
     for val, jdir in _partition_dirs(fs, root, partition_col).items():

@@ -1867,6 +1867,30 @@ def test_containment_cap_drops_hot_shingle_pairs(spark):
     assert uncapped > 0 and capped == 0
 
 
+def test_lsh_band_bucket_cap(spark):
+    """The LSH band self-join drops (band, sig) buckets over
+    MAX_BAND_BUCKET: a mega-bucket of D docs contributes D² candidate
+    pairs and D grows with the corpus on boilerplate-heavy data (the
+    round-8 500k-doc deep probe spilled >79 GB without this guard). A
+    small explicit cap kills the candidates of an engineered mega-bucket;
+    None restores the exact uncapped join."""
+    from alphastats_spark.functions import dedup
+
+    # 12 identical docs -> identical signatures -> one size-12 bucket in
+    # EVERY band; plus 2 unrelated docs
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    rows += [(100, "one two three four five six"), (101, "seven eight nine ten up down")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dedup.minhash_signatures(docs)
+    capped = dedup._candidates_from_sigs(sigs, "doc_id", 8, 2, max_band_bucket=5)
+    assert capped.count() == 0, "size-12 buckets must drop under cap=5"
+    uncapped = dedup._candidates_from_sigs(sigs, "doc_id", 8, 2, max_band_bucket=None)
+    assert uncapped.where("id_a < 12 and id_b < 12").count() == 66  # C(12,2)
+    # the shipped default is far above honest cluster sizes: identical
+    default = dedup._candidates_from_sigs(sigs, "doc_id", 8, 2)
+    assert sorted(map(tuple, default.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
 def test_knn_join_auto_planes(spark):
     """n_planes=None auto-sizes ∝ log₂(n/TARGET): the plane count grows
     with the corpus and the auto path returns exactly the explicit path's

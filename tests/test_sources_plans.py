@@ -933,6 +933,11 @@ def test_index_meta_single_row_on_append(spark, tmp_path):
     dedup.write_dedup_index(docs, path, k=8, rows_per_band=2, n=3, mode="append")
     meta = dedup.read_index_meta(spark, path)  # single row, no ambiguity
     assert (meta.k, meta.rows_per_band, meta.n) == (8, 2, 3)
+    # an append hashed with DIFFERENT parameters raises at write time —
+    # its band rows would never collide with the stored corpus's, silently
+    # admitting every near-dup, and the meta rewrite would mask the drift
+    with _pytest.raises(ValueError, match="does not match the index"):
+        dedup.write_dedup_index(docs, path, k=4, rows_per_band=2, n=3, mode="append")
     # simulate a pre-fix appended index: two meta rows with different params
     spark.createDataFrame(
         [(4, 2, 3, 1)], "k int, rows_per_band int, n int, version int"
