@@ -225,7 +225,14 @@ def _candidates_from_sigs(
     rows_per_band: int,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
-    bands = _band_table(sigs, id_col, k, rows_per_band)
+    from alphastats_spark.operators import ordered
+
+    # the band table feeds THREE consumers (the bucket-size guard and both
+    # self-join sides), and each would re-execute the signature groupBy
+    # from scratch — persist into the pass-cache registry (released by the
+    # callers' scopes, same discipline as the shingle table; measured:
+    # without this the guard nearly doubled the sf0.1 dedup headline)
+    bands = ordered.persist_tracked(_band_table(sigs, id_col, k, rows_per_band))
     if max_band_bucket is not None:
         bsz = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
         bands = bands.join(
