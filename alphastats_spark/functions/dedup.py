@@ -947,7 +947,12 @@ def incremental_near_dups(
 
 
 def _verified_matches(
-    bn: DataFrame, bo: DataFrame, sh_n: DataFrame, sh_o: DataFrame, threshold: float
+    bn: DataFrame,
+    bo: DataFrame,
+    sh_n: DataFrame,
+    sh_o: DataFrame,
+    threshold: float,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Band-collision candidates verified by exact shingle Jaccard —
     shared by the frame-to-frame incremental path and the materialized
@@ -957,12 +962,39 @@ def _verified_matches(
     The verify join carries shingles as 60-bit hashes (see
     :func:`_hashed_shingles` for the width/collision reasoning) — for the
     index path that hashing is a scan-side projection over the stored raw
-    shingle table, so the index format is unchanged."""
+    shingle table, so the index format is unchanged.
+
+    ``max_band_bucket`` is the corpus-side twin of the self-join's
+    mega-bucket guard: a boilerplate (band, sig) bucket holding D corpus
+    documents hands EVERY batch doc that probes it D candidate pairs, and
+    D grows with the corpus — the admit-time quadratic. The guard stays
+    O(batch): corpus bucket sizes are counted only over the buckets the
+    batch actually probes (a semi-join against the tiny broadcast batch
+    band table — for the materialized index that read is partition-pruned
+    exactly like the candidate join), never over the whole stored table.
+    """
     from alphastats_spark.functions.text import hash_key60
 
+    probe = bn.select("band", "sig").distinct()
+    # deliberately NOT persisted: the guard aggregate and the candidate
+    # join each read the probed subset through their OWN scan, so the
+    # stored band table keeps its dynamic partition pruning (pinned by
+    # tests/test_sources_plans.py::test_admit_against_index_band_dpp — a
+    # persist would wrap the scan in an InMemoryRelation and lose the
+    # runtime band filter). Two pruned O(probed-buckets) scans beat one
+    # unpruned cached one.
+    bo_probed = bo.join(F.broadcast(probe), ["band", "sig"], "semi")
+    if max_band_bucket is not None:
+        hot = (
+            bo_probed.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > max_band_bucket)
+            .select("band", "sig")
+        )
+        bo_probed = bo_probed.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     cands = (
         F.broadcast(bn)
-        .join(bo, ["band", "sig"])
+        .join(bo_probed, ["band", "sig"])
         .select("new_id", "match_id")
         .distinct()
     )

@@ -4586,8 +4586,14 @@ sh AS (
 sig AS (SELECT doc_id, is_new, {_inc_mh} FROM sh GROUP BY doc_id, is_new),
 bands AS (SELECT doc_id, is_new, b.band, b.sig
           FROM sig, LATERAL (VALUES {_inc_bands}) AS b(band, sig)),
+corpus_hot AS (SELECT band, sig FROM bands WHERE NOT is_new
+               GROUP BY band, sig
+               HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
 cand AS (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
-         FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+         FROM bands l
+         JOIN (SELECT b.* FROM bands b ANTI JOIN corpus_hot h
+               ON b.band = h.band AND b.sig = h.sig) r
+           ON l.band = r.band AND l.sig = r.sig
          WHERE l.is_new AND NOT r.is_new)"""
 
     _inc_admit_sql = _inc_cte + f""",

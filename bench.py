@@ -13,14 +13,20 @@ Each headline query exercises a different part of the engine:
 
 Scale validation is a per-round committed artifact from round 6 on:
 SCALE_rN.json via scripts/gen_scale.py (scale_run.py sf1 + sf10,
-scale_ext.py extension families). Round-6 record: sf1 (10x these
-inputs) totals 9.70s and sf10 (100x) 10.6s — 1.3x the sf0.1 wall for
-100x the data; the keyed long-frame path (long_frame.metrics_by_key)
-runs 200 -> 2000 assets (0.5M -> 5M rows) at 9.7 -> 9.9s (exponent
-0.009) and 2000 -> 20000 assets (50M rows) at 24.9 -> 32.1s (exponent
-0.11; r5: 0.59) — per-key windows parallelize across added keys, and
-the ordered-pass SQL-string rewrite removed the driver-side build
-latency that previously dominated the keyed path.
+scale_ext.py extension families — from round 8 including a 100x deep
+point for the four heaviest probes). Round-8 record: sf1 totals 10.4s
+and sf10 (100x the bench inputs) 12.2s — 1.4x the sf0.1 wall for 100x
+the data; the deep probes run three decades (5k -> 50k -> 500k docs)
+with exponents lsh_deduplicate 0.18/0.57, containment 0.39/0.57,
+overlap matrix 0.35/0.30, knn_join ~n·log n (the multiprobe plane
+factor, measured under the model both decades).
+
+Known fixed costs: q_dedup carries ~1.5s of band-bucket-guard latency
+(dedup.MAX_BAND_BUCKET — the aggregate + broadcast stage that keeps the
+LSH band self-join from going quadratic on boilerplate-heavy corpora;
+the round-8 500k-doc probe died on 79 GB of spill without it). The
+r5-r7 q_snapshot "creep" (1.26 -> 1.41) did not reproduce on an idle
+box (1.09-1.31 in round 8) — it was driver-side contention, not code.
 """
 
 from __future__ import annotations

@@ -1891,6 +1891,38 @@ def test_lsh_band_bucket_cap(spark):
     assert sorted(map(tuple, default.collect())) == sorted(map(tuple, uncapped.collect()))
 
 
+def test_admit_band_bucket_cap(spark):
+    """The admit path's corpus-side twin of the mega-bucket guard: a
+    boilerplate corpus bucket of D docs hands every probing batch doc D
+    candidates (D grows with the corpus — the admit-time quadratic). A
+    small explicit cap suppresses the mega-bucket's matches; None
+    restores them."""
+    from alphastats_spark.functions import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+
+    def run(cap):
+        sh_n = dedup._exploded_shingles(batch, "doc_id", "text", 3, out_id="new_id")
+        sh_o = dedup._exploded_shingles(corpus, "doc_id", "text", 3, out_id="match_id")
+        bn = dedup._band_table(
+            sh_n.groupBy("new_id").agg(*dedup.minhash_signature_cols(8)), "new_id", 8, 2
+        )
+        bo = dedup._band_table(
+            sh_o.groupBy("match_id").agg(*dedup.minhash_signature_cols(8)), "match_id", 8, 2
+        )
+        return dedup._verified_matches(bn, bo, sh_n, sh_o, 0.5, max_band_bucket=cap).count()
+
+    assert run(5) == 0, "size-12 corpus buckets must drop under cap=5"
+    assert run(None) == 12
+    assert run(dedup.MAX_BAND_BUCKET) == 12  # shipped default far above honest clusters
+
+
 def test_knn_join_auto_planes(spark):
     """n_planes=None auto-sizes ∝ log₂(n/TARGET): the plane count grows
     with the corpus and the auto path returns exactly the explicit path's
