@@ -438,3 +438,37 @@ def test_containment_pairs_random(spark, docs):
             ).collect()
         }
         assert got == expect, (cap, got ^ expect)
+
+
+_hash_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(values=st.lists(_hash_text, min_size=1, max_size=25, unique=True))
+def test_hash_key60_engine_parity(spark, values):
+    """The 60-bit join-key hash (text.hash_key60) must agree bit-for-bit
+    across Spark, DuckDB's mirror expression, and a pure-Python hashlib
+    re-derivation — EVERY hashed gram/shingle join key in the engine rides
+    this contract (harness._SHINGLE_HASH_CTE), including on unicode,
+    empty-string and whitespace inputs."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions.text import hash_key60
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got_spark = {
+        r["s"]: r["h"] for r in df.select("s", hash_key60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in values:
+        expect_py = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        got_duck = con.execute(
+            "SELECT CAST(CONCAT('0x', substr(md5(?), 1, 15)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got_spark[v] == expect_py == got_duck, (v, got_spark[v], expect_py, got_duck)
