@@ -1026,6 +1026,40 @@ def test_audit_round7_operators(spark):
     assert kinds <= {"unfiltered-scan"}, kinds
 
 
+def test_audit_round8_operators(spark):
+    """Plan-audit guardrails for the round-8 machinery: the hashed-key
+    all-pairs operators (jaccard, containment, overlap matrix), the
+    band-guarded LSH verify pipeline, and the guarded admit path — no
+    single-partition funnels, no row UDFs, no nested-loop joins anywhere.
+    The guard's over-cap side tables probe via broadcast joins by
+    construction."""
+    import os
+
+    path = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{path}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    from alphastats_spark import plans
+    from alphastats_spark.functions import dedup, pipeline
+    from alphastats_spark.operators import ordered
+
+    docs = spark.read.parquet(f"{path}/documents.parquet")
+    with ordered.pass_cache_scope():
+        for df in (
+            dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+            dedup.containment_pairs(docs, threshold=0.8),
+            pipeline.source_overlap_matrix(docs, n=3),
+            dedup.lsh_verified_pairs(docs, threshold=0.5),
+            dedup.incremental_admit(
+                docs.where(F.col("doc_id") % 5 == 0),
+                docs.where(F.col("doc_id") % 5 != 0),
+            ),
+        ):
+            # the modulo / count-derived predicates filter aggregates or
+            # derived columns — not pushable; everything else must be clean
+            kinds = {f.kind for f in plans.audit(df)}
+            assert kinds <= {"unfiltered-scan"}, (kinds, df.columns)
+
+
 def test_streaming_index_candidates_honors_stored_n(spark, tmp_path):
     """An index built with a non-default shingle width n=5 must still
     collide with stream bands when index_path is passed: the stream side
