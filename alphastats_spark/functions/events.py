@@ -316,3 +316,111 @@ def inter_event_gaps(
         F.round(X.percentile(g, 0.5, exact=exact), 1).alias("median_gap_us"),
         F.round(X.percentile(g, 0.95, exact=exact), 1).alias("p95_gap_us"),
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_us: int = 7 * 24 * 3600 * 1_000_000,
+    model: str = "last_touch",
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion event,
+    the touch event that gets credit under ``model`` —
+
+    * ``"last_touch"``: the latest touch at or before the conversion and
+      within ``window_us``;
+    * ``"first_touch"``: the EARLIEST touch inside the window (the window
+      anchors at the conversion: first touch in
+      ``[conv - window_us, conv]``).
+
+    Output one row per conversion: ``(event_id, user_id, us,
+    touch_event_id, touch_type, gap_us, attributed)`` with ``-1`` /
+    ``"none"`` / ``-1`` sentinels for unattributed conversions (not null —
+    nullable ints coerce to NaN through arrow interchange).
+
+    Plan (the 100 TB shape): ONE window pass partitioned by user over the
+    type-filtered union of touches and conversions — never a touches ×
+    conversions self-join (which re-pays the touch table once per
+    conversion and explodes on power users). The frame is filtered to the
+    participating event types at the scan (a pushable ``IN`` predicate,
+    like the funnel's step pre-filter), so non-participating traffic never
+    enters the shuffle. Per-user windows parallelize across users; a
+    simultaneous touch+conversion (equal ``us``) counts for the
+    conversion, ties within a timestamp break by event id — both pinned so
+    the DuckDB oracle agrees row-for-row.
+
+    ``first_touch`` runs the same single pass with a running-window trick:
+    the first touch inside a trailing RANGE window is the minimum
+    (us, event_id) struct over touch rows in ``[conv - window_us, conv]``.
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"model must be last_touch or first_touch, got {model}")
+    from pyspark.sql import Window
+
+    participating = [conversion_type, *touch_types]
+    base = df.where(F.col(type_col).isin(participating)).select(
+        F.col(user_col),
+        F.col(us_col).cast("long").alias(us_col),
+        F.col(type_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(type_col).isin(list(touch_types)).alias("__is_touch"),
+    )
+    if model == "last_touch":
+        # touches sort BEFORE conversions at the same us (a simultaneous
+        # touch counts), later touches win, id breaks exact ties
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(us_col).asc(),
+            F.col("__is_touch").desc(),
+            F.col(id_col).asc(),
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t_struct = F.when(
+            F.col("__is_touch"),
+            F.struct(
+                F.col(us_col).alias("t_us"),
+                F.col(id_col).alias("t_id"),
+                F.col(type_col).alias("t_type"),
+            ),
+        )
+        picked = F.last(t_struct, ignorenulls=True).over(w)
+    else:
+        # first touch inside the trailing range window: min (us, id) struct
+        # over touch rows with us in [conv - window_us, conv]
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(F.col(us_col).asc())
+            .rangeBetween(-int(window_us), 0)
+        )
+        t_struct = F.when(
+            F.col("__is_touch"),
+            F.struct(
+                F.col(us_col).alias("t_us"),
+                F.col(id_col).alias("t_id"),
+                F.col(type_col).alias("t_type"),
+            ),
+        )
+        picked = F.min(t_struct).over(w)
+
+    gap = F.col(us_col) - F.col("__t.t_us")
+    in_window = F.col("__t").isNotNull() & (gap <= F.lit(int(window_us)))
+    return (
+        base.withColumn("__t", picked)
+        .where(~F.col("__is_touch"))
+        .select(
+            F.col(id_col),
+            F.col(user_col),
+            F.col(us_col),
+            F.when(in_window, F.col("__t.t_id")).otherwise(F.lit(-1)).cast("long").alias(
+                "touch_event_id"
+            ),
+            F.when(in_window, F.col("__t.t_type")).otherwise(F.lit("none")).alias(
+                "touch_type"
+            ),
+            F.when(in_window, gap).otherwise(F.lit(-1)).cast("long").alias("gap_us"),
+            in_window.alias("attributed"),
+        )
+    )

@@ -1495,10 +1495,13 @@ SELECT Metric, Strategy FROM (
 
 _ROUND8_WINDOW = [
     # Round 8 window (50 slots). Priority (a) repaired fails: none — r7 was
-    # 50/50. Priority (b): the two queries over genuinely NEW machinery —
+    # 50/50. Priority (b): the four queries over genuinely NEW machinery —
     # parquet small-file compaction of the appended IVF / dedup indexes
-    # (sources/maintenance.py), each with an in-query no-op guard.
+    # (sources/maintenance.py, in-query no-op guards) and last-/first-touch
+    # conversion attribution (events.attribute_conversions, one
+    # user-partitioned window pass, never a touches×conversions join).
     "ann_ivf_compacted", "dedup_index_compacted",
+    "event_attribution", "event_attribution_first",
     # Priority (c): queries over machinery REVISED this round — the
     # all-pairs shingle/gram operators now shuffle 60-bit hashes with
     # oracle-mirrored hashing AND every _word_ngrams consumer moved to the
@@ -1527,17 +1530,16 @@ _ROUND8_WINDOW = [
     "serenity_index", "calmar", "expected_return",
     "doc_quality_filter", "corpus_source_stats", "corpus_pack_greedy",
     "r_squared", "event_hourly_counts", "media_frames_real",
-    # Priority (e): 11 of the 28 public-API alias/wrapper registrations
+    # Priority (e): 9 of the 28 public-API alias/wrapper registrations
     # new this round (verdict item 8 — registry now 1:1 with the public
-    # surface): the ones with BESPOKE oracle semantics front (the nine
-    # mtd…all_time trailing singles plus worst_month/best_year); the 17
-    # remaining (13 pure oracle-copy aliases like expected_shortfall≡cvar
-    # and r2≡r_squared, plus expected_yearly, win_year, avg_up_month,
-    # avg_down_month) are sweep-green in SWEEP_r08 and front the r9
-    # window.
+    # surface): the nine mtd…all_time trailing singles (bespoke oracle
+    # semantics). The 19 remaining (13 pure oracle-copy aliases like
+    # expected_shortfall≡cvar and r2≡r_squared, plus worst_month,
+    # best_year, expected_yearly, win_year, avg_up_month, avg_down_month)
+    # are sweep-green in SWEEP_r08 at both sf0.01 and sf0.1 and front the
+    # r9 window.
     "mtd", "ytd", "three_month", "six_month", "one_year", "three_year",
     "five_year", "ten_year", "all_time",
-    "worst_month", "best_year",
 ]
 
 
@@ -3579,6 +3581,68 @@ SELECT event_type, CAST(COUNT(gap) AS BIGINT) AS n_gaps,
        ROUND(quantile_cont(gap, 0.5), 1) AS median_gap_us,
        ROUND(quantile_cont(gap, 0.95), 1) AS p95_gap_us
 FROM g WHERE gap IS NOT NULL GROUP BY event_type""")
+
+    # Conversion attribution (events.attribute_conversions): per purchase,
+    # the credited touch under last-/first-touch within a 1-day window.
+    # ONE user-partitioned window pass over the type-filtered union —
+    # never a touches × conversions self-join. Both engines order
+    # (us, touch-first, event_id) so simultaneous events cannot diverge;
+    # sentinels (-1/'none') instead of nulls for arrow-interchange safety.
+    _ATTR_WINDOW_US = 86_400_000_000
+
+    def _attribution(model):
+        def q(spark, sf_dir):
+            from alphastats_spark.functions import events as ev_ops
+
+            ev = _events(spark, sf_dir)
+            ev = ev.withColumn("us", _event_us(ev))
+            return ev_ops.attribute_conversions(
+                ev, conversion_type="purchase", touch_types=("click", "view"),
+                window_us=_ATTR_WINDOW_US, model=model,
+            )
+        return q
+
+    _ATTR_EV_CTE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id,
+         event_type IN ('click', 'view') AS is_touch
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+)"""
+
+    add("event_attribution", _attribution("last_touch"), _ATTR_EV_CTE + f""",
+t AS (
+  SELECT *,
+    LAST_VALUE(CASE WHEN is_touch THEN struct_pack(
+        t_us := us, t_id := event_id, t_type := event_type) END IGNORE NULLS)
+      OVER (PARTITION BY user_id
+            ORDER BY us ASC, is_touch DESC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tt
+  FROM ev
+),
+o AS (SELECT *, tt IS NOT NULL AND us - tt.t_us <= {_ATTR_WINDOW_US} AS ok FROM t)
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, CAST(us AS BIGINT) AS us,
+       CAST(CASE WHEN ok THEN tt.t_id ELSE -1 END AS BIGINT) AS touch_event_id,
+       CASE WHEN ok THEN tt.t_type ELSE 'none' END AS touch_type,
+       CAST(CASE WHEN ok THEN us - tt.t_us ELSE -1 END AS BIGINT) AS gap_us,
+       ok AS attributed
+FROM o WHERE NOT is_touch""")
+
+    add("event_attribution_first", _attribution("first_touch"), _ATTR_EV_CTE + f""",
+t AS (
+  SELECT *,
+    MIN(CASE WHEN is_touch THEN struct_pack(
+        t_us := us, t_id := event_id, t_type := event_type) END)
+      OVER (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING AND CURRENT ROW) AS tt
+  FROM ev
+),
+o AS (SELECT *, tt IS NOT NULL AND us - tt.t_us <= {_ATTR_WINDOW_US} AS ok FROM t)
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, CAST(us AS BIGINT) AS us,
+       CAST(CASE WHEN ok THEN tt.t_id ELSE -1 END AS BIGINT) AS touch_event_id,
+       CASE WHEN ok THEN tt.t_type ELSE 'none' END AS touch_type,
+       CAST(CASE WHEN ok THEN us - tt.t_us ELSE -1 END AS BIGINT) AS gap_us,
+       ok AS attributed
+FROM o WHERE NOT is_touch""")
 
     # Ordered conversion funnel (ClickHouse-windowFunnel-style), chained-min
     # semantics with a 24h per-step gap cap. Spark runs the one-shuffle

@@ -1745,6 +1745,61 @@ def test_inter_event_gaps(spark):
     assert kinds <= {"unfiltered-scan"}, kinds
 
 
+def test_attribute_conversions(spark):
+    """Last-/first-touch attribution semantics: latest (or earliest)
+    in-window touch wins, simultaneous touches count for the conversion,
+    out-of-window and touchless conversions carry -1/'none' sentinels,
+    touches AFTER a conversion never attribute. Plan: one user-partitioned
+    window pass, no self-join, no funnel, no row UDF."""
+    from alphastats_spark import plans
+    from alphastats_spark.functions import events as ev_ops
+
+    ev = spark.createDataFrame(
+        [
+            (1, 5, "view", 100), (1, 10, "click", 101), (1, 20, "purchase", 102),
+            (2, 50, "purchase", 200),                      # no touch at all
+            (3, 30, "click", 300), (3, 30, "purchase", 301),  # simultaneous
+            (4, 70, "purchase", 400), (4, 80, "click", 401),  # touch after
+            (5, 10, "click", 500), (5, 200, "purchase", 501),  # out of window
+        ],
+        "user_id bigint, us bigint, event_type string, event_id bigint",
+    )
+    lt = {
+        r["event_id"]: (r["touch_event_id"], r["touch_type"], r["gap_us"], r["attributed"])
+        for r in ev_ops.attribute_conversions(ev, window_us=50, model="last_touch").collect()
+    }
+    assert lt == {
+        102: (101, "click", 10, True),   # latest touch wins over view@5
+        200: (-1, "none", -1, False),
+        301: (300, "click", 0, True),    # simultaneous touch counts
+        400: (-1, "none", -1, False),    # later touch never attributes
+        501: (-1, "none", -1, False),    # gap 190 > window 50
+    }
+    # first-touch, window 12: user 1's conv@20 window [8, 20] excludes
+    # view@5, so the earliest IN-WINDOW touch is click@10
+    ft = {
+        r["event_id"]: (r["touch_event_id"], r["attributed"])
+        for r in ev_ops.attribute_conversions(ev, window_us=12, model="first_touch").collect()
+    }
+    assert ft[102] == (101, True) and ft[501] == (-1, False)
+    # first-touch, window 50: view@5 is now in user 1's window and wins
+    ft50 = {
+        r["event_id"]: r["touch_event_id"]
+        for r in ev_ops.attribute_conversions(ev, window_us=50, model="first_touch").collect()
+    }
+    assert ft50[102] == 100
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="last_touch or first_touch"):
+        ev_ops.attribute_conversions(ev, model="linear")
+    for model in ("last_touch", "first_touch"):
+        kinds = {
+            f.kind
+            for f in plans.audit(ev_ops.attribute_conversions(ev, model=model))
+        }
+        assert kinds <= {"unfiltered-scan"}, (model, kinds)
+
+
 def test_group_centroids(spark):
     from alphastats_spark.functions import similarity
 
