@@ -195,6 +195,13 @@ def lsh_candidate_pairs(
 
     Join happens per (band index, band signature) bucket — never a global
     cross join. Output: (id_a, id_b, n_bands) with id_a < id_b.
+
+    Registers ONE persisted frame (the band table, shared by the
+    mega-bucket guard and both self-join sides) in the pass-cache
+    registry — long-lived sessions calling this repeatedly should wrap
+    each call in ``ordered.pass_cache_scope`` (or call
+    ``ordered.release_pass_caches`` after materializing), the same
+    contract as :func:`lsh_verified_pairs`.
     """
     sigs = minhash_signatures(df, id_col, text_col, k)
     return _candidates_from_sigs(sigs, id_col, k, rows_per_band)
@@ -218,6 +225,28 @@ def lsh_candidate_pairs(
 MAX_BAND_BUCKET = 1000
 
 
+def _drop_hot_buckets(
+    bands: DataFrame, cap: int | None, count_over: DataFrame | None = None
+) -> DataFrame:
+    """THE mega-bucket guard, in one place so the threshold semantics
+    (strictly-greater-than ``cap``, counted as rows per (band, sig))
+    cannot drift between the self-join and admit paths or their DuckDB
+    mirrors. Rows of ``bands`` whose (band, sig) bucket holds more than
+    ``cap`` rows IN ``count_over`` (defaults to ``bands`` itself — the
+    admit path counts the corpus side while filtering it) are dropped via
+    a broadcast anti-join; ``cap=None`` is the exact, unguarded join."""
+    if cap is None:
+        return bands
+    src = count_over if count_over is not None else bands
+    hot = (
+        src.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") > cap)
+        .select("band", "sig")
+    )
+    return bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+
+
 def _candidates_from_sigs(
     sigs: DataFrame,
     id_col: str,
@@ -233,13 +262,7 @@ def _candidates_from_sigs(
     # callers' scopes, same discipline as the shingle table; measured:
     # without this the guard nearly doubled the sf0.1 dedup headline)
     bands = ordered.persist_tracked(_band_table(sigs, id_col, k, rows_per_band))
-    if max_band_bucket is not None:
-        bsz = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("__bn"))
-        bands = bands.join(
-            F.broadcast(bsz.where(F.col("__bn") > max_band_bucket).select("band", "sig")),
-            ["band", "sig"],
-            "left_anti",
-        )
+    bands = _drop_hot_buckets(bands, max_band_bucket)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -937,12 +960,17 @@ def incremental_near_dups(
     sh_o = ordered.persist_tracked(
         _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
     )
-    bn = _band_table(
+    # both band tables are consumed more than once downstream (bn: the
+    # probe distinct + the broadcast candidate join; bo: the mega-bucket
+    # guard + the candidate join) — on this frame-to-frame path there is
+    # no parquet scan whose pruning a persist could break, so persist both
+    # rather than re-running the signature groupBys per consumer
+    bn = ordered.persist_tracked(_band_table(
         sh_n.groupBy("new_id").agg(*minhash_signature_cols(k)), "new_id", k, rows_per_band
-    )
-    bo = _band_table(
+    ))
+    bo = ordered.persist_tracked(_band_table(
         sh_o.groupBy("match_id").agg(*minhash_signature_cols(k)), "match_id", k, rows_per_band
-    )
+    ))
     return _verified_matches(bn, bo, sh_n, sh_o, threshold)
 
 
@@ -976,22 +1004,17 @@ def _verified_matches(
     from alphastats_spark.functions.text import hash_key60
 
     probe = bn.select("band", "sig").distinct()
-    # deliberately NOT persisted: the guard aggregate and the candidate
-    # join each read the probed subset through their OWN scan, so the
-    # stored band table keeps its dynamic partition pruning (pinned by
-    # tests/test_sources_plans.py::test_admit_against_index_band_dpp — a
-    # persist would wrap the scan in an InMemoryRelation and lose the
+    # deliberately NOT persisted here: the guard aggregate and the
+    # candidate join each read the probed subset through their OWN scan,
+    # so the stored band table keeps its dynamic partition pruning (pinned
+    # by tests/test_sources_plans.py::test_admit_against_index_band_dpp —
+    # a persist would wrap the scan in an InMemoryRelation and lose the
     # runtime band filter). Two pruned O(probed-buckets) scans beat one
-    # unpruned cached one.
+    # unpruned cached one; the FRAME-to-frame caller (incremental_admit),
+    # which has no scan to prune, persists its computed band table before
+    # passing it in.
     bo_probed = bo.join(F.broadcast(probe), ["band", "sig"], "semi")
-    if max_band_bucket is not None:
-        hot = (
-            bo_probed.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .where(F.col("__bn") > max_band_bucket)
-            .select("band", "sig")
-        )
-        bo_probed = bo_probed.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    bo_probed = _drop_hot_buckets(bo_probed, max_band_bucket)
     cands = (
         F.broadcast(bn)
         .join(bo_probed, ["band", "sig"])

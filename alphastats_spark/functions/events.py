@@ -360,6 +360,13 @@ def attribute_conversions(
     """
     if model not in ("last_touch", "first_touch"):
         raise ValueError(f"model must be last_touch or first_touch, got {model}")
+    if conversion_type in touch_types:
+        # a conversion typed as a touch would be tagged __is_touch and
+        # silently filtered out of the output — zero rows, no error
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not appear in "
+            f"touch_types {tuple(touch_types)!r}"
+        )
     from pyspark.sql import Window
 
     participating = [conversion_type, *touch_types]

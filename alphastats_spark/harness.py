@@ -1511,14 +1511,13 @@ _ROUND8_WINDOW = [
     # admit_against_index transits the new single-row-meta FAILFAST
     # reader; the LSH verify joins (lsh_verified_pairs/_verified_matches —
     # dedup_lsh_verified, dedup_corpus, both admit paths) hash their
-    # shingle join keys too. (dedup_streaming_index_candidates shares the
-    # meta reader but no changed join — its r7 green stands; rotates next
-    # round.)
+    # shingle join keys too; streaming_index_candidates gained the
+    # setup-time mega-bucket guard its oracle's corpus_hot CTE mirrors.
     "corpus_overlap_matrix", "dedup_containment", "dedup_ngram_jaccard",
     "dedup_clusters", "doc_decontaminate", "doc_decontaminate_hashed",
     "ann_knn_join", "corpus_cap_per_source", "corpus_top_docs_per_source",
     "dedup_index_admit", "dedup_lsh_verified", "dedup_corpus",
-    "dedup_incremental_admit",
+    "dedup_incremental_admit", "dedup_streaming_index_candidates",
     # Priority (d): the ENTIRE 24-name set whose newest driver-green row
     # is still r4 (r7 verdict item 1) — the 18 single-pass scalar-agg
     # singles plus the 6 displaced when r7's registrations took priority
@@ -1530,16 +1529,16 @@ _ROUND8_WINDOW = [
     "serenity_index", "calmar", "expected_return",
     "doc_quality_filter", "corpus_source_stats", "corpus_pack_greedy",
     "r_squared", "event_hourly_counts", "media_frames_real",
-    # Priority (e): 9 of the 28 public-API alias/wrapper registrations
+    # Priority (e): 8 of the 28 public-API alias/wrapper registrations
     # new this round (verdict item 8 — registry now 1:1 with the public
-    # surface): the nine mtd…all_time trailing singles (bespoke oracle
-    # semantics). The 19 remaining (13 pure oracle-copy aliases like
-    # expected_shortfall≡cvar and r2≡r_squared, plus worst_month,
-    # best_year, expected_yearly, win_year, avg_up_month, avg_down_month)
-    # are sweep-green in SWEEP_r08 at both sf0.01 and sf0.1 and front the
-    # r9 window.
+    # surface): trailing singles with bespoke oracle semantics. The 20
+    # remaining (13 pure oracle-copy aliases like expected_shortfall≡cvar
+    # and r2≡r_squared, plus all_time, worst_month, best_year,
+    # expected_yearly, win_year, avg_up_month, avg_down_month) are
+    # sweep-green in SWEEP_r08 at both sf0.01 and sf0.1 and front the r9
+    # window.
     "mtd", "ytd", "three_month", "six_month", "one_year", "three_year",
-    "five_year", "ten_year", "all_time",
+    "five_year", "ten_year",
 ]
 
 

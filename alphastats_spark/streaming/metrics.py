@@ -33,6 +33,10 @@ from alphastats_spark import _utils
 from alphastats_spark import expressions as X
 from alphastats_spark.exceptions import NoTemporalColumnError
 
+#: sentinel: "resolve to functions.dedup.MAX_BAND_BUCKET at call time" —
+#: distinct from None, which explicitly DISABLES the mega-bucket guard
+_USE_MODULE_DEFAULT = -1
+
 # Streaming-safe subset: constant-size aggregation state per window.
 STREAM_METRICS: dict[str, Callable[[Column], Column]] = {
     "comp": X.comp,
@@ -301,11 +305,26 @@ def streaming_index_candidates(
     n: int | None = None,
     text_col: str = "text",
     index_path: str | None = None,
+    max_band_bucket: int | None = _USE_MODULE_DEFAULT,
 ) -> DataFrame:
     """Streaming ingest admission, stage 1: candidate matches of a
     document STREAM against a MATERIALIZED corpus dedup index
     (``functions.dedup.write_dedup_index`` — pass its ``<path>/bands``
     table, keyed by ``match_id``).
+
+    ``max_band_bucket`` (default ``dedup.MAX_BAND_BUCKET``; pass ``None``
+    for the exact, unguarded candidates) is the streaming twin of the
+    batch admit path's mega-bucket guard: a boilerplate (band, sig)
+    bucket holding D stored documents emits D candidate rows for EVERY
+    stream document that probes it, and D grows with the corpus. Stored
+    bucket sizes are computed ONCE at stream setup (a batch aggregation
+    over the index — the same one-time cost class as reading the index
+    meta) and the over-cap bucket list — at most corpus/cap entries, so
+    small by construction — is collected and anti-joined against the tiny
+    broadcast micro-batch band table, never against the stored side;
+    per-micro-batch cost is unchanged and the stored side still streams
+    through the join unshuffled (pinned). The DuckDB oracle mirrors the
+    cap via the shared ``corpus_hot`` CTE.
 
     Stream-static equi-join on (band, sig): stateless on the stream side
     (each arriving document is banded per row, no shuffle), and the
@@ -335,10 +354,30 @@ def streaming_index_candidates(
         else None
     )
     k, rows_per_band, n = dedup._resolve_index_params(meta, k, rows_per_band, n)
+    if max_band_bucket == _USE_MODULE_DEFAULT:
+        max_band_bucket = dedup.MAX_BAND_BUCKET
     banded = _stream_banded(stream_df, id_col, text_col, k, rows_per_band, n)
     idx = index_bands.select(
         F.col("match_id").cast("long").alias("match_id"), "band", "sig"
     )
+    if max_band_bucket is not None:
+        # one-time setup aggregation over the stored index (NOT per
+        # micro-batch — leaving the groupBy in the streaming plan would
+        # re-count the whole corpus every trigger): collect the over-cap
+        # bucket list and anti-join it against the broadcast STREAM side,
+        # so the stored side's plan is untouched
+        hot_rows = (
+            idx.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > int(max_band_bucket))
+            .select("band", "sig")
+            .collect()
+        )
+        if hot_rows:
+            hot = stream_df.sparkSession.createDataFrame(
+                hot_rows, idx.select("band", "sig").schema
+            )
+            banded = banded.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     # broadcast the MICRO-BATCH band table (bounded by trigger size), never
     # the stored index: the corpus side must stream through the join probe
     # side with no exchange — at 100 TB broadcasting (or reshuffling) the

@@ -1102,3 +1102,49 @@ def test_streaming_index_candidates_honors_stored_n(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="does not match the index"):
         streaming_index_candidates(stream, bands, index_path=path, n=3)
+
+
+def test_streaming_index_candidates_band_bucket_cap(spark, tmp_path):
+    """The streaming admit path honors the mega-bucket guard its batch
+    twin and its DuckDB oracle apply: stored (band, sig) buckets over
+    max_band_bucket stop emitting candidates (a boilerplate corpus bucket
+    of D docs otherwise hands every probing stream doc D rows, per
+    micro-batch, forever). The guard anti-joins the tiny STREAM side —
+    the stored side's plan is untouched."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.streaming import streaming_index_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "didx_cap")
+    dedup.write_dedup_index(docs.where("doc_id < 6"), path)  # 6-doc mega bucket
+
+    src = str(tmp_path / "stream_src_cap")
+    docs.where("doc_id >= 6").coalesce(1).write.parquet(src)
+    bands = spark.read.parquet(f"{path}/bands")
+
+    def run(name, cap_kw):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        sq = (
+            streaming_index_candidates(stream, bands, index_path=path, **cap_kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert sq.awaitTermination(120)
+        return {
+            (r["new_id"], r["match_id"])
+            for r in spark.sql(f"select distinct new_id, match_id from {name}").collect()
+        }
+
+    # identical texts: 6-doc buckets exceed cap=5 -> zero candidates
+    assert run("sic_capped", {"max_band_bucket": 5}) == set()
+    # cap=None (exact) and the shipped default (1000, far above 6) both
+    # emit every (stream, corpus) pair
+    full = {(n, m) for n in (6, 7) for m in range(6)}
+    assert run("sic_uncapped", {"max_band_bucket": None}) == full
+    assert run("sic_default", {}) == full
