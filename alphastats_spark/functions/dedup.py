@@ -184,29 +184,6 @@ def _band_table(sigs: DataFrame, id_col: str, k: int, rows_per_band: int) -> Dat
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = MINHASH_K,
-    rows_per_band: int = 2,
-) -> DataFrame:
-    """Candidate near-duplicate pairs: documents agreeing on any full band.
-
-    Join happens per (band index, band signature) bucket — never a global
-    cross join. Output: (id_a, id_b, n_bands) with id_a < id_b.
-
-    Registers ONE persisted frame (the band table, shared by the
-    mega-bucket guard and both self-join sides) in the pass-cache
-    registry — long-lived sessions calling this repeatedly should wrap
-    each call in ``ordered.pass_cache_scope`` (or call
-    ``ordered.release_pass_caches`` after materializing), the same
-    contract as :func:`lsh_verified_pairs`.
-    """
-    sigs = minhash_signatures(df, id_col, text_col, k)
-    return _candidates_from_sigs(sigs, id_col, k, rows_per_band)
-
-
 #: Max documents per (band, signature) bucket before the bucket is dropped
 #: from LSH candidate generation. A bucket of D documents contributes D²
 #: candidate pairs, and boilerplate-heavy corpora produce mega-buckets —
@@ -225,16 +202,54 @@ def lsh_candidate_pairs(
 MAX_BAND_BUCKET = 1000
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents agreeing on any full band.
+
+    Join happens per (band index, band signature) bucket — never a global
+    cross join. Output: (id_a, id_b, n_bands) with id_a < id_b.
+
+    ``max_band_bucket`` (default :data:`MAX_BAND_BUCKET`) drops
+    boilerplate (band, sig) buckets larger than the cap before the
+    self-join, bounding per-bucket work at ANY corpus size; ``None`` is
+    the exact, unguarded join — under it a mega bucket's quadratic work
+    lands on the self-join's own shuffle, where AQE's skew-join split
+    spreads it (the guarded plan has no join-side shuffle to split: the
+    guard's window exchange IS the join partitioning).
+
+    Registers ONE persisted frame (the guard-filtered band table, shared
+    by both self-join sides — the mega-bucket guard itself is a window
+    filter fused into the band-table pass) in the pass-cache registry —
+    long-lived sessions calling this repeatedly should wrap each call in
+    ``ordered.pass_cache_scope`` (or call
+    ``ordered.release_pass_caches`` after materializing), the same
+    contract as :func:`lsh_verified_pairs`.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    return _candidates_from_sigs(sigs, id_col, k, rows_per_band, max_band_bucket)
+
+
+
 def _drop_hot_buckets(
     bands: DataFrame, cap: int | None, count_over: DataFrame | None = None
 ) -> DataFrame:
-    """THE mega-bucket guard, in one place so the threshold semantics
-    (strictly-greater-than ``cap``, counted as rows per (band, sig))
-    cannot drift between the self-join and admit paths or their DuckDB
-    mirrors. Rows of ``bands`` whose (band, sig) bucket holds more than
-    ``cap`` rows IN ``count_over`` (defaults to ``bands`` itself — the
-    admit path counts the corpus side while filtering it) are dropped via
-    a broadcast anti-join; ``cap=None`` is the exact, unguarded join."""
+    """The anti-join form of the mega-bucket guard, for paths where the
+    rows being filtered and the rows being COUNTED are different frames
+    (the admit paths count the corpus side restricted to probed buckets
+    while filtering it, so the hot list is bounded by O(batch) probed
+    buckets — never the whole corpus). Threshold semantics (strictly
+    greater than ``cap``, counted as rows per (band, sig)) are shared
+    with the window-fused guard inside :func:`_candidates_from_sigs` and
+    with the DuckDB ``corpus_hot`` CTE mirrors. Rows of ``bands`` whose
+    (band, sig) bucket holds more than ``cap`` rows IN ``count_over``
+    (defaults to ``bands`` itself) are dropped via a broadcast anti-join;
+    ``cap=None`` is the exact, unguarded join."""
     if cap is None:
         return bands
     src = count_over if count_over is not None else bands
@@ -254,15 +269,35 @@ def _candidates_from_sigs(
     rows_per_band: int,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
+    from pyspark.sql import Window
+
     from alphastats_spark.operators import ordered
 
-    # the band table feeds THREE consumers (the bucket-size guard and both
-    # self-join sides), and each would re-execute the signature groupBy
-    # from scratch — persist into the pass-cache registry (released by the
-    # callers' scopes, same discipline as the shingle table; measured:
-    # without this the guard nearly doubled the sf0.1 dedup headline)
-    bands = ordered.persist_tracked(_band_table(sigs, id_col, k, rows_per_band))
-    bands = _drop_hot_buckets(bands, max_band_bucket)
+    bands = _band_table(sigs, id_col, k, rows_per_band)
+    # mega-bucket guard, fused into the band-table pass (round-9: the
+    # round-8 shape — persist, then a SECOND groupBy traversal + collect/
+    # broadcast anti-join — cost ~2 s of fixed latency on the sf0.1 dedup
+    # headline and force-broadcast an unbounded over-cap list). A window
+    # count over (band, sig) rides the SAME hash partitioning the self-join
+    # below needs, so the guard is one filter inside the shuffle the join
+    # pays anyway: no second traversal, no driver collect, no broadcast —
+    # and the hot-list-size blow-up ADVICE r8 flagged cannot exist here.
+    # Threshold semantics identical to _drop_hot_buckets (strictly greater
+    # than cap drops the bucket); the DuckDB corpus_hot CTEs mirror it.
+    if max_band_bucket is not None:
+        w = Window.partitionBy("band", "sig")
+        bands = (
+            bands.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= int(max_band_bucket))
+            .drop("__bn")
+        )
+    # the (guarded) band table feeds both self-join sides, and each would
+    # re-execute the signature groupBy from scratch — persist into the
+    # pass-cache registry (released by the callers' scopes, same
+    # discipline as the shingle table); the cached plan keeps the window's
+    # hashpartitioning(band, sig), which is exactly the join key, so the
+    # self-join probes the cache with no further exchange
+    bands = ordered.persist_tracked(bands)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -1155,6 +1190,25 @@ def write_dedup_index(
         existing = read_index_meta(corpus_df.sparkSession, path)
         if existing is not None:
             _resolve_index_params(existing, k, rows_per_band, n)
+        else:
+            # a band table with NO meta is a pre-metadata (legacy) index:
+            # its rows may be hashed with ANY parameters, and stamping
+            # fresh meta from this call's arguments below would fabricate
+            # a parameter record for them — defeating the very mismatch
+            # FAILFAST the meta exists for. Appending into nothing (a
+            # fresh path) is a plain create and stays allowed.
+            from alphastats_spark.sources.maintenance import _hadoop_fs
+
+            fs, jbands = _hadoop_fs(corpus_df.sparkSession, f"{path}/bands")
+            if fs.exists(jbands):
+                raise ValueError(
+                    f"dedup index at {path} has band data but no meta "
+                    f"parameter record — appending would stamp meta from "
+                    f"this call's (k={k}, rows_per_band={rows_per_band}, "
+                    f"n={n}) over rows possibly hashed with different "
+                    f"parameters, silently admitting near-duplicates of "
+                    f"the stored corpus. Rebuild with mode='overwrite'."
+                )
 
     # fully materializing (everything lands on disk), so the shared
     # shingle cache is scoped and released before returning — a long-lived

@@ -1077,6 +1077,16 @@ def cap_per_group(
     Rows with a NULL group key pass through uncapped (null never matches
     an equi-join probe) — ``coalesce`` the key to a sentinel first if the
     ungrouped remainder should be quota'd as one group.
+
+    NOT fully lazy: sizing the over-cap list runs one eager job at call
+    time (the broadcast hint is a plan-time decision, so it cannot wait
+    for an action). On the common path the bounded list is collected and
+    inlined as a local relation — the full upstream lineage runs ONCE at
+    call time and the returned plan's two probes never re-pay it; nothing
+    stays persisted (an unscoped caller leaves the pass-cache registry
+    untouched). Only past ``OVER_CAP_BROADCAST_LIMIT`` does the probe
+    stay a lazy subtree (AQE picks the join strategy), and there the
+    aggregate lineage IS recomputed per probe.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -1088,15 +1098,18 @@ def cap_per_group(
     # list is actually small — a tiny cap over a high-cardinality group
     # column (cap=1 per URL, say) makes "over cap" most groups, and a
     # forced broadcast of millions of keys exhausts driver/executor
-    # memory. One map-side-combinable counting job gates the hint (the
-    # one deliberately EAGER step in this operator — the hint is a
-    # plan-time decision, so it cannot wait for an action); past the
-    # limit the hint is dropped and AQE picks the join strategy from the
-    # runtime size instead. No persist: a single count runs the lineage
-    # once either way, and the group-count aggregate is cheap relative to
-    # the joins it guards.
-    n_over = over.count()
-    probe = F.broadcast(over) if n_over <= OVER_CAP_BROADCAST_LIMIT else over
+    # memory. One bounded collect sizes AND materializes the list (the
+    # one deliberately EAGER step in this operator — see docstring): at
+    # or under the limit the keys become a driver-local relation — the
+    # same rows a forced broadcast would ship anyway — so the probes cost
+    # zero recomputation of the upstream lineage; past the limit the hint
+    # is dropped and AQE picks the join strategy from the runtime size.
+    over_rows = over.limit(OVER_CAP_BROADCAST_LIMIT + 1).collect()
+    if len(over_rows) <= OVER_CAP_BROADCAST_LIMIT:
+        local = df.sparkSession.createDataFrame(over_rows, over.schema)
+        probe = F.broadcast(local)
+    else:
+        probe = over
     small = df.join(probe, group_col, "left_anti")
     key = order_by if order_by is not None else _md5_key(F.col(id_col), salt)
     ranked = (

@@ -178,10 +178,16 @@ def compact_partitioned_parquet(
     sub = spark.read.parquet(path).where(probe.isin(in_vals))
     data_cols = [c for c in sub.columns if c != partition_col]
     kmap = F.create_map(*[x for v, k in ks.items() for x in (F.lit(v), F.lit(k))])
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in data_cols]),
-        kmap[F.col(partition_col).cast("string")],
+    # degenerate table with ONLY the partition column: xxhash64() takes at
+    # least one argument, and every row in a directory is identical anyway,
+    # so any row-spreading salt preserves values — monotonically_increasing_id
+    # spreads rows across the k output files
+    salt_src = (
+        F.xxhash64(*[F.col(c) for c in data_cols])
+        if data_cols
+        else F.monotonically_increasing_id()
     )
+    salt = F.pmod(salt_src, kmap[F.col(partition_col).cast("string")])
     tmp = path.rstrip("/") + "__compact_tmp"
     jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(jtmp, True)

@@ -37,6 +37,12 @@ from alphastats_spark.exceptions import NoTemporalColumnError
 #: distinct from None, which explicitly DISABLES the mega-bucket guard
 _USE_MODULE_DEFAULT = -1
 
+#: Upper bound on the over-cap (band, sig) list collected to the driver at
+#: stream setup by :func:`streaming_index_candidates` — the streaming twin
+#: of ``pipeline.OVER_CAP_BROADCAST_LIMIT``. Exceeding it fails loudly
+#: instead of silently broadcasting an unbounded list per micro-batch.
+HOT_LIST_COLLECT_LIMIT = 500_000
+
 # Streaming-safe subset: constant-size aggregation state per window.
 STREAM_METRICS: dict[str, Callable[[Column], Column]] = {
     "comp": X.comp,
@@ -365,14 +371,31 @@ def streaming_index_candidates(
         # micro-batch — leaving the groupBy in the streaming plan would
         # re-count the whole corpus every trigger): collect the over-cap
         # bucket list and anti-join it against the broadcast STREAM side,
-        # so the stored side's plan is untouched
+        # so the stored side's plan is untouched. The list is at most
+        # index_rows / cap entries; HOT_LIST_COLLECT_LIMIT bounds the
+        # driver collect the same way pipeline.OVER_CAP_BROADCAST_LIMIT
+        # gates cap_per_group — a tiny user cap over a huge index could
+        # otherwise collect millions of rows. The list is FROZEN at
+        # stream setup: buckets that cross the cap through later index
+        # appends are not guarded until the stream restarts, so restart
+        # (or compact + restart) on the same maintenance cadence as
+        # sources.maintenance.compact_dedup_index.
         hot_rows = (
             idx.groupBy("band", "sig")
             .agg(F.count(F.lit(1)).alias("__bn"))
             .where(F.col("__bn") > int(max_band_bucket))
             .select("band", "sig")
+            .limit(HOT_LIST_COLLECT_LIMIT + 1)
             .collect()
         )
+        if len(hot_rows) > HOT_LIST_COLLECT_LIMIT:
+            raise ValueError(
+                f"streaming_index_candidates: over-cap bucket list exceeds "
+                f"HOT_LIST_COLLECT_LIMIT ({HOT_LIST_COLLECT_LIMIT}) — "
+                f"max_band_bucket={max_band_bucket} is too small for this "
+                f"index (the guard would broadcast millions of rows); raise "
+                f"the cap or compact/rebuild the index"
+            )
         if hot_rows:
             hot = stream_df.sparkSession.createDataFrame(
                 hot_rows, idx.select("band", "sig").schema

@@ -609,17 +609,26 @@ def test_interval_join_correct_and_no_nested_loop(spark):
 
 
 def test_lsh_band_join_skew_split(spark):
-    """AQE must SPLIT a hot LSH band bucket, not serialize it into one
-    straggler task — the remaining cluster risk of the linearly-scaling
-    dedup family (functions/dedup.py:115-142; session.py AQE posture).
+    """Hot-bucket protection contract of the LSH band self-join, both
+    modes (functions/dedup.py; session.py AQE posture).
 
     10% of a synthetic corpus shares one verbatim text, so every band
     signature of those docs lands in one (band, sig) bucket and the
     band-table self-join concentrates ~hot² work on a single join key.
-    With the skew thresholds scaled down to this corpus (production
-    defaults are 256 MB / factor 5 — the same RELATIVE shape), the
-    executed adaptive plan must carry a skew-split join and produce
-    exactly the same pairs as the unsplit run."""
+
+    UNGUARDED (``max_band_bucket=None``): the join shuffles on (band,
+    sig) itself, and AQE must SPLIT the hot bucket, not serialize it
+    into one straggler task — with the skew thresholds scaled down to
+    this corpus (production defaults are 256 MB / factor 5 — the same
+    RELATIVE shape), the executed adaptive plan must carry a skew-split
+    join and produce exactly the same pairs as the unsplit run.
+
+    GUARDED (default cap): per-bucket work is bounded by the cap
+    instead — the guard is a window count fused into the band-table
+    pass whose (band, sig) exchange IS the join partitioning, so the
+    plan must show the fused Window and must NOT re-grow the round-8
+    shape (a second count traversal probing through a broadcast
+    LeftAnti). Same pairs as unguarded while every bucket is sub-cap."""
     from alphastats_spark.functions import dedup
 
     n, hot_every = 1500, 10
@@ -662,7 +671,7 @@ def test_lsh_band_join_skew_split(spark):
             saved[k] = None
         conf.set(k, v)
     try:
-        pairs = dedup.lsh_candidate_pairs(docs)
+        pairs = dedup.lsh_candidate_pairs(docs, max_band_bucket=None)
         # collect() drives THIS DataFrame's QueryExecution, so the same
         # handle then exposes the post-AQE final plan (count() would clone
         # a new execution and leave this one unexecuted)
@@ -675,8 +684,17 @@ def test_lsh_band_join_skew_split(spark):
         # duplicate or drop any of them vs the unsplit execution
         assert got >= (n // hot_every) * (n // hot_every - 1) // 2
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        unsplit = len(dedup.lsh_candidate_pairs(docs).collect())
+        unsplit = len(dedup.lsh_candidate_pairs(docs, max_band_bucket=None).collect())
         assert got == unsplit
+
+        # guarded default: the 150-doc hot bucket is under MAX_BAND_BUCKET,
+        # so the pair set is identical — through the fused window guard
+        # (one pass, no second count traversal, no broadcast anti-probe)
+        guarded = dedup.lsh_candidate_pairs(docs)
+        assert len(guarded.collect()) == got
+        gplan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition(band" in gplan, gplan[:4000]
+        assert "LeftAnti" not in gplan, gplan[:4000]
     finally:
         for k, v in saved.items():
             if v is None:
