@@ -336,10 +336,16 @@ def attribute_conversions(
       within ``window_us``;
     * ``"first_touch"``: the EARLIEST touch inside the window (the window
       anchors at the conversion: first touch in
-      ``[conv - window_us, conv]``).
+      ``[conv - window_us, conv]``);
+    * ``"linear"``: EVERY touch inside the window shares the conversion
+      equally — output becomes one row per (conversion, touch) with
+      ``credit = 1 / n_touches`` (an unattributed conversion still emits
+      one sentinel row with ``credit = 0.0``, so conversions are never
+      silently dropped and ``SUM(credit)`` = attributed conversions).
 
-    Output one row per conversion: ``(event_id, user_id, us,
-    touch_event_id, touch_type, gap_us, attributed)`` with ``-1`` /
+    Output one row per conversion (per credited touch for ``linear``):
+    ``(event_id, user_id, us, touch_event_id, touch_type, gap_us,
+    attributed)`` — plus ``credit`` for ``linear`` — with ``-1`` /
     ``"none"`` / ``-1`` sentinels for unattributed conversions (not null —
     nullable ints coerce to NaN through arrow interchange).
 
@@ -357,9 +363,16 @@ def attribute_conversions(
     ``first_touch`` runs the same single pass with a running-window trick:
     the first touch inside a trailing RANGE window is the minimum
     (us, event_id) struct over touch rows in ``[conv - window_us, conv]``.
+    ``linear`` collects the window's touch structs with a ``collect_list``
+    over the same trailing RANGE frame and explodes to per-touch credit
+    rows — the list is bounded by one user's touches inside ONE window
+    span (the same per-user-activity bound as the funnel's sorted fold),
+    never by the corpus.
     """
-    if model not in ("last_touch", "first_touch"):
-        raise ValueError(f"model must be last_touch or first_touch, got {model}")
+    if model not in ("last_touch", "first_touch", "linear"):
+        raise ValueError(
+            f"model must be last_touch, first_touch or linear, got {model}"
+        )
     if conversion_type in touch_types:
         # a conversion typed as a touch would be tagged __is_touch and
         # silently filtered out of the output — zero rows, no error
@@ -395,8 +408,8 @@ def attribute_conversions(
         )
         picked = F.last(t_struct, ignorenulls=True).over(w)
     else:
-        # first touch inside the trailing range window: min (us, id) struct
-        # over touch rows with us in [conv - window_us, conv]
+        # first/linear share the trailing range frame: touch rows with
+        # us in [conv - window_us, conv]
         w = (
             Window.partitionBy(user_col)
             .orderBy(F.col(us_col).asc())
@@ -410,6 +423,42 @@ def attribute_conversions(
                 F.col(type_col).alias("t_type"),
             ),
         )
+        if model == "linear":
+            # collect_list skips the null (conversion-row) structs; the
+            # frame bound guarantees every collected touch is in-window
+            convs = (
+                base.withColumn("__ts", F.collect_list(t_struct).over(w))
+                .where(~F.col("__is_touch"))
+                .select(
+                    F.col(id_col),
+                    F.col(user_col),
+                    F.col(us_col),
+                    F.size("__ts").alias("__n"),
+                    # explode_outer: an empty touch list still emits ONE
+                    # null row, so unattributed conversions surface as
+                    # sentinel rows instead of vanishing
+                    F.explode_outer("__ts").alias("__t"),
+                )
+            )
+            gap = F.col(us_col) - F.col("__t.t_us")
+            hit = F.col("__t").isNotNull()
+            return convs.select(
+                F.col(id_col),
+                F.col(user_col),
+                F.col(us_col),
+                F.when(hit, F.col("__t.t_id"))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                .alias("touch_event_id"),
+                F.when(hit, F.col("__t.t_type"))
+                .otherwise(F.lit("none"))
+                .alias("touch_type"),
+                F.when(hit, gap).otherwise(F.lit(-1)).cast("long").alias("gap_us"),
+                F.when(hit, F.lit(1.0) / F.col("__n"))
+                .otherwise(F.lit(0.0))
+                .alias("credit"),
+                hit.alias("attributed"),
+            )
         picked = F.min(t_struct).over(w)
 
     gap = F.col(us_col) - F.col("__t.t_us")

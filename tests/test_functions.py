@@ -1788,11 +1788,28 @@ def test_attribute_conversions(spark):
         for r in ev_ops.attribute_conversions(ev, window_us=50, model="first_touch").collect()
     }
     assert ft50[102] == 100
+    # linear: window 50 — conv 102's window [−30, 20] holds view@5 and
+    # click@10, each credited 1/2; touchless/out-of-window conversions
+    # emit exactly ONE sentinel row with credit 0
+    lin = {}
+    for r in ev_ops.attribute_conversions(ev, window_us=50, model="linear").collect():
+        lin.setdefault(r["event_id"], []).append(
+            (r["touch_event_id"], r["touch_type"], r["gap_us"], r["credit"], r["attributed"])
+        )
+    assert sorted(lin[102]) == [
+        (100, "view", 15, 0.5, True),
+        (101, "click", 10, 0.5, True),
+    ]
+    assert lin[301] == [(300, "click", 0, 1.0, True)]
+    for sentinel in (200, 400, 501):
+        assert lin[sentinel] == [(-1, "none", -1, 0.0, False)]
+    # SUM(credit) over everything = number of attributed conversions
+    assert sum(c for rows in lin.values() for (_, _, _, c, _) in rows) == 2.0
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="last_touch or first_touch"):
-        ev_ops.attribute_conversions(ev, model="linear")
-    for model in ("last_touch", "first_touch"):
+    with _pytest.raises(ValueError, match="last_touch, first_touch or linear"):
+        ev_ops.attribute_conversions(ev, model="u_shaped")
+    for model in ("last_touch", "first_touch", "linear"):
         kinds = {
             f.kind
             for f in plans.audit(ev_ops.attribute_conversions(ev, model=model))
