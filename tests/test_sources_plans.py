@@ -819,6 +819,96 @@ def test_compact_dedup_index(spark, tmp_path):
     assert after_admit == before_admit
 
 
+def _crash_writer(monkeypatch, is_target):
+    """Monkeypatch DataFrameWriter.parquet to raise when ``is_target(path)``
+    — simulating a compaction crash at that exact stage boundary
+    (everything before the poisoned write completes for real, nothing
+    after it runs)."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+
+    def poisoned(self, path, *a, **kw):
+        if is_target(path):
+            raise RuntimeError(f"injected crash writing {path}")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", poisoned)
+    return orig
+
+
+def test_compact_crash_before_swap_leaves_live_intact(spark, tmp_path, monkeypatch):
+    """Crash-safety contract, stage 1 (maintenance.py docstring): a crash
+    while WRITING THE TEMP COPY leaves the live table untouched and
+    complete — and a clean re-run afterwards compacts to the same values."""
+    import pytest
+
+    from alphastats_spark.sources import maintenance as M
+
+    path = str(tmp_path / "crash1")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(80)], "id bigint, part int, payload string"
+    )
+    for s in range(5):  # 5 appends -> >4 files per partition directory
+        df.where(f"id % 5 = {s}").write.partitionBy("part").mode("append").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    _crash_writer(monkeypatch, lambda p: "__compact_tmp" in p)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.compact_partitioned_parquet(spark, path, "part", max_files=4)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+    monkeypatch.undo()
+    stats = M.compact_partitioned_parquet(spark, path, "part", max_files=4)
+    assert stats["partitions_compacted"] == 4
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_compact_crash_during_swap_keeps_recovery_copy(spark, tmp_path, monkeypatch):
+    """Crash-safety contract, stage 2: a crash during the WRITE-BACK swap
+    must leave the complete compacted copy at <path>__compact_tmp (the
+    temp directory is deleted only AFTER the commit — a finally-style
+    cleanup would reap the recovery copy this test reads), and a clean
+    re-run heals the table to identical values."""
+    import pytest
+
+    from alphastats_spark.sources import maintenance as M
+
+    path = str(tmp_path / "crash2")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(60)], "id bigint, part int, payload string"
+    )
+    for s in range(5):
+        df.where(f"id % 5 = {s}").write.partitionBy("part").mode("append").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    live = str(tmp_path / "crash2")
+    _crash_writer(monkeypatch, lambda p: p.rstrip("/") == live)  # only the write-back
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.compact_partitioned_parquet(spark, path, "part", max_files=4)
+    # the recovery copy holds EVERY over-threshold partition's rows,
+    # complete and value-identical (all 3 directories were over cap here)
+    tmp_copy = sorted(map(tuple, spark.read.parquet(path + "__compact_tmp").collect()))
+    assert tmp_copy == before
+    # the injected crash happened before any destructive write, so the
+    # live table also still reads complete
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # the partition-overwrite mode must have been restored despite the crash
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
+
+    monkeypatch.undo()
+    stats = M.compact_partitioned_parquet(spark, path, "part", max_files=4)
+    assert stats["partitions_compacted"] == 3
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    import os
+
+    assert not os.path.exists(path + "__compact_tmp")
+
+
 # ---------------------------------------------------------------------------
 # materialized dedup index: plan pins + parameter metadata (round 7)
 
