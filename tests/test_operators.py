@@ -163,3 +163,33 @@ def test_ordered_pass_keeps_caller_columns_with_helper_like_names(spark):
     assert "margin__in" in out.columns and "vol__lsum" in out.columns
     out2 = ordered.add_prefix_columns(df, sums={"cum": F.col("r")})
     assert "margin__in" in out2.columns and "vol__lsum" in out2.columns
+
+
+def test_pass_cache_scope_bounds_long_session(spark):
+    """The long-lived-session contract (README "Long-lived sessions"):
+    a server issuing MANY dedup/report queries, each under a scope (or a
+    mark/release pair), leaves the pass-cache registry at its starting
+    length after every request — cached memory is bounded by the busiest
+    single request, not by uptime. Also pins that the scope actually had
+    something to release (the operators do register caches)."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.operators import ordered
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 11 + j * 5) % 19}" for j in range(10)))
+            for i in range(40)
+        ],
+        "doc_id bigint, text string",
+    )
+    base = ordered.pass_cache_mark()
+    registered_any = False
+    for request in range(3):
+        with ordered.pass_cache_scope():
+            if request % 2 == 0:
+                dedup.lsh_verified_pairs(docs, threshold=0.3).collect()
+            else:
+                dedup.deduplicate(docs, threshold=0.3).collect()
+            registered_any = registered_any or ordered.pass_cache_mark() > base
+        assert ordered.pass_cache_mark() == base, f"request {request} leaked"
+    assert registered_any, "scope never saw a registered cache - test is vacuous"
