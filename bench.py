@@ -21,12 +21,20 @@ with exponents lsh_deduplicate 0.18/0.57, containment 0.39/0.57,
 overlap matrix 0.35/0.30, knn_join ~n·log n (the multiprobe plane
 factor, measured under the model both decades).
 
-Known fixed costs: q_dedup carries ~1.5s of band-bucket-guard latency
-(dedup.MAX_BAND_BUCKET — the aggregate + broadcast stage that keeps the
-LSH band self-join from going quadratic on boilerplate-heavy corpora;
-the round-8 500k-doc probe died on 79 GB of spill without it). The
+The band-bucket guard (dedup.MAX_BAND_BUCKET — what keeps the LSH band
+self-join from going quadratic on boilerplate-heavy corpora; the round-8
+500k-doc probe died on 79 GB of spill without it) is a window count
+fused into the band-table pass from round 9: its round-8 form (separate
+aggregate + broadcast stage) cost ~2s of fixed q_dedup latency; the
+fused form measured 11.46s -> 8.93s on a same-session sf0.1 A/B. The
 r5-r7 q_snapshot "creep" (1.26 -> 1.41) did not reproduce on an idle
 box (1.09-1.31 in round 8) — it was driver-side contention, not code.
+
+The emitted JSON carries load_avg (1-minute, captured BEFORE the Spark
+session starts) so a contended artifact is self-describing: treat any
+run with load_avg > ~2 on this 32-core box as contended and prefer an
+idle re-measure over a code-regression reading (the round-8 official/
+idle split proved the failure mode).
 """
 
 from __future__ import annotations
@@ -46,6 +54,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # captured BEFORE the session starts: the box's pre-existing load, not
+    # the bench's own — makes a contended artifact self-describing
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        load_avg = None
 
     from alphastats_spark.session import build_session
 
@@ -218,6 +232,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
+                "load_avg": load_avg,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
