@@ -341,11 +341,17 @@ def attribute_conversions(
       equally — output becomes one row per (conversion, touch) with
       ``credit = 1 / n_touches`` (an unattributed conversion still emits
       one sentinel row with ``credit = 0.0``, so conversions are never
-      silently dropped and ``SUM(credit)`` = attributed conversions).
+      silently dropped and ``SUM(credit)`` = attributed conversions);
+    * ``"position"``: U-shaped credits over the same per-touch rows —
+      40% to the first touch in the window, 40% to the last, 20% split
+      evenly across the middle; journeys with one touch keep 100%, with
+      two split 50/50, so ``SUM(credit)`` per attributed conversion is
+      always exactly 1.
 
-    Output one row per conversion (per credited touch for ``linear``):
-    ``(event_id, user_id, us, touch_event_id, touch_type, gap_us,
-    attributed)`` — plus ``credit`` for ``linear`` — with ``-1`` /
+    Output one row per conversion (per credited touch for ``linear`` /
+    ``position``): ``(event_id, user_id, us, touch_event_id, touch_type,
+    gap_us, attributed)`` — plus ``credit`` for the multi-touch models —
+    with ``-1`` /
     ``"none"`` / ``-1`` sentinels for unattributed conversions (not null —
     nullable ints coerce to NaN through arrow interchange).
 
@@ -363,15 +369,16 @@ def attribute_conversions(
     ``first_touch`` runs the same single pass with a running-window trick:
     the first touch inside a trailing RANGE window is the minimum
     (us, event_id) struct over touch rows in ``[conv - window_us, conv]``.
-    ``linear`` collects the window's touch structs with a ``collect_list``
-    over the same trailing RANGE frame and explodes to per-touch credit
-    rows — the list is bounded by one user's touches inside ONE window
-    span (the same per-user-activity bound as the funnel's sorted fold),
-    never by the corpus.
+    ``linear`` / ``position`` collect the window's touch structs with a
+    ``collect_list`` over the same trailing RANGE frame and explode to
+    per-touch credit rows — the list is bounded by one user's touches
+    inside ONE window span (the same per-user-activity bound as the
+    funnel's sorted fold), never by the corpus.
     """
-    if model not in ("last_touch", "first_touch", "linear"):
+    if model not in ("last_touch", "first_touch", "linear", "position"):
         raise ValueError(
-            f"model must be last_touch, first_touch or linear, got {model}"
+            "model must be last_touch, first_touch, linear or position, "
+            f"got {model}"
         )
     if conversion_type in touch_types:
         # a conversion typed as a touch would be tagged __is_touch and
@@ -423,25 +430,43 @@ def attribute_conversions(
                 F.col(type_col).alias("t_type"),
             ),
         )
-        if model == "linear":
+        if model in ("linear", "position"):
             # collect_list skips the null (conversion-row) structs; the
-            # frame bound guarantees every collected touch is in-window
+            # frame bound guarantees every collected touch is in-window.
+            # array_sort orders the list by (t_us, t_id) — struct field
+            # order — so touch POSITION is deterministic for the U-shaped
+            # credits (and harmless for linear).
             convs = (
-                base.withColumn("__ts", F.collect_list(t_struct).over(w))
+                base.withColumn(
+                    "__ts", F.array_sort(F.collect_list(t_struct).over(w))
+                )
                 .where(~F.col("__is_touch"))
                 .select(
                     F.col(id_col),
                     F.col(user_col),
                     F.col(us_col),
                     F.size("__ts").alias("__n"),
-                    # explode_outer: an empty touch list still emits ONE
+                    # posexplode_outer: an empty touch list still emits ONE
                     # null row, so unattributed conversions surface as
                     # sentinel rows instead of vanishing
-                    F.explode_outer("__ts").alias("__t"),
+                    F.posexplode_outer("__ts").alias("__p", "__t"),
                 )
             )
             gap = F.col(us_col) - F.col("__t.t_us")
             hit = F.col("__t").isNotNull()
+            n, p = F.col("__n"), F.col("__p")
+            if model == "linear":
+                credit = F.lit(1.0) / n
+            else:
+                # U-shaped: 40% first, 40% last, 20% split across the
+                # middle; degenerate journeys renormalize (1 touch keeps
+                # 100%, 2 touches split 50/50) so SUM(credit) stays 1.0
+                credit = (
+                    F.when(n == 1, F.lit(1.0))
+                    .when(n == 2, F.lit(0.5))
+                    .when((p == 0) | (p == n - 1), F.lit(0.4))
+                    .otherwise(F.lit(0.2) / (n - 2))
+                )
             return convs.select(
                 F.col(id_col),
                 F.col(user_col),
@@ -454,9 +479,7 @@ def attribute_conversions(
                 .otherwise(F.lit("none"))
                 .alias("touch_type"),
                 F.when(hit, gap).otherwise(F.lit(-1)).cast("long").alias("gap_us"),
-                F.when(hit, F.lit(1.0) / F.col("__n"))
-                .otherwise(F.lit(0.0))
-                .alias("credit"),
+                F.when(hit, credit).otherwise(F.lit(0.0)).alias("credit"),
                 hit.alias("attributed"),
             )
         picked = F.min(t_struct).over(w)

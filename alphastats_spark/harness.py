@@ -1499,8 +1499,10 @@ _ROUND9_WINDOW = [
     # linear multi-touch attribution (events.attribute_conversions
     # model="linear": collect_list over the same trailing RANGE frame,
     # exploded to per-touch credit rows; oracle is the independent
-    # touches⋈conversions DuckDB formulation).
-    "event_attribution_linear",
+    # touches⋈conversions DuckDB formulation) and its position-based
+    # (U-shaped 40/20/40) sibling, which ranks by ROW_NUMBER in the
+    # oracle vs posexplode position in Spark.
+    "event_attribution_linear", "event_attribution_position",
     # Priority (c): queries over machinery REVISED this round — the LSH
     # band self-join's mega-bucket guard is now a window count FUSED into
     # the band-table pass (one shuffle that doubles as the join
@@ -1538,7 +1540,6 @@ _ROUND9_WINDOW = [
     "event_retention", "corpus_mix_sample", "doc_fingerprint",
     "doc_lang_id", "doc_lm_score", "doc_quality", "doc_strip_markup",
     "doc_text_stats", "doc_token_counts", "doc_topk_quality",
-    "consecutive_wins",
 ]
 
 
@@ -3717,6 +3718,40 @@ SELECT CAST(event_id AS BIGINT) AS event_id, user_id, CAST(us AS BIGINT) AS us,
        COALESCE(t_type, 'none') AS touch_type,
        CAST(COALESCE(gap, -1) AS BIGINT) AS gap_us,
        ROUND(CASE WHEN t_id IS NULL THEN 0.0 ELSE 1.0 / nt END, {ROUND}) AS credit,
+       t_id IS NOT NULL AS attributed
+FROM n""")
+
+    # Position-based (U-shaped) attribution: 40% first / 40% last / 20%
+    # split across middle touches, degenerate journeys renormalized.
+    # Spark sorts the collected touch list and credits by posexplode
+    # position; the oracle ranks the joined touches with ROW_NUMBER over
+    # the same (us, id) order — different machinery, same credits.
+    def _attribution_position(spark, sf_dir):
+        return _round_df(_attribution("position")(spark, sf_dir))
+
+    add("event_attribution_position", _attribution_position, _ATTR_EV_CTE + f""",
+c AS (SELECT * FROM ev WHERE NOT is_touch),
+tt AS (SELECT * FROM ev WHERE is_touch),
+j AS (
+  SELECT c.event_id, c.user_id, c.us,
+         tt.event_id AS t_id, tt.event_type AS t_type,
+         tt.us AS t_us, c.us - tt.us AS gap
+  FROM c LEFT JOIN tt
+    ON c.user_id = tt.user_id AND tt.us BETWEEN c.us - {_ATTR_WINDOW_US} AND c.us
+),
+n AS (SELECT *,
+        COUNT(t_id) OVER (PARTITION BY event_id) AS nt,
+        ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY t_us, t_id) AS pos
+      FROM j)
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, CAST(us AS BIGINT) AS us,
+       CAST(COALESCE(t_id, -1) AS BIGINT) AS touch_event_id,
+       COALESCE(t_type, 'none') AS touch_type,
+       CAST(COALESCE(gap, -1) AS BIGINT) AS gap_us,
+       ROUND(CASE WHEN t_id IS NULL THEN 0.0
+                  WHEN nt = 1 THEN 1.0
+                  WHEN nt = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = nt THEN 0.4
+                  ELSE 0.2 / (nt - 2) END, {ROUND}) AS credit,
        t_id IS NOT NULL AS attributed
 FROM n""")
 

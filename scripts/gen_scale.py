@@ -68,10 +68,11 @@ def main() -> None:
         final = next(o for o in reversed(out) if o.get("metric") == "scale_validation")
         result["financial"][f"sf{scale:g}"] = final
 
-    # --deep adds the 100x point for the four heaviest probes (r7 verdict
+    # --deep3 adds the 100x point for the four heaviest probes (r7 verdict
     # item 3: two-decade exponents for containment / overlap matrix /
-    # lsh_deduplicate / knn_join)
-    ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--deep"]))
+    # lsh_deduplicate / knn_join) AND the 1000x (5M-doc) third decade for
+    # the two whose second-decade exponent was 0.57 (r8 verdict item 4)
+    ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--deep3"]))
     result["extensions"] = next(o for o in reversed(ext) if "exponent" in o)
 
     path = f"{REPO}/SCALE_r{rnd:02d}.json"

@@ -291,19 +291,56 @@ DEEP_PROBES = ("lsh_deduplicate", "containment_capped",
                "source_overlap_matrix", "knn_join")
 
 
+def run_deep3_suite(spark, docs) -> dict[str, float]:
+    """THIRD decade (1000x the 1x shape, 5M docs) for the two probes
+    whose 10x→100x exponent was 0.57 in round 8 — higher than their first
+    decade (0.18 / 0.39). Both carry a structural cap (MAX_BAND_BUCKET /
+    max_shingle_df) that argues the curve flattens rather than trends up;
+    one more decade measures that directly, and would also expose a
+    hot-bucket-set blowup (the number of over-cap buckets itself growing
+    super-linearly) two orders of magnitude before production would."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.operators import ordered
+
+    docs = docs.persist()
+    docs.count()
+    out: dict[str, float] = {}
+
+    def t(name, fn):
+        t0 = time.time()
+        with ordered.pass_cache_scope():
+            fn()
+        out[name] = round(time.time() - t0, 2)
+        print(f"  deep3 {name}: {out[name]}s", flush=True)
+
+    t("lsh_deduplicate", lambda: dedup.deduplicate(docs, lineage=True)
+        .groupBy("reason").count().collect())
+    t("containment_capped", lambda: dedup.containment_pairs(
+        docs, threshold=0.8, max_shingle_df=200).count())
+    docs.unpersist()
+    return out
+
+
+DEEP3_PROBES = ("lsh_deduplicate", "containment_capped")
+
+
 def main() -> None:
     from alphastats_spark.session import build_session
 
     deep = "--deep" in sys.argv
+    deep3 = "--deep3" in sys.argv  # implies --deep (needs the 100x point)
+    deep = deep or deep3
 
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
     # 1g default (single-JVM driver hosts all 32 executor threads), exactly
     # as the sf0.1 registry sweep did in check_oracle.py; the 100x deep
-    # probes get 48g for the same reason one decade up
+    # probes get 48g for the same reason one decade up, the 1000x third
+    # decade 80g (the box holds 128g)
     spark = build_session(
         master="local[32]", cores=32,
         extra_conf={"spark.ui.enabled": "false",
-                    "spark.driver.memory": "48g" if deep else "16g"},
+                    "spark.driver.memory": "80g" if deep3
+                    else ("48g" if deep else "16g")},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -332,6 +369,14 @@ def main() -> None:
             k: round(math.log10(max(r100[k], 1e-3) / max(r10[k], 1e-3)), 2)
             for k in DEEP_PROBES
         }
+        if deep3:
+            r1000 = run_deep3_suite(spark, synth_docs(spark, 5_000_000))
+            print("1000x:", json.dumps(r1000), flush=True)
+            result["t_1000x"] = r1000
+            result["exponent_100x_1000x"] = {
+                k: round(math.log10(max(r1000[k], 1e-3) / max(r100[k], 1e-3)), 2)
+                for k in DEEP3_PROBES
+            }
     print(json.dumps(result))
 
 

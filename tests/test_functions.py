@@ -1807,9 +1807,25 @@ def test_attribute_conversions(spark):
     assert sum(c for rows in lin.values() for (_, _, _, c, _) in rows) == 2.0
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="last_touch, first_touch or linear"):
-        ev_ops.attribute_conversions(ev, model="u_shaped")
-    for model in ("last_touch", "first_touch", "linear"):
+    with _pytest.raises(ValueError, match="linear or position"):
+        ev_ops.attribute_conversions(ev, model="w_shaped")
+    # position (U-shaped): user 6 has 3 in-window touches for conv 603 —
+    # 0.4 first, 0.2 middle, 0.4 last; 2-touch journeys split 50/50
+    ev6 = ev.union(
+        spark.createDataFrame(
+            [(6, 10, "view", 600), (6, 20, "click", 601), (6, 30, "view", 602),
+             (6, 40, "purchase", 603)],
+            "user_id bigint, us bigint, event_type string, event_id bigint",
+        )
+    )
+    pos = {}
+    for r in ev_ops.attribute_conversions(ev6, window_us=50, model="position").collect():
+        pos.setdefault(r["event_id"], []).append((r["touch_event_id"], r["credit"]))
+    assert sorted(pos[603]) == [(600, 0.4), (601, pytest.approx(0.2)), (602, 0.4)]
+    assert sorted(pos[102]) == [(100, 0.5), (101, 0.5)]
+    assert pos[301] == [(300, 1.0)]
+    assert pos[200] == [(-1, 0.0)]
+    for model in ("last_touch", "first_touch", "linear", "position"):
         kinds = {
             f.kind
             for f in plans.audit(ev_ops.attribute_conversions(ev, model=model))
