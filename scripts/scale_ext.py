@@ -155,6 +155,13 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
     t("lm_score", lambda: pipeline.lm_score(docs).agg({"avg_logprob": "avg"}).collect())
     t("funnel", lambda: events.funnel(ev, ["signup", "click", "purchase"]).collect())
     t("retention", lambda: events.cohort_retention(ev, bucket_us=86_400_000_000).count())
+    # round 9: multi-touch attribution — the heaviest of the three models
+    # (collect_list + posexplode per conversion); claim is ~1.0 (one
+    # user-partitioned window pass, linear in the participating events)
+    t("attribution", lambda: events.attribute_conversions(
+        ev, conversion_type="purchase", touch_types=("click", "view"),
+        window_us=86_400_000_000, model="position",
+    ).groupBy("touch_type").agg({"credit": "sum"}).collect())
 
     # round-5 additions: importance weighting, cross-corpus admission,
     # containment (df-capped — the skew guard IS the 100 TB configuration),
