@@ -324,6 +324,7 @@ def attribute_conversions(
     touch_types: tuple[str, ...] = ("click", "view"),
     window_us: int = 7 * 24 * 3600 * 1_000_000,
     model: str = "last_touch",
+    half_life_us: int = 24 * 3600 * 1_000_000,
     user_col: str = "user_id",
     us_col: str = "us",
     type_col: str = "event_type",
@@ -346,10 +347,15 @@ def attribute_conversions(
       40% to the first touch in the window, 40% to the last, 20% split
       evenly across the middle; journeys with one touch keep 100%, with
       two split 50/50, so ``SUM(credit)`` per attributed conversion is
-      always exactly 1.
+      always exactly 1;
+    * ``"time_decay"``: exponential-recency credits over the same
+      per-touch rows — raw weight ``0.5 ** (gap / half_life_us)``,
+      normalized per conversion so credits still sum to 1 (a touch one
+      half-life older than another earns half its credit).
 
-    Output one row per conversion (per credited touch for ``linear`` /
-    ``position``): ``(event_id, user_id, us, touch_event_id, touch_type,
+    Output one row per conversion (one per credited touch for the
+    multi-touch models ``linear`` / ``position`` / ``time_decay``):
+    ``(event_id, user_id, us, touch_event_id, touch_type,
     gap_us, attributed)`` — plus ``credit`` for the multi-touch models —
     with ``-1`` /
     ``"none"`` / ``-1`` sentinels for unattributed conversions (not null —
@@ -369,17 +375,20 @@ def attribute_conversions(
     ``first_touch`` runs the same single pass with a running-window trick:
     the first touch inside a trailing RANGE window is the minimum
     (us, event_id) struct over touch rows in ``[conv - window_us, conv]``.
-    ``linear`` / ``position`` collect the window's touch structs with a
+    The multi-touch models collect the window's touch structs with a
     ``collect_list`` over the same trailing RANGE frame and explode to
     per-touch credit rows — the list is bounded by one user's touches
     inside ONE window span (the same per-user-activity bound as the
     funnel's sorted fold), never by the corpus.
     """
-    if model not in ("last_touch", "first_touch", "linear", "position"):
+    if model not in ("last_touch", "first_touch", "linear", "position",
+                     "time_decay"):
         raise ValueError(
-            "model must be last_touch, first_touch, linear or position, "
-            f"got {model}"
+            "model must be last_touch, first_touch, linear, position or "
+            f"time_decay, got {model}"
         )
+    if half_life_us < 1:
+        raise ValueError(f"half_life_us must be >= 1, got {half_life_us}")
     if conversion_type in touch_types:
         # a conversion typed as a touch would be tagged __is_touch and
         # silently filtered out of the output — zero rows, no error
@@ -430,7 +439,7 @@ def attribute_conversions(
                 F.col(type_col).alias("t_type"),
             ),
         )
-        if model in ("linear", "position"):
+        if model in ("linear", "position", "time_decay"):
             # collect_list skips the null (conversion-row) structs; the
             # frame bound guarantees every collected touch is in-window.
             # array_sort orders the list by (t_us, t_id) — struct field
@@ -446,6 +455,9 @@ def attribute_conversions(
                     F.col(user_col),
                     F.col(us_col),
                     F.size("__ts").alias("__n"),
+                    # the full list rides along for time_decay's in-row
+                    # weight normalization (dropped by the final select)
+                    F.col("__ts"),
                     # posexplode_outer: an empty touch list still emits ONE
                     # null row, so unattributed conversions surface as
                     # sentinel rows instead of vanishing
@@ -457,6 +469,18 @@ def attribute_conversions(
             n, p = F.col("__n"), F.col("__p")
             if model == "linear":
                 credit = F.lit(1.0) / n
+            elif model == "time_decay":
+                # normalize inside the row: the exploded row still carries
+                # the full touch list, so the weight sum is an array
+                # aggregate — no second window or per-conversion join
+                hl = F.lit(float(half_life_us))
+                wsum = F.aggregate(
+                    F.col("__ts"),
+                    F.lit(0.0),
+                    lambda acc, t: acc
+                    + F.pow(F.lit(0.5), (F.col(us_col) - t["t_us"]) / hl),
+                )
+                credit = F.pow(F.lit(0.5), gap / hl) / wsum
             else:
                 # U-shaped: 40% first, 40% last, 20% split across the
                 # middle; degenerate journeys renormalize (1 touch keeps

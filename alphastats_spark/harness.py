@@ -1503,6 +1503,7 @@ _ROUND9_WINDOW = [
     # (U-shaped 40/20/40) sibling, which ranks by ROW_NUMBER in the
     # oracle vs posexplode position in Spark.
     "event_attribution_linear", "event_attribution_position",
+    "event_attribution_decay",
     # Priority (c): queries over machinery REVISED this round — the LSH
     # band self-join's mega-bucket guard is now a window count FUSED into
     # the band-table pass (one shuffle that doubles as the join
@@ -1539,7 +1540,7 @@ _ROUND9_WINDOW = [
     "multi_asset_metrics_long", "dedup_exact_nulls", "doc_substring_dedup",
     "event_retention", "corpus_mix_sample", "doc_fingerprint",
     "doc_lang_id", "doc_lm_score", "doc_quality", "doc_strip_markup",
-    "doc_text_stats", "doc_token_counts", "doc_topk_quality",
+    "doc_text_stats", "doc_token_counts",
 ]
 
 
@@ -3752,6 +3753,46 @@ SELECT CAST(event_id AS BIGINT) AS event_id, user_id, CAST(us AS BIGINT) AS us,
                   WHEN nt = 2 THEN 0.5
                   WHEN pos = 1 OR pos = nt THEN 0.4
                   ELSE 0.2 / (nt - 2) END, {ROUND}) AS credit,
+       t_id IS NOT NULL AS attributed
+FROM n""")
+
+    # Time-decay attribution: weight 0.5^(gap/half_life), normalized per
+    # conversion. Spark normalizes IN-ROW (array aggregate over the
+    # collected touch list — no second window); the oracle normalizes
+    # with a SUM window over the joined touches. 6h half-life inside the
+    # 1-day window so the decay is numerically meaningful.
+    _ATTR_HALF_LIFE_US = 21_600_000_000
+
+    def _attribution_decay(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev))
+        return _round_df(ev_ops.attribute_conversions(
+            ev, conversion_type="purchase", touch_types=("click", "view"),
+            window_us=_ATTR_WINDOW_US, model="time_decay",
+            half_life_us=_ATTR_HALF_LIFE_US,
+        ))
+
+    add("event_attribution_decay", _attribution_decay, _ATTR_EV_CTE + f""",
+c AS (SELECT * FROM ev WHERE NOT is_touch),
+tt AS (SELECT * FROM ev WHERE is_touch),
+j AS (
+  SELECT c.event_id, c.user_id, c.us,
+         tt.event_id AS t_id, tt.event_type AS t_type, c.us - tt.us AS gap
+  FROM c LEFT JOIN tt
+    ON c.user_id = tt.user_id AND tt.us BETWEEN c.us - {_ATTR_WINDOW_US} AND c.us
+),
+n AS (SELECT *,
+        SUM(POWER(0.5, gap / {_ATTR_HALF_LIFE_US}.0)) OVER (PARTITION BY event_id) AS wsum
+      FROM j)
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, CAST(us AS BIGINT) AS us,
+       CAST(COALESCE(t_id, -1) AS BIGINT) AS touch_event_id,
+       COALESCE(t_type, 'none') AS touch_type,
+       CAST(COALESCE(gap, -1) AS BIGINT) AS gap_us,
+       ROUND(CASE WHEN t_id IS NULL THEN 0.0
+                  ELSE POWER(0.5, gap / {_ATTR_HALF_LIFE_US}.0) / wsum END,
+             {ROUND}) AS credit,
        t_id IS NOT NULL AS attributed
 FROM n""")
 

@@ -1807,8 +1807,22 @@ def test_attribute_conversions(spark):
     assert sum(c for rows in lin.values() for (_, _, _, c, _) in rows) == 2.0
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="linear or position"):
+    with _pytest.raises(ValueError, match="position or time_decay"):
         ev_ops.attribute_conversions(ev, model="w_shaped")
+    # time_decay: conv 102's touches at gaps 15 (view) and 10 (click),
+    # half-life 5 -> weights 2^-3 and 2^-2: credits 1/3 and 2/3
+    td = {}
+    for r in ev_ops.attribute_conversions(
+        ev, window_us=50, model="time_decay", half_life_us=5
+    ).collect():
+        td.setdefault(r["event_id"], []).append((r["touch_event_id"], r["credit"]))
+    assert sorted(td[102]) == [
+        (100, pytest.approx(1 / 3)),
+        (101, pytest.approx(2 / 3)),
+    ]
+    assert td[301] == [(300, 1.0)] and td[200] == [(-1, 0.0)]
+    with _pytest.raises(ValueError, match="half_life_us"):
+        ev_ops.attribute_conversions(ev, model="time_decay", half_life_us=0)
     # position (U-shaped): user 6 has 3 in-window touches for conv 603 —
     # 0.4 first, 0.2 middle, 0.4 last; 2-touch journeys split 50/50
     ev6 = ev.union(
