@@ -1152,6 +1152,61 @@ def _admit_rank(new_df: DataFrame, matches: DataFrame, id_col: str) -> DataFrame
     )
 
 
+def benchmark_leakage(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark-contamination audit: one row per BENCHMARK document
+    — ``(id, n_train_matches, max_jaccard, leaked)`` — where a benchmark
+    doc is ``leaked`` when any training document near-duplicates it
+    (verified shingle Jaccard ≥ ``threshold`` over MinHash/LSH
+    candidates).
+
+    This is the transpose of :func:`incremental_admit`: admission audits
+    the incoming batch, leakage audits the EVALUATION set — the report an
+    eval-integrity review actually reads ("which MMLU items does the
+    training corpus contain, and how exactly?"). Exact-n-gram
+    decontamination (``pipeline.decontaminate``) catches verbatim
+    inclusion; this catches the paraphrased/reformatted copies exact
+    matching misses.
+
+    Plan shape: the benchmark side is the SMALL side, so it plays the
+    broadcast batch role of :func:`incremental_near_dups` — the training
+    corpus reduces to its band table once, never reshuffles against the
+    benchmark, and the corpus-side mega-bucket guard drops boilerplate
+    buckets (counted only over probed buckets, O(|bench|)). The fold to
+    per-benchmark rows is a count/max aggregation over verified matches —
+    map-side combinable, no window needed since only the extremes
+    survive.
+    """
+    matches = incremental_near_dups(
+        bench_df, train_df, id_col, text_col,
+        k=k, rows_per_band=rows_per_band, threshold=threshold, n=n,
+    )
+    per = matches.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        bench_df.select(F.col(id_col))
+        .join(per.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_train_matches", F.lit(0).cast("bigint")).alias(
+                "n_train_matches"
+            ),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            F.col("n_train_matches").isNotNull().alias("leaked"),
+        )
+    )
+
+
 def write_dedup_index(
     corpus_df: DataFrame,
     path: str,

@@ -232,6 +232,76 @@ def session_paths(
     return counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top)
 
 
+def path_transition_matrix(
+    df: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    start_token: str = "__start__",
+    end_token: str = "__end__",
+) -> DataFrame:
+    """First-order Markov transition matrix over session journeys:
+    ``(src, dst, n_transitions, prob)`` where ``prob`` is the
+    row-stochastic share ``n / Σ n over src``.
+
+    Sessions use the same gap-based sessionizer as :func:`session_paths`
+    (a new session starts after ``gap_s`` seconds of silence). Sentinel
+    transitions are included — ``__start__ → first type`` and
+    ``last type → __end__`` — so entry and exit probabilities fall out of
+    the same matrix (P(exit | checkout) is the abandonment rate).
+
+    Plan shape: the sessionizer and the next-event lookup are both
+    lag/lead windows partitioned by user (parallel across users, never a
+    global window); transitions then reduce through one map-side-combined
+    groupBy over |event-type|² keys, and the probability normalizer is a
+    window over that already-tiny matrix. At 100 TB the only full-data
+    shuffles are the user partitioning (shared by both windows) and one
+    combinable count — no self-join of the event log against itself.
+    """
+    from pyspark.sql import Window
+
+    gap_us = F.lit(int(gap_s) * 1_000_000)
+    w = Window.partitionBy(user_col).orderBy(us_col, id_col)
+    brk = F.when(
+        F.lag(us_col).over(w).isNull()
+        | (F.col(us_col) - F.lag(us_col).over(w) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = df.select(user_col, us_col, id_col, type_col).withColumn(
+        "__sid", F.sum(brk).over(w)
+    )
+
+    ws = Window.partitionBy(user_col, "__sid").orderBy(us_col, id_col)
+    first = F.lag(type_col).over(ws).isNull()
+    nxt = F.lead(type_col).over(ws)
+    stepped = sess.select(
+        F.col(type_col).alias("__t"),
+        first.alias("__first"),
+        nxt.alias("__next"),
+    )
+    # each event emits its outgoing edge (to the next type, or __end__);
+    # session-first events additionally emit the __start__ entry edge
+    out_edge = stepped.select(
+        F.col("__t").alias("src"),
+        F.coalesce(F.col("__next"), F.lit(end_token)).alias("dst"),
+    )
+    in_edge = stepped.where("__first").select(
+        F.lit(start_token).alias("src"), F.col("__t").alias("dst")
+    )
+    counts = (
+        out_edge.unionByName(in_edge)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("src")
+    return counts.withColumn(
+        "prob",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(norm), 7),
+    )
+
+
 def value_anomalies(
     df: DataFrame,
     type_col: str = "event_type",

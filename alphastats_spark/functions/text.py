@@ -271,6 +271,45 @@ def tf_idf_topk(
     )
 
 
+def top_terms_per_source(
+    df: DataFrame,
+    k: int = 10,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-source vocabulary heavy hitters: the ``k`` most frequent
+    normalized tokens in each source, ``(source, term, n_occurrences,
+    rank)`` — the corpus-profiling pass that surfaces boilerplate and
+    template contamination per provenance slice before dedup parameters
+    are tuned.
+
+    Plan shape: one projected explode (only ``source`` and the token
+    array survive the scan — column pruning reaches the parquet reader),
+    one map-side-combined groupBy on (source, term), then a row_number
+    window partitioned BY SOURCE over the already-aggregated
+    |sources| × |vocab| table — parallel across sources, no global sort,
+    and nothing larger than the term-count table ever shuffles. Ties
+    break by term ascending so the cut is deterministic across engines.
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(tokens(normalize(F.col(text_col)))).alias("term")
+    counts = (
+        df.select(F.col(source_col), toks)
+        .groupBy(source_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("n_occurrences"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ngram_counts(
     df: DataFrame,
     n: int = 2,

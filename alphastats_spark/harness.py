@@ -1504,6 +1504,13 @@ _ROUND9_WINDOW = [
     # oracle vs posexplode position in Spark.
     "event_attribution_linear", "event_attribution_position",
     "event_attribution_decay",
+    # ... and the four operators NEW this round: the Markov transition
+    # matrix over gap sessions (rn-self-join oracle), per-source
+    # vocabulary heavy hitters, the one-pass declarative constraint
+    # checker (over the null-injected corpus so violating branches fire),
+    # and the MinHash benchmark-leakage transpose of the admit audit.
+    "event_transition_matrix", "corpus_top_terms_per_source",
+    "corpus_constraint_report", "doc_benchmark_leakage",
     # Priority (c): queries over machinery REVISED this round — the LSH
     # band self-join's mega-bucket guard is now a window count FUSED into
     # the band-table pass (one shuffle that doubles as the join
@@ -1538,9 +1545,12 @@ _ROUND9_WINDOW = [
     "report_basic", "report_numeric", "report_full_bench",
     "media_decode_jpeg", "event_session_streaming",
     "multi_asset_metrics_long", "dedup_exact_nulls", "doc_substring_dedup",
+    # (doc_quality / doc_strip_markup / doc_text_stats / doc_token_counts
+    # were in this tranche before the four new round-9 registrations took
+    # their slots at priority (b); they front the r10 rotation with the
+    # other 25 r5-stale scalar compositions.)
     "event_retention", "corpus_mix_sample", "doc_fingerprint",
-    "doc_lang_id", "doc_lm_score", "doc_quality", "doc_strip_markup",
-    "doc_text_stats", "doc_token_counts",
+    "doc_lang_id", "doc_lm_score",
 ]
 
 
@@ -2713,6 +2723,25 @@ SELECT doc_id, term, tf, ROUND(tf_idf, {ROUND}) AS tf_idf, rank FROM (
   FROM scored
 ) t WHERE rank <= 5""")
 
+    # Per-source vocabulary heavy hitters: top-10 normalized tokens per
+    # provenance slice (boilerplate/template profiling ahead of dedup
+    # tuning). Spark ranks with a row_number window over the aggregated
+    # (source, term) table; ties break term-ascending in both engines so
+    # the cut is deterministic.
+    add("corpus_top_terms_per_source",
+        lambda spark, sf_dir: text.top_terms_per_source(
+            _docs(spark, sf_dir), k=10),
+        f"""
+WITH tok AS (SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+             FROM documents),
+c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM tok WHERE term <> '' GROUP BY 1, 2)
+SELECT source, term, n_occurrences, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n_occurrences DESC, term) AS INTEGER) AS rank
+  FROM c
+) t WHERE rank <= 10""")
+
     add("corpus_ngram_counts",
         lambda spark, sf_dir: text.ngram_counts(_docs(spark, sf_dir), n=2, min_count=2),
         f"""
@@ -3842,6 +3871,54 @@ p AS (
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""")
 
+    # First-order Markov transition matrix over the same 30-min gap
+    # sessions, with __start__/__end__ sentinels so entry and exit
+    # probabilities are rows of the same matrix. Spark runs lag/lead
+    # windows per user; the oracle builds edges the INDEPENDENT way — a
+    # row_number self-join on rn+1 within each session — so agreement
+    # checks the sessionizer + lead machinery, not a shared shape.
+    def _transition_matrix(spark, sf_dir):
+        from alphastats_spark.functions import events as ev_ops
+
+        ev = _events(spark, sf_dir)
+        ev = ev.withColumn("us", _event_us(ev))
+        return ev_ops.path_transition_matrix(ev, gap_s=1800)
+
+    add("event_transition_matrix", _transition_matrix, f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM g
+),
+r AS (
+  SELECT user_id, sid, event_type, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id, sid) AS cnt
+  FROM s
+),
+e AS (
+  SELECT a.event_type AS src, b.event_type AS dst
+  FROM r a JOIN r b
+    ON a.user_id = b.user_id AND a.sid = b.sid AND b.rn = a.rn + 1
+  UNION ALL
+  SELECT '__start__' AS src, event_type AS dst FROM r WHERE rn = 1
+  UNION ALL
+  SELECT event_type AS src, '__end__' AS dst FROM r WHERE rn = cnt
+),
+c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM e GROUP BY 1, 2)
+SELECT src, dst, n_transitions,
+       ROUND(n_transitions * 1.0 / SUM(n_transitions) OVER (PARTITION BY src),
+             {ROUND}) AS prob
+FROM c""")
+
     # Bucketized range join: events within each user's first two hours.
     # A plain BETWEEN theta-join plans as BroadcastNestedLoopJoin; the
     # operator equi-joins on (user, 30-min bucket) with the range predicate
@@ -4778,6 +4855,63 @@ SELECT source, lang,
          AS avg_tokens
 FROM documents GROUP BY ROLLUP (source, lang)""")
 
+    # Declarative data-quality gate (Deequ-style): six rule kinds in ONE
+    # aggregation pass, unpivoted to a per-rule report frame. Runs over
+    # the null-injected corpus so the violating branches of not_null /
+    # non_empty fire alongside genuine in_range (n_chars caps at 553) and
+    # in_set (zh ∉ allowed) violations — and unique/matches pass — so both
+    # report outcomes are driver-checked. Oracle = independent UNION ALL
+    # of per-rule filtered counts.
+    def _constraint_report(spark, sf_dir):
+        from alphastats_spark.functions import checks
+
+        return checks.check_constraints(_docs_nulled(spark, sf_dir), [
+            checks.not_null("text"),
+            checks.unique("doc_id"),
+            checks.non_empty("text"),
+            checks.in_range("n_chars", lo=1, hi=500),
+            checks.in_set("lang", ["en", "de", "fr", "es"]),
+            checks.matches("source", "src[0-9]+"),
+        ])
+
+    add("corpus_constraint_report", _constraint_report, f"""
+WITH {_NULLS_DOCS_CTE},
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents),
+v AS (
+  SELECT 'not_null(text)' AS rule, 'text' AS "column",
+         CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) AS violations
+  FROM documents
+  UNION ALL
+  SELECT 'unique(doc_id)', 'doc_id',
+         CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'non_empty(text)', 'text',
+         CAST(COUNT(*) FILTER (WHERE text IS NULL OR trim(text) = '')
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'in_range(n_chars)', 'n_chars',
+         CAST(COUNT(*) FILTER (WHERE n_chars IS NOT NULL
+                                 AND (n_chars < 1 OR n_chars > 500))
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'in_set(lang)', 'lang',
+         CAST(COUNT(*) FILTER (WHERE lang IS NOT NULL
+                                 AND lang NOT IN ('en', 'de', 'fr', 'es'))
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'matches(source)', 'source',
+         CAST(COUNT(*) FILTER (WHERE source IS NOT NULL
+                                 AND NOT regexp_full_match(source, 'src[0-9]+'))
+              AS BIGINT)
+  FROM documents
+)
+SELECT rule, "column", violations, n.n_rows, violations = 0 AS passed
+FROM v, n""")
+
     # Incremental ingest dedup: the doc_id%5==0 slice plays the NEW batch,
     # the rest the EXISTING corpus. Admission audit per new doc — match
     # count, best verified match, admitted flag. 14 of the corpus's 25
@@ -4847,6 +4981,44 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON n.doc_id = s.new_id"""
             _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0),
             threshold=0.5),
         _inc_admit_sql)
+
+    # Fuzzy benchmark decontamination audit — the TRANSPOSE of the admit
+    # query: the doc_id%5==0 slice plays the BENCHMARK (the small,
+    # broadcast side), the rest the training corpus, and the report is
+    # per-benchmark-doc leakage (n matching train docs, worst Jaccard).
+    # Same straddling near-dup pairs, so both leaked and clean rows are
+    # driver-checked; the oracle folds the shared MinHash CTE the other
+    # way (GROUP BY the benchmark id).
+    add("doc_benchmark_leakage",
+        lambda spark, sf_dir: dedup.benchmark_leakage(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0),
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0),
+            threshold=0.5),
+        _inc_cte + f""",
+shh AS (SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+        FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT c.new_id, c.match_id, COUNT(*) AS cnt
+           FROM cand c
+           JOIN shh a ON a.doc_id = c.new_id
+           JOIN shh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+           GROUP BY 1, 2),
+ver AS (SELECT new_id, match_id,
+               ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) AS jaccard
+        FROM common
+        JOIN sizes sa ON new_id = sa.doc_id
+        JOIN sizes sb ON match_id = sb.doc_id
+        WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5),
+per AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+               MAX(jaccard) AS max_jaccard
+        FROM ver GROUP BY 1)
+SELECT b.doc_id,
+       CAST(COALESCE(p.n_train_matches, 0) AS BIGINT) AS n_train_matches,
+       COALESCE(p.max_jaccard, 0.0) AS max_jaccard,
+       p.new_id IS NOT NULL AS leaked
+FROM (SELECT doc_id FROM t WHERE is_new) b
+LEFT JOIN per p ON b.doc_id = p.new_id""")
 
     def _index_admit(spark, sf_dir):
         import shutil

@@ -2412,3 +2412,118 @@ def test_normalize_expr_zero_vector(spark):
     ).collect()}
     assert out[0] == [0.0, 0.0]
     assert abs(out[1][0] - 0.6) < 1e-9 and abs(out[1][1] - 0.8) < 1e-9
+
+
+def test_path_transition_matrix(spark):
+    from alphastats_spark.functions import events as ev_ops
+
+    m = 60_000_000  # one minute in microseconds
+    rows = [
+        # user 1, session 1: a>b>c ; session 2 (gap > 30 min): a>b
+        (1, 0 * m, 1, "a"), (1, 1 * m, 2, "b"), (1, 2 * m, 3, "c"),
+        (1, 60 * m, 4, "a"), (1, 61 * m, 5, "b"),
+        # user 2, one session: a>b>c
+        (2, 0 * m, 6, "a"), (2, 5 * m, 7, "b"), (2, 6 * m, 8, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, us bigint, event_id bigint, event_type string"
+    )
+    out = {(r["src"], r["dst"]): (r["n_transitions"], r["prob"])
+           for r in ev_ops.path_transition_matrix(df).collect()}
+    assert out[("__start__", "a")] == (3, 1.0)
+    assert out[("a", "b")] == (3, 1.0)
+    assert out[("b", "c")][0] == 2 and abs(out[("b", "c")][1] - 2 / 3) < 1e-6
+    assert out[("b", "__end__")][0] == 1
+    assert out[("c", "__end__")] == (2, 1.0)
+    assert len(out) == 5
+    # rows of the matrix are stochastic: per-src probs sum to 1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (src, _), (_, p) in out.items():
+        sums[src] += p
+    assert all(abs(s - 1.0) < 1e-5 for s in sums.values())
+
+
+def test_top_terms_per_source(spark):
+    from alphastats_spark.functions import text
+
+    rows = [
+        (1, "alpha alpha beta", "s1"),
+        (2, "beta Alpha", "s1"),       # normalize lowercases
+        (3, "gamma gamma gamma", "s2"),
+        (4, "delta", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = [(r["source"], r["term"], r["n_occurrences"], r["rank"])
+           for r in text.top_terms_per_source(df, k=2).orderBy("source", "rank").collect()]
+    # s1: alpha x3, beta x2; s2: gamma x3, delta x1
+    assert out == [
+        ("s1", "alpha", 3, 1), ("s1", "beta", 2, 2),
+        ("s2", "gamma", 3, 1), ("s2", "delta", 1, 2),
+    ]
+    # min_count prunes the tail before ranking
+    pruned = text.top_terms_per_source(df, k=2, min_count=2)
+    assert ("delta",) not in [tuple([r["term"]]) for r in pruned.collect()]
+
+
+def test_check_constraints(spark):
+    import pytest as _pt
+
+    from alphastats_spark.functions import checks
+
+    rows = [
+        (1, "ok", 10.0, "en"),
+        (1, " ", 200.0, "en"),     # dup id, blank text, out of range hi
+        (None, None, -5.0, "xx"),  # null id/text, out of range lo, bad lang
+        (3, "fine", None, "de"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, txt string, v double, lang string")
+    report = checks.check_constraints(df, [
+        checks.not_null("id"),
+        checks.unique("id"),
+        checks.non_empty("txt"),
+        checks.in_range("v", lo=0.0, hi=100.0),
+        checks.in_set("lang", ["en", "de"]),
+        checks.matches("lang", "[a-z]{2}"),
+    ])
+    got = {r["rule"]: r for r in report.collect()}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert got["not_null(id)"]["violations"] == 1
+    assert got["unique(id)"]["violations"] == 1      # 3 non-null, 2 distinct
+    assert got["non_empty(txt)"]["violations"] == 2  # null + blank
+    assert got["in_range(v)"]["violations"] == 2     # 200 and -5; null exempt
+    assert got["in_set(lang)"]["violations"] == 1    # xx
+    assert got["matches(lang)"]["violations"] == 0 and got["matches(lang)"]["passed"]
+    assert not got["unique(id)"]["passed"]
+    # declaration order is preserved in the report
+    assert [r["rule"] for r in report.collect()][0] == "not_null(id)"
+
+    with _pt.raises(ValueError, match="at least one rule"):
+        checks.check_constraints(df, [])
+    with _pt.raises(ValueError, match="unknown rule kind"):
+        checks.check_constraints(df, [{"kind": "nope", "column": "id", "name": "x"}])
+    with _pt.raises(ValueError, match="lo/hi"):
+        checks.in_range("v")
+    with _pt.raises(ValueError, match="non-empty"):
+        checks.in_set("lang", [])
+
+
+def test_benchmark_leakage(spark):
+    from alphastats_spark.functions import dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(10, boiler), (11, boiler + " extra tail"), (12, "completely different corpus text about spark plans and shuffles")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, boiler), (2, "held out evaluation item that shares nothing with training data")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.benchmark_leakage(train, bench, threshold=0.5).collect()}
+    assert out[1]["leaked"] and out[1]["n_train_matches"] >= 1
+    assert out[1]["max_jaccard"] == 1.0  # exact copy present in train
+    assert not out[2]["leaked"]
+    assert out[2]["n_train_matches"] == 0 and out[2]["max_jaccard"] == 0.0
