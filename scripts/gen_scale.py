@@ -70,7 +70,8 @@ def main() -> None:
 
     # --deep3 adds the 100x point for the four heaviest probes (r7 verdict
     # item 3: two-decade exponents for containment / overlap matrix /
-    # lsh_deduplicate / knn_join) AND the 1000x (5M-doc) third decade for
+    # lsh_deduplicate / knn_join) AND a third deep point (2M docs — 5M
+    # exceeds the box's free disk, see scale_ext.run_deep3_suite) for
     # the two whose second-decade exponent was 0.57 (r8 verdict item 4)
     ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--deep3"]))
     result["extensions"] = next(o for o in reversed(ext) if "exponent" in o)

@@ -299,13 +299,22 @@ DEEP_PROBES = ("lsh_deduplicate", "containment_capped",
 
 
 def run_deep3_suite(spark, docs) -> dict[str, float]:
-    """THIRD decade (1000x the 1x shape, 5M docs) for the two probes
-    whose 10x→100x exponent was 0.57 in round 8 — higher than their first
-    decade (0.18 / 0.39). Both carry a structural cap (MAX_BAND_BUCKET /
-    max_shingle_df) that argues the curve flattens rather than trends up;
-    one more decade measures that directly, and would also expose a
-    hot-bucket-set blowup (the number of over-cap buckets itself growing
-    super-linearly) two orders of magnitude before production would."""
+    """THIRD deep point for the two probes whose 10x→100x exponent was
+    0.57 in round 8 — higher than their first decade (0.18 / 0.39). Both
+    carry a structural cap (MAX_BAND_BUCKET / max_shingle_df) that argues
+    the curve flattens rather than trends up; one more point measures
+    that directly, and would also expose a hot-bucket-set blowup (the
+    number of over-cap buckets itself growing super-linearly) two orders
+    of magnitude before production would.
+
+    Sized at 2M docs, not a full 5M decade: the 5M LSH probe died twice
+    on SPILL_OUT_OF_MEMORY / "No space left on device" — the composed
+    ``deduplicate`` pipeline's shuffle+spill footprint is ~linear in
+    docs and at 5M it exceeds this box's ~80 GB of free disk (a
+    single-machine ceiling, not an operator property: on a cluster the
+    same volume spreads over per-executor disks). The exponent is
+    therefore computed over log(n_ratio), so it remains a per-decade
+    slope comparable to the earlier decades."""
     from alphastats_spark.functions import dedup
     from alphastats_spark.operators import ordered
 
@@ -347,7 +356,13 @@ def main() -> None:
         master="local[32]", cores=32,
         extra_conf={"spark.ui.enabled": "false",
                     "spark.driver.memory": "80g" if deep3
-                    else ("48g" if deep else "16g")},
+                    else ("48g" if deep else "16g"),
+                    # big heaps GC rarely, so the ContextCleaner (which
+                    # only reclaims shuffle files whose RDDs have been
+                    # collected) can sit on tens of GB of dead shuffle
+                    # data — on a disk-bounded box, force the sweep
+                    "spark.cleaner.periodicGC.interval":
+                        "2min" if deep else "30min"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -377,11 +392,15 @@ def main() -> None:
             for k in DEEP_PROBES
         }
         if deep3:
-            r1000 = run_deep3_suite(spark, synth_docs(spark, 5_000_000))
-            print("1000x:", json.dumps(r1000), flush=True)
-            result["t_1000x"] = r1000
-            result["exponent_100x_1000x"] = {
-                k: round(math.log10(max(r1000[k], 1e-3) / max(r100[k], 1e-3)), 2)
+            n3 = 2_000_000  # 5M exceeds the box's free disk; see docstring
+            r1000 = run_deep3_suite(spark, synth_docs(spark, n3))
+            print("deep3:", json.dumps(r1000), flush=True)
+            result["t_deep3"] = r1000
+            result["deep3_n_docs"] = n3
+            result["exponent_100x_deep3"] = {
+                k: round(
+                    math.log(max(r1000[k], 1e-3) / max(r100[k], 1e-3))
+                    / math.log(n3 / 500_000), 2)
                 for k in DEEP3_PROBES
             }
     print(json.dumps(result))
