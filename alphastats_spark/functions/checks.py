@@ -106,7 +106,11 @@ def _violation_expr(rule: dict[str, Any]) -> Column:
         bad = c.isNull() | (F.trim(c) == F.lit(""))
     else:  # pragma: no cover - guarded by check_constraints
         raise ValueError(f"unknown rule kind: {kind}")
-    return F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+    # coalesce: SUM over zero rows is NULL; an empty table has 0 violations
+    # (and passed=true), matching the unique rule and COUNT(*) FILTER SQL.
+    return F.coalesce(
+        F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+    ).cast("bigint")
 
 
 def check_constraints(df: DataFrame, rules: list[dict[str, Any]]) -> DataFrame:

@@ -1207,6 +1207,87 @@ def benchmark_leakage(
     )
 
 
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+    n: int = 3,
+    lineage: bool = False,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination that ACTS on the leakage audit:
+    drop every training document that near-duplicates a benchmark
+    document (verified shingle Jaccard ≥ ``threshold`` over MinHash/LSH
+    candidates).
+
+    :func:`benchmark_leakage` reports per BENCHMARK doc ("which eval items
+    leaked?"); this is the enforcement composition over the TRAINING side
+    ("remove the offending train docs before the run"). Exact-n-gram
+    decontamination (``pipeline.decontaminate``) catches verbatim
+    inclusion; this catches the paraphrased/reformatted copies.
+
+    Default output is ``train_df`` minus the leaked rows — schema
+    unchanged, removal via one LEFT ANTI join on ``id_col`` (payload
+    columns shuffle only by the anti-join key). ``lineage=True`` instead
+    returns the decision audit, one row per TRAINING document:
+    ``(id_col, bench_id, jaccard, reason)`` where ``bench_id`` is the
+    worst-offending benchmark doc (highest Jaccard, ties to the lowest
+    bench id — the same best-match contract as :func:`incremental_admit`),
+    ``-1`` sentinel / ``0.0`` for clean docs (nullable ints coerce to
+    float NaN in arrow interchange), and ``reason`` is ``clean`` /
+    ``leaked_dropped``. Survivors = rows with reason = 'clean', so the
+    lineage is a strict superset of the default output's information.
+
+    Plan shape: identical to :func:`benchmark_leakage` — the benchmark is
+    the SMALL side and plays the broadcast batch role of
+    :func:`incremental_near_dups`, so the training corpus reduces to its
+    band table once and never reshuffles against the benchmark; at 100 TB
+    the corpus side would be a precomputed :func:`write_dedup_index`. The
+    lineage fold is a row_number window partitioned by TRAIN id —
+    parallel across the corpus, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    matches = incremental_near_dups(
+        bench_df, train_df, id_col, text_col,
+        k=k, rows_per_band=rows_per_band, threshold=threshold, n=n,
+    )
+    # matches: (new_id = bench doc, match_id = train doc, jaccard)
+    if not lineage:
+        drop = matches.select(F.col("match_id").alias(id_col)).distinct()
+        return train_df.join(drop, on=id_col, how="left_anti")
+    bench_id_type = dict(matches.dtypes).get("new_id", "bigint")
+    w = Window.partitionBy("match_id").orderBy(
+        F.col("jaccard").desc(), F.col("new_id").asc()
+    )
+    best = (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("match_id").alias(id_col),
+            F.col("new_id").alias("bench_id"),
+            "jaccard",
+        )
+    )
+    return (
+        train_df.select(F.col(id_col))
+        .join(best, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("bench_id"), F.lit(-1).cast(bench_id_type)).alias(
+                "bench_id"
+            ),
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("jaccard"),
+            F.when(F.col("bench_id").isNull(), F.lit("clean"))
+            .otherwise(F.lit("leaked_dropped"))
+            .alias("reason"),
+        )
+    )
+
+
 def write_dedup_index(
     corpus_df: DataFrame,
     path: str,

@@ -5020,6 +5020,46 @@ SELECT b.doc_id,
 FROM (SELECT doc_id FROM t WHERE is_new) b
 LEFT JOIN per p ON b.doc_id = p.new_id""")
 
+    # Acting on the leakage audit: fuzzy decontamination of the TRAINING
+    # side. Same split/threshold as the audit above, but the lineage is
+    # per-TRAIN-doc — worst-offending benchmark doc (max jaccard, ties to
+    # lowest bench id), -1/0.0 sentinels for clean docs, reason
+    # clean/leaked_dropped. The oracle folds the shared MinHash CTE by the
+    # TRAIN id with an independent ROW_NUMBER best-match formulation; the
+    # straddling near-dup pairs exercise both reasons at sf0.01.
+    add("doc_decontaminate_fuzzy",
+        lambda spark, sf_dir: dedup.decontaminate_fuzzy(
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0),
+            _docs(spark, sf_dir).where(F.col("doc_id") % 5 == 0),
+            threshold=0.5, lineage=True),
+        _inc_cte + f""",
+shh AS (SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+        FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT c.new_id, c.match_id, COUNT(*) AS cnt
+           FROM cand c
+           JOIN shh a ON a.doc_id = c.new_id
+           JOIN shh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+           GROUP BY 1, 2),
+ver AS (SELECT new_id, match_id,
+               ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) AS jaccard
+        FROM common
+        JOIN sizes sa ON new_id = sa.doc_id
+        JOIN sizes sb ON match_id = sb.doc_id
+        WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5),
+sel AS (SELECT match_id, new_id, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY match_id
+                                  ORDER BY jaccard DESC, new_id) AS rk
+        FROM ver)
+SELECT tr.doc_id,
+       CAST(COALESCE(s.new_id, -1) AS BIGINT) AS bench_id,
+       COALESCE(s.jaccard, 0.0) AS jaccard,
+       CASE WHEN s.match_id IS NULL THEN 'clean'
+            ELSE 'leaked_dropped' END AS reason
+FROM (SELECT doc_id FROM t WHERE NOT is_new) tr
+LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON tr.doc_id = s.match_id""")
+
     def _index_admit(spark, sf_dir):
         import shutil
         import tempfile

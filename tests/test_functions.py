@@ -2508,6 +2508,20 @@ def test_check_constraints(spark):
     with _pt.raises(ValueError, match="non-empty"):
         checks.in_set("lang", [])
 
+    # empty input: every rule reports 0 violations / passed=true (row-level
+    # rules must coalesce the NULL that SUM yields over zero rows, matching
+    # the unique rule and COUNT(*) FILTER semantics)
+    empty = df.limit(0)
+    erep = checks.check_constraints(empty, [
+        checks.not_null("id"),
+        checks.unique("id"),
+        checks.in_range("v", lo=0.0),
+        checks.non_empty("txt"),
+    ]).collect()
+    assert len(erep) == 4
+    for r in erep:
+        assert r["violations"] == 0 and r["n_rows"] == 0 and r["passed"] is True
+
 
 def test_benchmark_leakage(spark):
     from alphastats_spark.functions import dedup
@@ -2527,3 +2541,36 @@ def test_benchmark_leakage(spark):
     assert out[1]["max_jaccard"] == 1.0  # exact copy present in train
     assert not out[2]["leaked"]
     assert out[2]["n_train_matches"] == 0 and out[2]["max_jaccard"] == 0.0
+
+
+def test_decontaminate_fuzzy(spark):
+    from alphastats_spark.functions import dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [(10, boiler), (11, boiler + " extra tail"),
+         (12, "completely different corpus text about spark plans and shuffles")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, boiler),
+         (2, "held out evaluation item that shares nothing with training data")],
+        "doc_id bigint, text string",
+    )
+    # drop mode: leaked train docs removed, schema unchanged
+    kept = dedup.decontaminate_fuzzy(train, bench, threshold=0.5)
+    assert kept.columns == train.columns
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 10 not in kept_ids  # exact copy of bench item 1
+    assert 12 in kept_ids      # unrelated doc survives
+    # lineage mode: one row per train doc, best bench match + reason
+    lin = {r["doc_id"]: r for r in
+           dedup.decontaminate_fuzzy(train, bench, threshold=0.5,
+                                     lineage=True).collect()}
+    assert len(lin) == 3
+    assert lin[10]["reason"] == "leaked_dropped"
+    assert lin[10]["bench_id"] == 1 and lin[10]["jaccard"] == 1.0
+    assert lin[12]["reason"] == "clean"
+    assert lin[12]["bench_id"] == -1 and lin[12]["jaccard"] == 0.0
+    # drop mode output == lineage 'clean' rows
+    assert kept_ids == {d for d, r in lin.items() if r["reason"] == "clean"}
