@@ -648,6 +648,7 @@ def duplicate_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
@@ -663,6 +664,12 @@ def duplicate_clusters(
     Frames are persisted per-iteration and checkpoint-free: the lineage is
     re-rooted by localCheckpoint every few rounds so plans don't grow
     unboundedly on adversarial graphs.
+
+    ``stats`` (optional dict out-param) is the scale-probe hook: it is
+    filled with ``n_edges`` (directed, after symmetrization/distinct),
+    ``n_nodes`` and ``iterations`` (label-propagation rounds actually
+    run). The edge/node counts read the frames the loop persists anyway;
+    leaving ``stats=None`` (the default) adds no extra traversal.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -672,7 +679,11 @@ def duplicate_clusters(
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("id")).persist()
+    if stats is not None:
+        stats["n_edges"] = edges.count()
+        stats["n_nodes"] = labels.count()
 
+    iters_run = 0
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -699,6 +710,7 @@ def duplicate_clusters(
         changed = new_labels.where(F.col("__chg")).limit(1).count()
         labels.unpersist()
         labels = new_labels
+        iters_run = it + 1
         if changed == 0:
             break
     else:
@@ -716,6 +728,8 @@ def duplicate_clusters(
         )
 
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iters_run
     # the returned frame stays cached (callers branch over it); register it
     # so release_pass_caches / pass_cache_scope can free it — a bare
     # persist() here leaked one labels frame per deduplicate() call

@@ -11,6 +11,7 @@ from alphastats_spark.streaming.metrics import (
     STREAM_METRICS,
     rolling_metrics,
     session_metrics,
+    streaming_attribution,
     streaming_dedup_candidates,
     streaming_drawdowns,
     streaming_exact_dedup,
@@ -22,6 +23,7 @@ __all__ = [
     "STREAM_METRICS",
     "rolling_metrics",
     "session_metrics",
+    "streaming_attribution",
     "streaming_dedup_candidates",
     "streaming_drawdowns",
     "streaming_exact_dedup",

@@ -556,6 +556,131 @@ def streaming_funnel_levels(
     )
 
 
+def streaming_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_us: int = 7 * 24 * 3600 * 1_000_000,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution over an event stream — the
+    stateful mirror of :func:`alphastats_spark.functions.events.
+    attribute_conversions` (``model="last_touch"``).
+
+    State per user is ONE touch struct — ``(t_us, t_id, t_type)`` —
+    regardless of history length: the O(1)-state shape that makes
+    billion-user attribution feasible where the batch window pass would
+    re-shuffle every user's full history per run. Each micro-batch sorts
+    its rows by ``(us, touch-before-conversion, event_id)`` — the exact
+    tie order of the batch window (`events.py` attribute_conversions:
+    a simultaneous touch counts for the conversion, ties break by event
+    id) — advances the stored last-touch frontier through the touches,
+    and emits one attribution row per conversion:
+    ``(event_id, user_id, us, touch_event_id, touch_type, gap_us,
+    attributed)`` with the batch operator's ``-1`` / ``"none"``
+    sentinels for unattributed conversions.
+
+    Exactness contract: identical to the batch last-touch semantics when
+    events arrive in order across micro-batches (a time-partitioned
+    feed) — a touch in batch N attributes a conversion in batch N+1
+    because the frontier persists in the state store. A late touch
+    BEHIND the stored frontier cannot rewind state — the standard
+    stateful-streaming trade, same as ``streaming_funnel_levels``.
+
+    Rows with a type outside ``{conversion_type} ∪ touch_types`` are
+    dropped at the source (a pushable ``IN`` predicate, like the batch
+    pass), so non-participating traffic never reaches the state store.
+    """
+    if conversion_type in touch_types:
+        raise ValueError(
+            f"conversion_type {conversion_type!r} must not appear in "
+            f"touch_types {tuple(touch_types)!r}"
+        )
+    participating = [conversion_type, *touch_types]
+    touch_set = set(touch_types)
+    win = int(window_us)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(user_col, T.LongType()),
+            T.StructField(us_col, T.LongType()),
+            T.StructField("touch_event_id", T.LongType()),
+            T.StructField("touch_type", T.StringType()),
+            T.StructField("gap_us", T.LongType()),
+            T.StructField("attributed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("t_us", T.LongType()),
+            T.StructField("t_id", T.LongType()),
+            T.StructField("t_type", T.StringType()),
+        ]
+    )
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        t_us, t_id, t_type = (state.get if state.exists else (-1, -1, "none"))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # touches sort BEFORE conversions at the same instant (__conv:
+        # False < True), later touches win, id breaks exact ties — the
+        # batch window's (us asc, is_touch desc, id asc) order
+        batch["__conv"] = batch[type_col] == conversion_type
+        batch = batch.sort_values(
+            [us_col, "__conv", id_col], kind="mergesort"
+        )
+        out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+        for us, et, eid in zip(
+            batch[us_col].astype("int64"),
+            batch[type_col],
+            batch[id_col].astype("int64"),
+        ):
+            if et in touch_set:
+                t_us, t_id, t_type = int(us), int(eid), str(et)
+                continue
+            ok = t_us >= 0 and us - t_us <= win
+            out[id_col].append(int(eid))
+            out[user_col].append(int(key[0]))
+            out[us_col].append(int(us))
+            out["touch_event_id"].append(t_id if ok else -1)
+            out["touch_type"].append(t_type if ok else "none")
+            out["gap_us"].append(int(us - t_us) if ok else -1)
+            out["attributed"].append(bool(ok))
+        state.update((int(t_us), int(t_id), str(t_type)))
+        yield pd.DataFrame(out)
+
+    return (
+        df.where(F.col(type_col).isin(participating))
+        .select(
+            F.col(user_col).cast("long").alias(user_col),
+            F.col(us_col).cast("long").alias(us_col),
+            F.col(type_col),
+            F.col(id_col).cast("long").alias(id_col),
+        )
+        # a null user/timestamp/id (null in source, or un-castable to
+        # long) would make the Arrow batch's astype('int64') raise and
+        # POISON the stream (fail -> replay -> fail forever); a
+        # keyless/timeless event can neither hold nor receive credit -
+        # drop it here, as the other stateful folds do
+        .where(
+            F.col(user_col).isNotNull()
+            & F.col(us_col).isNotNull()
+            & F.col(id_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -340,11 +340,168 @@ def run_deep3_suite(spark, docs) -> dict[str, float]:
 DEEP3_PROBES = ("lsh_deduplicate", "containment_capped")
 
 
+def run_deep3_instrumented(spark, n_docs: int) -> dict:
+    """Per-stage row counts + wall seconds for the composed LSH dedup
+    pipeline at one corpus size — the diagnostic the r9 verdict asked for:
+    the 500k→2M wall-clock exponent was 1.62, and nothing separated "this
+    box's ~80 GB disk ceiling" from "an algorithmic blowup". If every
+    stage's ROW COUNT grows ~linearly in docs while only the WALL TIME
+    bends, the super-linear term is the machine (spill thrash), not the
+    algorithm; a super-linear candidate/verified-pair or band-row count
+    would instead localize a guard gap to its stage.
+
+    Stages mirror ``dedup.deduplicate(lineage=True)`` exactly, computed
+    through the library's own building blocks so the counts describe the
+    shipped plan: shingle explode → band table (pre-guard) → over-cap
+    buckets → guarded candidate self-join → Jaccard verify → label
+    propagation (iterations via the ``duplicate_clusters`` stats
+    out-param) → the lineage fold. Free temp-dir disk is snapshotted
+    after each stage — the direct evidence for/against the disk ceiling.
+    """
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.functions.text import hash_key60
+    from alphastats_spark.operators import ordered
+
+    out: dict = {"n_docs": n_docs}
+    docs = synth_docs(spark, n_docs).persist()
+    docs.count()
+    out["disk_free_gb_start"] = round(
+        _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+    )
+
+    def stage(name, fn):
+        t0 = time.time()
+        v = fn()
+        out[f"t_{name}"] = round(time.time() - t0, 2)
+        out[f"n_{name}"] = int(v)
+        out[f"disk_free_gb_after_{name}"] = round(
+            _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+        )
+        print(
+            f"  deep3i[{n_docs}] {name}: {v} rows in {out['t_' + name]}s "
+            f"(free disk {out['disk_free_gb_after_' + name]}g)",
+            flush=True,
+        )
+        return v
+
+    with ordered.pass_cache_scope():
+        sh = ordered.persist_tracked(
+            dedup._exploded_shingles(docs, "doc_id", "text", 3)
+        )
+        stage("shingle_rows", sh.count)
+        sigs = sh.groupBy("doc_id").agg(
+            *dedup.minhash_signature_cols(dedup.MINHASH_K)
+        )
+        # diagnostic-only pre-guard view of the band table: how many band
+        # rows exist and how many sit in over-cap (boilerplate) buckets
+        bands_raw = ordered.persist_tracked(
+            dedup._band_table(sigs, "doc_id", dedup.MINHASH_K, 2)
+        )
+        stage("band_rows", bands_raw.count)
+        hot = (
+            bands_raw.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .where(F.col("__bn") > dedup.MAX_BAND_BUCKET)
+        )
+        stage("hot_buckets", hot.count)
+        stage(
+            "band_rows_dropped",
+            lambda: bands_raw.join(
+                hot.select("band", "sig"), ["band", "sig"], "semi"
+            ).count(),
+        )
+        # the SHIPPED guarded self-join (window-fused guard + persisted
+        # band table probed on its own partitioning)
+        cands = ordered.persist_tracked(
+            dedup._candidates_from_sigs(
+                sigs, "doc_id", dedup.MINHASH_K, 2
+            ).select("id_a", "id_b")
+        )
+        stage("candidate_pairs", cands.count)
+        # Jaccard verify restricted to candidates — the lsh_verified_pairs
+        # join shape over the already-persisted shingle table
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(
+            F.col("doc_id").alias("id_a"),
+            hash_key60(F.col("shingle")).alias("shingle"),
+        )
+        b = sh.select(
+            F.col("doc_id").alias("id_b"),
+            hash_key60(F.col("shingle")).alias("shingle"),
+        )
+        common = (
+            cands.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("size_a"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("size_b"))
+        ver = ordered.persist_tracked(
+            common.join(F.broadcast(sa), "id_a")
+            .join(F.broadcast(sb), "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                    7,
+                ),
+            )
+            .where(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b")
+        )
+        stage("verified_pairs", ver.count)
+        cstats: dict = {}
+        t0 = time.time()
+        clusters = dedup.duplicate_clusters(ver, stats=cstats)
+        n_members = clusters.count()
+        out["t_clusters"] = round(time.time() - t0, 2)
+        out["n_cluster_members"] = int(n_members)
+        out["n_edges"] = int(cstats["n_edges"])
+        out["cluster_iterations"] = int(cstats["iterations"])
+        out["disk_free_gb_after_clusters"] = round(
+            _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+        )
+        print(
+            f"  deep3i[{n_docs}] clusters: {n_members} members, "
+            f"{cstats['iterations']} iterations in {out['t_clusters']}s",
+            flush=True,
+        )
+        # the lineage fold deduplicate(lineage=True) ends with
+        stage(
+            "lineage_rows",
+            lambda: docs.select("doc_id")
+            .join(
+                clusters.select(F.col("id").alias("doc_id"), "cluster_id"),
+                "doc_id",
+                "left",
+            )
+            .count(),
+        )
+    docs.unpersist()
+    return out
+
+
+DEEP3_STAGE_COUNTS = (
+    "shingle_rows", "band_rows", "hot_buckets", "band_rows_dropped",
+    "candidate_pairs", "verified_pairs", "n_edges", "cluster_members",
+    "lineage_rows",
+)
+
+
 def main() -> None:
     from alphastats_spark.session import build_session
 
     deep = "--deep" in sys.argv
     deep3 = "--deep3" in sys.argv  # implies --deep (needs the 100x point)
+    stages = "--deep3-stages" in sys.argv  # standalone diagnostic mode
+    deep3 = deep3 or stages
     deep = deep or deep3
 
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
@@ -365,6 +522,34 @@ def main() -> None:
                         "2min" if deep else "30min"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if stages:
+        # standalone diagnostic: per-stage counts/walls at three corpus
+        # sizes; one decade-normalized exponent per count and per wall so
+        # "where does 1.62 come from" has a stage-level answer
+        pts = [run_deep3_instrumented(spark, n)
+               for n in (500_000, 1_000_000, 2_000_000)]
+
+        def expn(k, a, b):
+            va, vb = a.get(k), b.get(k)
+            if not va or not vb:
+                return None
+            return round(
+                math.log(vb / va) / math.log(b["n_docs"] / a["n_docs"]), 2
+            )
+
+        keys = [k for k in pts[0]
+                if (k.startswith(("n_", "t_")) and k != "n_docs")
+                or k == "cluster_iterations"]
+        result = {
+            "deep3_stages": pts,
+            "deep3_stage_exponents": {
+                k: [expn(k, pts[0], pts[1]), expn(k, pts[1], pts[2])]
+                for k in keys
+            },
+        }
+        print(json.dumps(result))
+        return
 
     # per-suite progress lines so a mid-run crash can't lose earlier suites
     r1 = run_suite(spark, synth_docs(spark, 5_000), synth_events(spark, 100_000, 150))

@@ -238,6 +238,19 @@ class TestDedup:
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
 
+    def test_duplicate_clusters_stats_out_param(self, spark):
+        # the scale-probe hook: edge/node counts and propagation rounds
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)],
+            "id_a bigint, id_b bigint",
+        )
+        stats: dict = {}
+        dedup.duplicate_clusters(pairs, stats=stats).collect()
+        assert stats["n_edges"] == 10  # 5 pairs symmetrized, all distinct
+        assert stats["n_nodes"] == 7
+        # the 5-chain needs >1 min-label round; fixpoint found within cap
+        assert 2 <= stats["iterations"] <= 30
+
     def test_embedding_lsh_plan_has_no_nested_loop(self, spark):
         from alphastats_spark import plans
 

@@ -401,6 +401,67 @@ def test_streaming_funnel_cross_batch_state(spark, tmp_path):
     assert latest[2] == 1
 
 
+def test_streaming_attribution_cross_batch_state(spark, tmp_path):
+    """The per-user last-touch struct must carry across micro-batches: a
+    click in batch 1 attributes a purchase in batch 2; an out-of-window
+    touch yields sentinels; a touch simultaneous with the conversion
+    counts (the batch tie order)."""
+    from alphastats_spark.streaming.metrics import streaming_attribution
+
+    src = str(tmp_path / "attr_src")
+    M = 1_000_000
+    b1 = spark.createDataFrame(
+        [
+            (1, 10 * M, "click", 100),   # user 1 touch, batch 1
+            (2, 5 * M, "view", 200),     # user 2 touch, far in the past
+            (3, 20 * M, "purchase", 300),  # user 3 converts with no touch
+        ],
+        "user_id bigint, us bigint, event_type string, event_id bigint",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, 40 * M, "purchase", 101),  # attributed to click@10 (batch 1)
+            (2, 400 * M, "purchase", 201),  # view@5 is outside the 60s window
+            (4, 50 * M, "view", 400),       # simultaneous touch + conversion:
+            (4, 50 * M, "purchase", 401),   # the touch counts (tie order)
+        ],
+        "user_id bigint, us bigint, event_type string, event_id bigint",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, us bigint, event_type string, event_id bigint"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    sq = (
+        streaming_attribution(stream, window_us=60 * M)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    out = {r["event_id"]: r for r in spark.sql("select * from attr_test").collect()}
+    assert set(out) == {300, 101, 201, 401}  # one row per conversion
+    # cross-batch: batch-1 click credits the batch-2 purchase
+    assert out[101]["attributed"] and out[101]["touch_event_id"] == 100
+    assert out[101]["touch_type"] == "click" and out[101]["gap_us"] == 30 * M
+    # no touch at all -> sentinels
+    assert not out[300]["attributed"]
+    assert out[300]["touch_event_id"] == -1 and out[300]["touch_type"] == "none"
+    assert out[300]["gap_us"] == -1
+    # stored touch exists but is outside the window -> sentinels
+    assert not out[201]["attributed"] and out[201]["touch_event_id"] == -1
+    # simultaneous touch counts for the conversion
+    assert out[401]["attributed"] and out[401]["touch_event_id"] == 400
+    assert out[401]["gap_us"] == 0
+
+
 def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
     """A fingerprint admitted in batch 1 rejects ALL later arrivals (state
     survives the batch boundary); within a batch the smallest id owns."""
