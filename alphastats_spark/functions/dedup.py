@@ -192,14 +192,26 @@ def _band_table(sigs: DataFrame, id_col: str, k: int, rows_per_band: int) -> Dat
 #: and the band self-join goes quadratic (measured: the round-8 deep scale
 #: probe at 500k synthetic docs with a 25-word hot vocabulary head spilled
 #: >79 GB and died on disk before this guard existed; at 50k the same
-#: blow-up hid inside a tolerable 64 s). 1000 is far above any honest
+#: blow-up hid inside a tolerable 64 s). 200 is far above any honest
 #: near-dup cluster at the tested scales while bounding the per-bucket
-#: cost to 10⁶ pairs at ANY corpus size — the same safe-by-default
+#: cost to ~2·10⁴ pairs at ANY corpus size — the same safe-by-default
 #: posture as CONTAINMENT_MAX_SHINGLE_DF. Recall cost: a pair is lost
 #: only if EVERY band it collides in is over the cap; true near-dups
 #: collide in multiple independent bands. The DuckDB oracles mirror the
 #: cap structurally, so cross-engine parity holds at any scale factor.
-MAX_BAND_BUCKET = 1000
+#:
+#: Sizing (round 10, measured): the instrumented deep probe showed
+#: post-guard candidates growing at exponent ~1.48/decade under the old
+#: cap of 1000 — sub-cap buckets FILLING with corpus size is the one
+#: super-linear count in the whole pipeline — while verified pairs grew
+#: exactly linearly, i.e. the excess candidates were all false
+#: positives. A/B at 2M synthetic docs: cap 1000 → 16.77M candidates /
+#: 427,452 verified / 291 s; cap 200 → 6.42M / 427,226 (−0.053%) /
+#: 166 s; cap 100 → 5.19M / 427,147 (−0.071%) / 147 s. 200 takes ~2×
+#: the wall off the deep-scale run for a 1-in-2000 verified-pair loss
+#: confined to boilerplate buckets; corpora where 200-member buckets
+#: are honest clusters should raise the knob per call.
+MAX_BAND_BUCKET = 200
 
 
 def lsh_candidate_pairs(

@@ -79,6 +79,12 @@ def main() -> None:
     # one small pass through the window/aggregate/join codegen paths, so the
     # timed queries measure the engine rather than first-call JIT.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # full materialization of both derived frames: pulls the orders scan
+    # through the OS page cache so the first timed run doesn't measure
+    # cold-device reads (observed once at r10: a fresh box's first
+    # q_snapshot paid ~10s of virtio reads that no later query repaid)
+    harness.load_returns(spark, sf_dir).count()
+    harness.load_benchmark(spark, sf_dir).count()
     warm = harness.load_returns(spark, sf_dir).limit(500)
     warm = ordered.with_order(warm, "d")
     warm = ordered.add_drawdown_columns(warm, {"dd": "r"})
@@ -233,6 +239,12 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "load_avg": load_avg,
+                # self-describing contention flag (r9 verdict: two rounds
+                # of official artifacts were recorded under load and the
+                # regression question was unanswerable) — readers should
+                # prefer an idle re-measure over a code-regression reading
+                # whenever this is true
+                "contended": bool(load_avg is not None and load_avg > 2.0),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -76,6 +76,17 @@ def main() -> None:
     ext = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--deep3"]))
     result["extensions"] = next(o for o in reversed(ext) if "exponent" in o)
 
+    # r9 verdict item 1: the instrumented per-stage replica of the composed
+    # LSH dedup at 500k/1M/2M docs — row counts, wall seconds, free disk and
+    # cluster iterations per stage, so the deep-scale wall exponent is
+    # attributable to a stage (algorithm) or to none (the box's disk)
+    st = last_json_lines(
+        run([py, f"{REPO}/scripts/scale_ext.py", "--deep3-stages"])
+    )
+    stage_out = next(o for o in reversed(st) if "deep3_stages" in o)
+    result["deep3_stages"] = stage_out["deep3_stages"]
+    result["deep3_stage_exponents"] = stage_out["deep3_stage_exponents"]
+
     path = f"{REPO}/SCALE_r{rnd:02d}.json"
     with open(path, "w") as f:
         json.dump(result, f, indent=1)

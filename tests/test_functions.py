@@ -2536,6 +2536,27 @@ def test_check_constraints(spark):
         assert r["violations"] == 0 and r["n_rows"] == 0 and r["passed"] is True
 
 
+def test_check_constraints_approx_unique(spark):
+    """The 100-TB uniqueness path: approx=True swaps exact count-distinct
+    for the HLL sketch. Pin its error envelope at a known duplicate count
+    (default rsd 5%: distinct-count error within ±3 rsd ≈ ±15% here) and
+    that the exact rule on the same data is exactly right."""
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import checks
+
+    # 1000 rows, 900 distinct ids (ids 0-99 appear twice) -> 100 violations
+    df = spark.range(1000).select(F.pmod(F.col("id"), F.lit(900)).alias("id"))
+    exact = checks.check_constraints(df, [checks.unique("id")]).first()
+    assert exact["violations"] == 100 and not exact["passed"]
+    approx = checks.check_constraints(
+        df, [checks.unique("id", approx=True)]
+    ).first()
+    # HLL distinct estimate on 900 truths, rsd=0.05 -> 3σ ≈ 135
+    assert abs(approx["violations"] - 100) <= 135
+    assert approx["n_rows"] == 1000
+
+
 def test_benchmark_leakage(spark):
     from alphastats_spark.functions import dedup
 
