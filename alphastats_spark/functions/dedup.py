@@ -759,6 +759,7 @@ def lsh_verified_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     n: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """The canonical MinHash-LSH dedup pipeline: band candidates → exact
     n-gram Jaccard verification *restricted to candidate pairs*.
@@ -767,6 +768,9 @@ def lsh_verified_pairs(
     LSH-bounded candidate set (|candidates| ≪ n²) instead of every pair
     sharing a shingle. Output matches ``ngram_jaccard_pairs`` on the
     candidate subset: (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    ``max_band_bucket`` threads to the band self-join's mega-bucket guard
+    (see :data:`MAX_BAND_BUCKET` for the measured sizing; ``None`` = the
+    exact, unguarded join).
 
     The exploded shingle table feeds FIVE branches (signatures, both join
     sides, both size lookups); it is persisted into the shared pass-cache
@@ -780,7 +784,9 @@ def lsh_verified_pairs(
 
     sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
     sigs = sh.groupBy(id_col).agg(*minhash_signature_cols(k))
-    cands = _candidates_from_sigs(sigs, id_col, k, rows_per_band).select("id_a", "id_b")
+    cands = _candidates_from_sigs(
+        sigs, id_col, k, rows_per_band, max_band_bucket
+    ).select("id_a", "id_b")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     # the verify join shuffles on (id, shingle) twice; carry the shingle
@@ -819,6 +825,7 @@ def deduplicate(
     text_col: str = "text",
     threshold: float = 0.5,
     lineage: bool = False,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """End-to-end corpus deduplication: keep one representative per
     near-duplicate cluster.
@@ -829,7 +836,10 @@ def deduplicate(
     (:func:`duplicate_clusters`) → drop every non-representative member
     via a LEFT ANTI join (representative = min id per cluster). Output is
     the input frame minus dropped rows — schema unchanged, no payload
-    columns ever shuffled except by the anti-join key.
+    columns ever shuffled except by the anti-join key. ``max_band_bucket``
+    threads to the candidate guard (:data:`MAX_BAND_BUCKET`) — raise it
+    per call for corpora where 200-member band buckets are honest
+    clusters, ``None`` for the exact unguarded join.
 
     ``lineage=True`` instead returns the decision audit a production dedup
     run needs — one row per INPUT document:
@@ -842,7 +852,10 @@ def deduplicate(
     Survivors = rows with reason != 'near_dup_dropped', so the lineage is a
     strict superset of the default output's information.
     """
-    pairs = lsh_verified_pairs(df, id_col, text_col, threshold=threshold)
+    pairs = lsh_verified_pairs(
+        df, id_col, text_col, threshold=threshold,
+        max_band_bucket=max_band_bucket,
+    )
     clusters = duplicate_clusters(pairs)
     if not lineage:
         drop = clusters.where(F.col("id") != F.col("cluster_id")).select(

@@ -238,6 +238,22 @@ class TestDedup:
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
 
+    def test_deduplicate_threads_band_bucket_cap(self, spark):
+        # a 6-copy near-dup group: with the default cap (far above 6) the
+        # copies collapse to one representative; with cap=1 every band
+        # bucket holding the group is over-cap, so no candidates survive
+        # and nothing is dropped - the knob demonstrably reaches the guard
+        rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)]
+        rows += [(10 + i, f"unrelated text number {i} with its own words entirely")
+                 for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert dedup.deduplicate(df, threshold=0.5).count() == 4  # 1 rep + 3 unrelated
+        assert dedup.deduplicate(df, threshold=0.5, max_band_bucket=1).count() == 9
+        lin = dedup.deduplicate(df, threshold=0.5, lineage=True,
+                                max_band_bucket=None)
+        drops = [r for r in lin.collect() if r["reason"] == "near_dup_dropped"]
+        assert len(drops) == 5  # exact unguarded join still finds the group
+
     def test_duplicate_clusters_stats_out_param(self, spark):
         # the scale-probe hook: edge/node counts and propagation rounds
         pairs = spark.createDataFrame(
