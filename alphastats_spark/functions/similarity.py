@@ -185,6 +185,22 @@ def lsh_topk(
 #: corpus size, so candidate volume Σ|b|² ≈ n·TARGET stays LINEAR in n.
 KNN_JOIN_TARGET_BUCKET = 32
 
+#: Mega-bucket guard for the knn self-join — the same safe-by-default
+#: posture as ``dedup.MAX_BAND_BUCKET``. Hyperplane buckets are not
+#: uniform (sign patterns concentrate in dense regions), and on a
+#: duplicate-heavy corpus every copy of a vector lands in ONE bucket in
+#: EVERY table, so the bucket self-join is quadratic in the duplicate
+#: count with no upper bound; a bucket 32× the target is a hub/duplicate
+#: pathology, not a neighborhood (round-10 measurement at the shipped
+#: auto planes: max honest bucket was 409 at 500k vectors — well under
+#: this cap — while Σ|b|² grew at exponent ~1.2/decade from skew plus the
+#: ⌈log₂⌉ plane-count quantization, both bounded; the cap bounds the
+#: unbounded third term). Dropping a hot bucket costs those vectors that
+#: table's candidates only — other tables still probe them. The gate
+#: oracles mirror the cap structurally (a HAVING-count hot CTE), so
+#: cross-engine parity holds at any scale factor.
+KNN_JOIN_MAX_BUCKET = 32 * KNN_JOIN_TARGET_BUCKET
+
 
 def knn_join_planes(n_rows: int, target_bucket: int = KNN_JOIN_TARGET_BUCKET) -> int:
     """Corpus-relative plane count: smallest ``p`` with ``n / 2**p ≤
@@ -209,6 +225,7 @@ def knn_join(
     n_tables: int = 2,
     dim: int | None = None,
     multiprobe: int = 0,
+    max_bucket: int | None = KNN_JOIN_MAX_BUCKET,
 ) -> DataFrame:
     """Approximate k-nearest-neighbour SELF-join: for every vector, its
     top-``k`` cosine neighbours among vectors sharing an LSH bucket in any
@@ -243,6 +260,15 @@ def knn_join(
     single-bit flips and equi-joins the unexploded side — the standard
     recall lever when adding whole tables (another shuffle each) is more
     expensive than ×(planes+1) candidate rows within one.
+
+    ``max_bucket`` (default :data:`KNN_JOIN_MAX_BUCKET`) drops buckets
+    larger than the cap per table BEFORE the self-join — the quadratic
+    backstop for duplicate-heavy/hub corpora, applied to HOME buckets
+    (so under ``multiprobe`` a hot-bucket row contributes neither probes
+    nor candidates for that table). The guard is a window count riding
+    the same ``__b`` hash partitioning the join needs — no extra
+    traversal, no collect, no broadcast; ``None`` is the exact unguarded
+    join.
     """
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 or 1")
@@ -265,10 +291,23 @@ def knn_join(
         # pattern) would waste the cache anyway.
         n_planes = knn_join_planes(base.count())
 
+    from pyspark.sql import Window
+
     pair_tables = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + t)
         with_b = base.withColumn("__b", bucket_expr(F.col("__v"), planes))
+        if max_bucket is not None:
+            # mega-bucket guard fused into the table's own partitioning
+            # (same shape as dedup._candidates_from_sigs): the window's
+            # exchange on __b IS the self-join's key, so the guard costs
+            # no extra shuffle on either side
+            wb = Window.partitionBy("__b")
+            with_b = (
+                with_b.withColumn("__bn", F.count(F.lit(1)).over(wb))
+                .where(F.col("__bn") <= int(max_bucket))
+                .drop("__bn")
+            )
         if multiprobe:
             probe_buckets = F.array(
                 F.col("__b"),
@@ -312,8 +351,6 @@ def knn_join(
     # a pair found by several tables has the identical rounded cosine —
     # collapse duplicates with a grouped first() keyed like the join
     dedup = allp.groupBy("qid", "nid").agg(F.first("cosine").alias("cosine"))
-
-    from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

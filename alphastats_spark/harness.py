@@ -2502,15 +2502,27 @@ def _knn_join_sql(
     multi-table hits (identical rounded cosine by construction)."""
     from alphastats_spark.functions import similarity
 
+    cap = similarity.KNN_JOIN_MAX_BUCKET
     bucket_cols = []
     join_conds = []
+    hot_ctes = []
     for t in range(n_tables):
         planes = similarity.hyperplanes(_EMB_DIM, n_planes, seed + t)
         bucket_cols.append(f"{_bucket_sql('e', planes)} AS b{t}")
+        # mirror of the Spark side's per-table mega-bucket guard: a pair
+        # is a table-t candidate only when BOTH home buckets are under
+        # the cap (the guard fires before the multiprobe explode, so a
+        # hot-bucket row contributes neither probes nor candidates)
+        hot_ctes.append(
+            f"hot{t} AS (SELECT b{t} AS hb FROM b GROUP BY 1 "
+            f"HAVING COUNT(*) > {cap})"
+        )
+        cool = (f"a.b{t} NOT IN (SELECT hb FROM hot{t}) "
+                f"AND c.b{t} NOT IN (SELECT hb FROM hot{t})")
         if multiprobe:
-            join_conds.append(f"bit_count(xor(a.b{t}, c.b{t})) <= 1")
+            join_conds.append(f"(bit_count(xor(a.b{t}, c.b{t})) <= 1 AND {cool})")
         else:
-            join_conds.append(f"a.b{t} = c.b{t}")
+            join_conds.append(f"(a.b{t} = c.b{t} AND {cool})")
     any_table = " OR ".join(join_conds)
     return f"""
 WITH v AS (
@@ -2519,6 +2531,7 @@ WITH v AS (
   FROM embeddings
 ),
 b AS (SELECT vec_id, e, nrm, {', '.join(bucket_cols)} FROM v),
+{', '.join(hot_ctes)},
 pairs AS (
   SELECT DISTINCT a.vec_id AS qid, c.vec_id AS nid,
          ROUND(list_dot_product(a.e, c.e) / (a.nrm * c.nrm), {ROUND}) AS cosine

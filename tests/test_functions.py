@@ -2085,6 +2085,36 @@ def test_knn_join_auto_planes(spark):
     assert auto == explicit and len(auto) > 0
 
 
+def test_knn_join_mega_bucket_guard(spark):
+    """The per-table bucket cap: a duplicate-heavy hub (every copy lands
+    in the same bucket in every table) is the quadratic pathology the
+    guard bounds. cap=None recovers the exact join; the shipped default
+    (far above honest buckets at this size) changes nothing."""
+    from alphastats_spark.functions import similarity as S
+
+    dim = 8
+    hub = [0.3] * dim  # 40 exact copies -> one 40-member bucket per table
+    rows = [(i, hub) for i in range(40)] + [
+        (100 + i, [((i * 13 + j * 5) % 89) / 89.0 - 0.5 for j in range(dim)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = S.knn_join(emb, k=3, n_planes=4, max_bucket=None)
+    dflt = S.knn_join(emb, k=3, n_planes=4)  # cap 1024 >> any bucket here
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, dflt.collect()))
+    # cap=20 drops the 40-copy hub bucket in every table: hub vectors get
+    # no candidates, the 20 spread vectors keep theirs
+    capped = S.knn_join(emb, k=3, n_planes=4, max_bucket=20)
+    got_ids = {r["vec_id"] for r in capped.collect()}
+    assert all(i >= 100 for i in got_ids)
+    assert len(got_ids) > 0
+    # the guard rides the join's own partitioning: window on __b, no
+    # broadcast anti-join stage
+    plan = dflt._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__b" in plan, plan[:3000]
+    assert "LeftAnti" not in plan, plan[:3000]
+
+
 def test_pass_cache_scope_releases(spark):
     from alphastats_spark.functions import dedup
     from alphastats_spark.operators import ordered
