@@ -447,7 +447,18 @@ def test_audit_round4_operators(spark):
 
     assert plans.audit(pipeline.quality_filter(docs)) == []
     assert plans.audit(pipeline.source_stats(docs)) == []
-    assert plans.audit(similarity.knn_join(emb, k=5, n_planes=3, n_tables=2)) == []
+    # the r10 mega-bucket guard filters on a window-count column, which
+    # is unpushable by construction (same class as decontaminate's modulo
+    # carve-out below); no other hazard kind may appear, and the exact
+    # unguarded join must still audit fully clean
+    kinds = {
+        f.kind
+        for f in plans.audit(similarity.knn_join(emb, k=5, n_planes=3, n_tables=2))
+    }
+    assert kinds <= {"unfiltered-scan"}, kinds
+    assert plans.audit(
+        similarity.knn_join(emb, k=5, n_planes=3, n_tables=2, max_bucket=None)
+    ) == []
     kinds = {
         f.kind
         for f in plans.audit(
