@@ -72,6 +72,48 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level deduplication — the cheap first dedup stage of a crawl
+    pipeline (RefinedWeb/CCNet run it BEFORE any content hashing: two
+    fetches of one page share a canonical URL long before they share a
+    fingerprint).
+
+    URLs canonicalize via :func:`alphastats_spark.functions.text.
+    canonical_url` (case/port/www/tracking-param/fragment/trailing-slash
+    normalization); the keeper per canonical URL is the MIN id. Output is
+    the per-row lineage — ``(id_col, canonical_url, kept_id, is_dup)`` —
+    one row per input row, so survivors are ``WHERE NOT is_dup`` and the
+    drop set is auditable, the same lineage posture as
+    :func:`deduplicate`. Rows whose URL is NULL or unparseable get a
+    NULL ``canonical_url`` and keep themselves (a non-URL can't collide).
+
+    Plan: one projection + one min window partitioned by canonical URL —
+    a single hash shuffle keyed by the canonical string, no join; null
+    canonicals bypass the window via the keep-self branch so the null
+    partition's size never matters.
+    """
+    from pyspark.sql import Window
+
+    from alphastats_spark.functions.text import canonical_url
+
+    canon = canonical_url(F.col(url_col))
+    w = Window.partitionBy("canonical_url")
+    base = df.select(F.col(id_col), canon.alias("canonical_url"))
+    kept = F.when(
+        F.col("canonical_url").isNull(), F.col(id_col)
+    ).otherwise(F.min(id_col).over(w))
+    return base.select(
+        F.col(id_col),
+        "canonical_url",
+        kept.alias("kept_id"),
+        (kept != F.col(id_col)).alias("is_dup"),
+    )
+
+
 def minhash_signature_cols(k: int = MINHASH_K) -> list:
     """K min-hash expressions over an exploded ``shingle`` column."""
     return [

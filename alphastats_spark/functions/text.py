@@ -427,6 +427,67 @@ def url_domain(url: Column) -> Column:
     return F.regexp_extract(url, DOMAIN_PATTERN, 1)
 
 
+#: Tracking query parameters stripped by :func:`canonical_url` — the
+#: standard CommonCrawl/RefinedWeb hygiene set: UTM campaign tags plus
+#: the big ad-network click ids. Anchored ``name=`` (or bare ``name``)
+#: matches only, so e.g. ``id=utm`` survives.
+TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=.*)?$"
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC-3986-flavored URL canonicalization for URL-level dedup (the
+    RefinedWeb/CCNet first dedup stage: two crawls of the same page
+    usually differ only in case, tracking junk, or a fragment).
+
+    Deterministic rewrite chain, each step a JVM regexp/HOF expression
+    (no UDF) with an exact DuckDB mirror:
+
+    1. strip the ``#fragment``;
+    2. lowercase the scheme and host (the path/query keep their case —
+       paths are case-sensitive per the RFC);
+    3. drop a default port (``:80`` for http, ``:443`` for https) and a
+       leading ``www.``;
+    4. drop tracking query params (:data:`TRACKING_PARAM_PATTERN`),
+       keeping the survivors' relative order (no re-sorting — param
+       order is not ours to change); a query emptied by the strip loses
+       its ``?``;
+    5. strip ONE trailing slash from a non-root path (``/a/b/`` ≡
+       ``/a/b``; a bare host keeps no slash, host + ``/`` collapses to
+       the bare host).
+
+    Returns NULL for NULL input and for strings that don't parse as
+    ``scheme://host...`` — a row without a canonicalizable URL can't
+    collide with anything (callers treat null as unique).
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?\s]+)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(TRACKING_PARAM_PATTERN),
+    )
+    query = F.array_join(kept, "&")
+    path = F.regexp_replace(path, r"(.)/$", "$1")  # /a/b/ -> /a/b, "/" -> ""
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.when(
+        url.isNull() | (scheme == "") | (host == ""), F.lit(None).cast("string")
+    ).otherwise(out)
+
+
 def domain_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

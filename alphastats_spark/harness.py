@@ -1498,12 +1498,18 @@ _ROUND10_WINDOW = [
     # was 50/50. Priority (b): the two queries REGISTERED this round —
     # fuzzy training-side decontamination (dedup.decontaminate_fuzzy,
     # lineage mode: per-train-doc worst bench match + clean/leaked_dropped
-    # reason, independent ROW_NUMBER oracle) and last-touch attribution
+    # reason, independent ROW_NUMBER oracle), last-touch attribution
     # through genuine stateful streaming (streaming_attribution: TWO
     # time-split micro-batches so touch→conversion pairs straddle the
     # boundary; in-query assertions pin the 2-batch feed and the
-    # cross-batch state hit; batch last_touch oracle).
+    # cross-batch state hit; batch last_touch oracle), and URL-level
+    # dedup (text.canonical_url + dedup.url_dedup — injected URL variants
+    # exercise every canonicalization rule; the oracle re-implements the
+    # rewrite chain independently in DuckDB). Its slot comes from
+    # doc_dsir_select, whose r10 sweep rows at both scale factors stand
+    # in (driver green r6 — within the rotation constraint).
     "doc_decontaminate_fuzzy", "event_attribution_streaming",
+    "doc_url_dedup",
     # Priority (c): machinery REVISED this round — _violation_expr now
     # coalesces the zero-row SUM (empty tables report 0 violations /
     # passed=true), transited by the constraint-report gate.
@@ -1540,7 +1546,6 @@ _ROUND10_WINDOW = [
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
     "emb_label_centroids",
     "corpus_hash_split", "corpus_weighted_sample", "corpus_rollup_stats",
-    "doc_dsir_select",
 ]
 
 
@@ -2880,6 +2885,92 @@ d AS (SELECT doc_id, regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain FROM
 SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM d WHERE domain <> '' GROUP BY 1""")
+
+    # URL-level dedup (text.canonical_url + dedup.url_dedup): deterministic
+    # injected URLs exercise every canonicalization rule — doc_id%4 picks a
+    # variant (plain / CASE+www+:443+fragment / trailing-slash+tracking-only
+    # query / :443+kept-param+tracking), doc_id%10==9 injects NULLs (keep-
+    # self path). Variants 0-2 of one (site, page) collapse to one
+    # canonical; variant 3 keeps its ?id= param. The oracle re-implements
+    # the whole rewrite chain independently in DuckDB SQL (regexp_extract /
+    # list_filter / window MIN), so string-exact canonical parity is hashed.
+    def _url_dedup(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        s, p, k = F.col("doc_id") % 5, F.col("doc_id") % 25, F.col("doc_id") % 3
+        v = F.col("doc_id") % 4
+        url = (
+            F.when(F.col("doc_id") % 10 == 9, F.lit(None).cast("string"))
+            .when(v == 0, F.concat(
+                F.lit("https://site"), s, F.lit(".example/p/"), p))
+            .when(v == 1, F.concat(
+                F.lit("HTTPS://WWW.Site"), s, F.lit(".Example:443/p/"), p,
+                F.lit("#frag")))
+            .when(v == 2, F.concat(
+                F.lit("https://site"), s, F.lit(".example/p/"), p,
+                F.lit("/?utm_source=x&gclid=1")))
+            .otherwise(F.concat(
+                F.lit("https://site"), s, F.lit(".example:443/p/"), p,
+                F.lit("?id="), k, F.lit("&utm_campaign=z")))
+        )
+        return dedup.url_dedup(d.select("doc_id", url.alias("url")))
+
+    add("doc_url_dedup", _url_dedup, r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 9 THEN NULL
+         WHEN doc_id % 4 = 0 THEN
+           'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
+         WHEN doc_id % 4 = 1 THEN
+           'HTTPS://WWW.Site' || (doc_id % 5) || '.Example:443/p/'
+             || (doc_id % 25) || '#frag'
+         WHEN doc_id % 4 = 2 THEN
+           'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
+             || '/?utm_source=x&gclid=1'
+         ELSE
+           'https://site' || (doc_id % 5) || '.example:443/p/'
+             || (doc_id % 25) || '?id=' || (doc_id % 3) || '&utm_campaign=z'
+    END AS url
+  FROM documents),
+c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls),
+parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?\s]+)', 1)) AS host0,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$', 1) AS rest
+  FROM c0),
+hosts AS (
+  SELECT *, CASE WHEN scheme = 'http'
+                   THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+                 ELSE regexp_replace(host0, '^www\.', '') END AS host
+  FROM parts),
+pq AS (
+  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         -- COALESCE: duckdb's array_to_string returns NULL on an empty
+         -- list where Spark's array_join returns '' (tracking-only query)
+         COALESCE(array_to_string(list_filter(
+             string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+             x -> NOT regexp_matches(
+                 x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=.*)?$')),
+           '&'), '') AS q
+  FROM hosts),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN url IS NULL OR scheme = '' OR host = '' THEN NULL
+         ELSE scheme || '://' || host
+              || (CASE WHEN regexp_replace(path0, '(.)/$', '\1') = '/'
+                       THEN '' ELSE regexp_replace(path0, '(.)/$', '\1') END)
+              || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+    END AS canonical_url
+  FROM pq)
+SELECT doc_id, canonical_url,
+       CASE WHEN canonical_url IS NULL THEN doc_id
+            ELSE MIN(doc_id) OVER (PARTITION BY canonical_url) END AS kept_id,
+       (CASE WHEN canonical_url IS NULL THEN doc_id
+             ELSE MIN(doc_id) OVER (PARTITION BY canonical_url) END) <> doc_id
+         AS is_dup
+FROM canon""")
 
     # ---- deduplication ----------------------------------------------------
     _exact_sql = f"""SELECT md5({_NORM_SQL}) AS fingerprint,

@@ -2582,6 +2582,57 @@ def test_check_constraints(spark):
         assert r["violations"] == 0 and r["n_rows"] == 0 and r["passed"] is True
 
 
+def test_canonical_url_and_url_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import dedup, text
+
+    cases = [
+        # (input, expected canonical)
+        ("https://site.example/p/1", "https://site.example/p/1"),
+        ("HTTPS://WWW.Site.Example:443/p/1#frag", "https://site.example/p/1"),
+        ("https://site.example/p/1/?utm_source=x&gclid=1",
+         "https://site.example/p/1"),
+        ("http://site.example:80/p/1?id=2&utm_campaign=z&fbclid=q",
+         "http://site.example/p/1?id=2"),
+        ("https://site.example/", "https://site.example"),
+        ("https://site.example", "https://site.example"),
+        # kept params keep their relative order, no re-sorting
+        ("https://s.example/a?b=2&a=1", "https://s.example/a?b=2&a=1"),
+        # :8080 is not a default port; path case is preserved
+        ("https://Site.example:8080/P/Q", "https://site.example:8080/P/Q"),
+        # id=utm is not a tracking param (anchored name match)
+        ("https://s.example/a?id=utm_x", "https://s.example/a?id=utm_x"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i bigint, url string"
+    )
+    got = {r["i"]: r["c"] for r in
+           df.select("i", text.canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: got {got[i]!r}, want {want!r}"
+
+    # url_dedup: min id keeps; null/unparseable keep themselves
+    docs = spark.createDataFrame(
+        [(1, "https://site.example/p/1"),
+         (2, "HTTPS://WWW.Site.Example:443/p/1#frag"),
+         (3, "https://other.example/x"),
+         (4, None),
+         (5, None)],
+        "doc_id bigint, url string",
+    )
+    out = {r["doc_id"]: r for r in dedup.url_dedup(docs).collect()}
+    assert len(out) == 5
+    assert out[1]["kept_id"] == 1 and not out[1]["is_dup"]
+    assert out[2]["kept_id"] == 1 and out[2]["is_dup"]
+    assert out[3]["kept_id"] == 3 and not out[3]["is_dup"]
+    for d in (4, 5):  # nulls never collide, not even with each other
+        assert out[d]["canonical_url"] is None
+        assert out[d]["kept_id"] == d and not out[d]["is_dup"]
+
+
 def test_check_constraints_approx_unique(spark):
     """The 100-TB uniqueness path: approx=True swaps exact count-distinct
     for the HLL sketch. Pin its error envelope at a known duplicate count
