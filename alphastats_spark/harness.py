@@ -1530,13 +1530,13 @@ _ROUND10_WINDOW = [
     "cpc_index", "common_sense_ratio", "gain_to_pain_ratio_1m",
     "outlier_win_ratio", "outlier_loss_ratio", "kelly_criterion",
     "risk_of_ruin",
-    # Priority (e): 16 rotation slots over the 41 r6-stale queries,
+    # Priority (e): 15 rotation slots over the 41 r6-stale queries,
     # machinery-first (r9 verdict: r6 greens whose machinery changed
     # since): the stateful streaming family (hot-list collect gating,
     # r9), the dedup signature/guard machinery (hashed shingle keys r8,
     # fused mega-bucket guard r9), the ANN/similarity family (knn sizing
     # cache + PQ paths r8), and pipeline sampling/rollup (cap/bounded
-    # list + split machinery r9). The 25 left out (quantiles/shards/
+    # list + split machinery r9). The 26 left out (quantiles/shards/
     # roundtrips/rolling windows re-verified by the committed two-scale
     # sweeps) front the r11 rotation.
     "streaming_drawdowns", "streaming_drawdowns_keyed",

@@ -488,13 +488,6 @@ def run_deep3_instrumented(spark, n_docs: int) -> dict:
     return out
 
 
-DEEP3_STAGE_COUNTS = (
-    "shingle_rows", "band_rows", "hot_buckets", "band_rows_dropped",
-    "candidate_pairs", "verified_pairs", "n_edges", "cluster_members",
-    "lineage_rows",
-)
-
-
 def main() -> None:
     from alphastats_spark.session import build_session
 
