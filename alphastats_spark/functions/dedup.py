@@ -91,21 +91,30 @@ def url_dedup(
     :func:`deduplicate`. Rows whose URL is NULL or unparseable get a
     NULL ``canonical_url`` and keep themselves (a non-URL can't collide).
 
-    Plan: one projection + one min window partitioned by canonical URL —
-    a single hash shuffle keyed by the canonical string, no join; null
-    canonicals bypass the window via the keep-self branch so the null
-    partition's size never matters.
+    Plan: one projection + one min window, a single hash shuffle, no
+    join. The window partitions on ``coalesce(canonical_url,
+    concat('\\0', id))`` — NOT on the raw canonical — so each
+    null-canonical row gets a private singleton key and the nulls spread
+    uniformly across the shuffle. Partitioning on the raw column would
+    be correct (the keep-self projection ignores the window for nulls)
+    but funnels EVERY null into the window's single NULL hash partition:
+    on a mixed-source corpus where most rows have no URL, that one
+    sort-window task is a straggler/spill bomb. The ``'\\0'`` prefix
+    can't collide with a real canonical (those start with a scheme
+    letter). Pinned by ``tests/test_sources_plans.py::
+    test_url_dedup_null_key_spread``.
     """
     from pyspark.sql import Window
 
     from alphastats_spark.functions.text import canonical_url
 
     canon = canonical_url(F.col(url_col))
-    w = Window.partitionBy("canonical_url")
     base = df.select(F.col(id_col), canon.alias("canonical_url"))
-    kept = F.when(
-        F.col("canonical_url").isNull(), F.col(id_col)
-    ).otherwise(F.min(id_col).over(w))
+    key = F.coalesce(
+        F.col("canonical_url"),
+        F.concat(F.lit("\0"), F.col(id_col).cast("string")),
+    )
+    kept = F.min(id_col).over(Window.partitionBy(key))
     return base.select(
         F.col(id_col),
         "canonical_url",

@@ -433,6 +433,15 @@ def url_domain(url: Column) -> Column:
 #: matches only, so e.g. ``id=utm`` survives.
 TRACKING_PARAM_PATTERN = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=.*)?$"
 
+#: A whole URL (post fragment-strip) must match this for
+#: :func:`canonical_url` to emit anything: scheme://host, then an
+#: optional /path-or-?query with no whitespace, to END of string. The
+#: anchored ``rest`` extractor below returns '' BOTH for a bare host
+#: (valid) and when its tail can't match (e.g. whitespace inside the
+#: path) — without this guard the latter silently truncates to
+#: scheme://host and distinct malformed URLs collide as "duplicates".
+URL_CANONICAL_FULL_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$"
+
 
 def canonical_url(url: Column) -> Column:
     """RFC-3986-flavored URL canonicalization for URL-level dedup (the
@@ -456,8 +465,12 @@ def canonical_url(url: Column) -> Column:
        the bare host).
 
     Returns NULL for NULL input and for strings that don't parse as
-    ``scheme://host...`` — a row without a canonicalizable URL can't
-    collide with anything (callers treat null as unique).
+    ``scheme://host[/?]rest`` IN FULL (:data:`URL_CANONICAL_FULL_PATTERN`
+    — scheme/host alone parsing is not enough: a URL with whitespace in
+    its path would otherwise truncate to the bare host and collide with
+    every other malformed URL on that host) — a row without a
+    canonicalizable URL can't collide with anything (callers treat null
+    as unique).
     """
     u = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -484,7 +497,11 @@ def canonical_url(url: Column) -> Column:
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
     return F.when(
-        url.isNull() | (scheme == "") | (host == ""), F.lit(None).cast("string")
+        url.isNull()
+        | (scheme == "")
+        | (host == "")
+        | ~u.rlike(URL_CANONICAL_FULL_PATTERN),
+        F.lit(None).cast("string"),
     ).otherwise(out)
 
 

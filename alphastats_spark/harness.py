@@ -2890,8 +2890,11 @@ FROM d WHERE domain <> '' GROUP BY 1""")
     # injected URLs exercise every canonicalization rule — doc_id%4 picks a
     # variant (plain / CASE+www+:443+fragment / trailing-slash+tracking-only
     # query / :443+kept-param+tracking), doc_id%10==9 injects NULLs (keep-
-    # self path). Variants 0-2 of one (site, page) collapse to one
-    # canonical; variant 3 keeps its ?id= param. The oracle re-implements
+    # self path), doc_id%20==7 injects one shared MALFORMED URL (whitespace
+    # in the path — the full-pattern guard must NULL it so the rows keep
+    # themselves; under the pre-r11 truncation bug they'd all collide at
+    # 'https://mal.example'). Variants 0-2 of one (site, page) collapse to
+    # one canonical; variant 3 keeps its ?id= param. The oracle re-implements
     # the whole rewrite chain independently in DuckDB SQL (regexp_extract /
     # list_filter / window MIN), so string-exact canonical parity is hashed.
     def _url_dedup(spark, sf_dir):
@@ -2900,6 +2903,8 @@ FROM d WHERE domain <> '' GROUP BY 1""")
         v = F.col("doc_id") % 4
         url = (
             F.when(F.col("doc_id") % 10 == 9, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 20 == 7,
+                  F.lit("https://mal.example/a b?x=1"))
             .when(v == 0, F.concat(
                 F.lit("https://site"), s, F.lit(".example/p/"), p))
             .when(v == 1, F.concat(
@@ -2918,6 +2923,7 @@ FROM d WHERE domain <> '' GROUP BY 1""")
 WITH urls AS (
   SELECT doc_id,
     CASE WHEN doc_id % 10 = 9 THEN NULL
+         WHEN doc_id % 20 = 7 THEN 'https://mal.example/a b?x=1'
          WHEN doc_id % 4 = 0 THEN
            'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
          WHEN doc_id % 4 = 1 THEN
@@ -2933,7 +2939,7 @@ WITH urls AS (
   FROM documents),
 c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls),
 parts AS (
-  SELECT doc_id, url,
+  SELECT doc_id, url, u,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?\s]+)', 1)) AS host0,
     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$', 1) AS rest
@@ -2957,7 +2963,13 @@ pq AS (
   FROM hosts),
 canon AS (
   SELECT doc_id,
-    CASE WHEN url IS NULL OR scheme = '' OR host = '' THEN NULL
+    -- full-pattern guard mirrors text.URL_CANONICAL_FULL_PATTERN: a URL
+    -- whose tail the anchored rest regex can't match (whitespace in the
+    -- path) must go NULL, not truncate to scheme://host
+    CASE WHEN url IS NULL OR scheme = '' OR host = ''
+           OR NOT regexp_matches(
+               u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$')
+         THEN NULL
          ELSE scheme || '://' || host
               || (CASE WHEN regexp_replace(path0, '(.)/$', '\1') = '/'
                        THEN '' ELSE regexp_replace(path0, '(.)/$', '\1') END)

@@ -2605,6 +2605,13 @@ def test_canonical_url_and_url_dedup(spark):
         ("https://s.example/a?id=utm_x", "https://s.example/a?id=utm_x"),
         ("not a url", None),
         (None, None),
+        # full-pattern guard: scheme/host parse but the whitespace path
+        # fails the anchored tail — must go NULL, never truncate to the
+        # bare host (two distinct malformed URLs must not collide)
+        ("https://h.example/a b", None),
+        ("https://h.example/c d?x=1", None),
+        # whitespace only in the fragment is stripped first, still valid
+        ("https://h.example/ok#a b", "https://h.example/ok"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i bigint, url string"
@@ -2620,15 +2627,19 @@ def test_canonical_url_and_url_dedup(spark):
          (2, "HTTPS://WWW.Site.Example:443/p/1#frag"),
          (3, "https://other.example/x"),
          (4, None),
-         (5, None)],
+         (5, None),
+         # identical MALFORMED urls: unparseable -> null canonical ->
+         # keep-self, they must NOT dedup against each other
+         (6, "https://mal.example/a b"),
+         (7, "https://mal.example/a b")],
         "doc_id bigint, url string",
     )
     out = {r["doc_id"]: r for r in dedup.url_dedup(docs).collect()}
-    assert len(out) == 5
+    assert len(out) == 7
     assert out[1]["kept_id"] == 1 and not out[1]["is_dup"]
     assert out[2]["kept_id"] == 1 and out[2]["is_dup"]
     assert out[3]["kept_id"] == 3 and not out[3]["is_dup"]
-    for d in (4, 5):  # nulls never collide, not even with each other
+    for d in (4, 5, 6, 7):  # nulls never collide, not even with each other
         assert out[d]["canonical_url"] is None
         assert out[d]["kept_id"] == d and not out[d]["is_dup"]
 

@@ -1267,3 +1267,59 @@ def test_streaming_index_candidates_band_bucket_cap(spark, tmp_path):
     full = {(n, m) for n in (6, 7) for m in range(6)}
     assert run("sic_uncapped", {"max_band_bucket": None}) == full
     assert run("sic_default", {}) == full
+
+
+def test_url_dedup_null_key_spread(spark):
+    """Null-canonical rows must NOT funnel into the window's single NULL
+    hash partition (functions/dedup.py url_dedup).
+
+    The window keys on coalesce(canonical_url, concat('\\0', id)) so
+    each null row gets a private singleton key: the physical plan's one
+    Exchange must hash-partition on the coalesce expression, not the
+    raw canonical column, and a mostly-null corpus must actually spread
+    across shuffle partitions instead of serializing into one task."""
+    from alphastats_spark.functions import dedup
+
+    # 9 of 10 rows have no URL — the mixed-source-corpus shape where the
+    # raw-column window would put 90% of the data in one task
+    docs = spark.createDataFrame(
+        [
+            (i, f"https://site.example/p/{i % 3}" if i % 10 == 0 else None)
+            for i in range(1000)
+        ],
+        "doc_id bigint, url string",
+    )
+    out = dedup.url_dedup(docs)
+
+    plan = plans.explain_string(out, "simple")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    # the partition key is the projected coalesce expression (_w0), not
+    # the raw canonical column — Spark materializes computed window keys
+    # in the Project feeding the Exchange
+    assert "_w0" in exchanges[0] and "canonical_url" not in exchanges[0], exchanges[0]
+    assert "coalesce(" in plan, plan
+
+    # the nulls really spread: the 900 null-canonical rows land across
+    # several shuffle partitions, none holding the whole null set (AQE
+    # may coalesce this tiny shuffle to ~4 partitions — uniform spread
+    # across those is the pass condition, one 900-row straggler the fail)
+    pid = (
+        out.where(F.col("canonical_url").isNull())
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    assert len(pid) > 1, pid
+    assert max(r["count"] for r in pid) < 600, pid
+
+    # semantics unchanged: nulls keep themselves, URLs dedup by min id
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 1000
+    for i in range(1000):
+        if i % 10 == 0:
+            assert rows[i]["kept_id"] == i % 30 and rows[i]["is_dup"] == (i >= 30 or i % 30 != i)
+        else:
+            assert rows[i]["canonical_url"] is None
+            assert rows[i]["kept_id"] == i and not rows[i]["is_dup"]
