@@ -2604,6 +2604,95 @@ SELECT vec_id, MAX(cosine) AS max_cosine
 FROM p WHERE cosine >= {threshold} GROUP BY vec_id"""
 
 
+def _url_feed_expr():
+    """The deterministic injected-URL column shared by the batch and
+    streaming URL-dedup gates (see the doc_url_dedup comment block)."""
+    s, p, k = F.col("doc_id") % 5, F.col("doc_id") % 25, F.col("doc_id") % 3
+    v = F.col("doc_id") % 4
+    return (
+        F.when(F.col("doc_id") % 10 == 9, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 20 == 7,
+              F.lit("https://mal.example/a b?x=1"))
+        .when(v == 0, F.concat(
+            F.lit("https://site"), s, F.lit(".example/p/"), p))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://WWW.Site"), s, F.lit(".Example:443/p/"), p,
+            F.lit("#frag")))
+        .when(v == 2, F.concat(
+            F.lit("https://site"), s, F.lit(".example/p/"), p,
+            F.lit("/?utm_source=x&gclid=1")))
+        .otherwise(F.concat(
+            F.lit("https://site"), s, F.lit(".example:443/p/"), p,
+            F.lit("?id="), k, F.lit("&utm_campaign=z")))
+    )
+
+
+#: Independent DuckDB re-implementation of text.canonical_url over the
+#: injected feed above: WITH urls (the feed) → c0 (fragment strip) →
+#: parts (scheme/host/rest extraction) → hosts (www + default-port) →
+#: pq (path split + tracking-param filter) → canon (full-pattern guard +
+#: reassembly). Shared by the batch and streaming URL-dedup oracles,
+#: which append their own final SELECT over `canon`.
+_URL_CANON_SQL = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 9 THEN NULL
+         WHEN doc_id % 20 = 7 THEN 'https://mal.example/a b?x=1'
+         WHEN doc_id % 4 = 0 THEN
+           'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
+         WHEN doc_id % 4 = 1 THEN
+           'HTTPS://WWW.Site' || (doc_id % 5) || '.Example:443/p/'
+             || (doc_id % 25) || '#frag'
+         WHEN doc_id % 4 = 2 THEN
+           'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
+             || '/?utm_source=x&gclid=1'
+         ELSE
+           'https://site' || (doc_id % 5) || '.example:443/p/'
+             || (doc_id % 25) || '?id=' || (doc_id % 3) || '&utm_campaign=z'
+    END AS url
+  FROM documents),
+c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls),
+parts AS (
+  SELECT doc_id, url, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?\s]+)', 1)) AS host0,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$', 1) AS rest
+  FROM c0),
+hosts AS (
+  SELECT *, CASE WHEN scheme = 'http'
+                   THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+                 WHEN scheme = 'https'
+                   THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+                 ELSE regexp_replace(host0, '^www\.', '') END AS host
+  FROM parts),
+pq AS (
+  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         -- COALESCE: duckdb's array_to_string returns NULL on an empty
+         -- list where Spark's array_join returns '' (tracking-only query)
+         COALESCE(array_to_string(list_filter(
+             string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+             x -> NOT regexp_matches(
+                 x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=.*)?$')),
+           '&'), '') AS q
+  FROM hosts),
+canon AS (
+  SELECT doc_id,
+    -- full-pattern guard mirrors text.URL_CANONICAL_FULL_PATTERN: a URL
+    -- whose tail the anchored rest regex can't match (whitespace in the
+    -- path) must go NULL, not truncate to scheme://host
+    CASE WHEN url IS NULL OR scheme = '' OR host = ''
+           OR NOT regexp_matches(
+               u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$')
+         THEN NULL
+         ELSE scheme || '://' || host
+              || (CASE WHEN regexp_replace(path0, '(.)/$', '\1') = '/'
+                       THEN '' ELSE regexp_replace(path0, '(.)/$', '\1') END)
+              || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+    END AS canonical_url
+  FROM pq)
+"""
+
+
 def _add_extensions(add) -> None:
     from alphastats_spark.functions import dedup, multimodal, similarity, text
 
@@ -2897,91 +2986,93 @@ FROM d WHERE domain <> '' GROUP BY 1""")
     # one canonical; variant 3 keeps its ?id= param. The oracle re-implements
     # the whole rewrite chain independently in DuckDB SQL (regexp_extract /
     # list_filter / window MIN), so string-exact canonical parity is hashed.
+    # The feed expr and the oracle's urls→canon CTE chain are shared with
+    # the streaming twin below (_url_feed_expr / _URL_CANON_SQL).
     def _url_dedup(spark, sf_dir):
         d = _docs(spark, sf_dir)
-        s, p, k = F.col("doc_id") % 5, F.col("doc_id") % 25, F.col("doc_id") % 3
-        v = F.col("doc_id") % 4
-        url = (
-            F.when(F.col("doc_id") % 10 == 9, F.lit(None).cast("string"))
-            .when(F.col("doc_id") % 20 == 7,
-                  F.lit("https://mal.example/a b?x=1"))
-            .when(v == 0, F.concat(
-                F.lit("https://site"), s, F.lit(".example/p/"), p))
-            .when(v == 1, F.concat(
-                F.lit("HTTPS://WWW.Site"), s, F.lit(".Example:443/p/"), p,
-                F.lit("#frag")))
-            .when(v == 2, F.concat(
-                F.lit("https://site"), s, F.lit(".example/p/"), p,
-                F.lit("/?utm_source=x&gclid=1")))
-            .otherwise(F.concat(
-                F.lit("https://site"), s, F.lit(".example:443/p/"), p,
-                F.lit("?id="), k, F.lit("&utm_campaign=z")))
-        )
-        return dedup.url_dedup(d.select("doc_id", url.alias("url")))
+        return dedup.url_dedup(d.select("doc_id", _url_feed_expr().alias("url")))
 
-    add("doc_url_dedup", _url_dedup, r"""
-WITH urls AS (
-  SELECT doc_id,
-    CASE WHEN doc_id % 10 = 9 THEN NULL
-         WHEN doc_id % 20 = 7 THEN 'https://mal.example/a b?x=1'
-         WHEN doc_id % 4 = 0 THEN
-           'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
-         WHEN doc_id % 4 = 1 THEN
-           'HTTPS://WWW.Site' || (doc_id % 5) || '.Example:443/p/'
-             || (doc_id % 25) || '#frag'
-         WHEN doc_id % 4 = 2 THEN
-           'https://site' || (doc_id % 5) || '.example/p/' || (doc_id % 25)
-             || '/?utm_source=x&gclid=1'
-         ELSE
-           'https://site' || (doc_id % 5) || '.example:443/p/'
-             || (doc_id % 25) || '?id=' || (doc_id % 3) || '&utm_campaign=z'
-    END AS url
-  FROM documents),
-c0 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM urls),
-parts AS (
-  SELECT doc_id, url, u,
-    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?\s]+)', 1)) AS host0,
-    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$', 1) AS rest
-  FROM c0),
-hosts AS (
-  SELECT *, CASE WHEN scheme = 'http'
-                   THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
-                 WHEN scheme = 'https'
-                   THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
-                 ELSE regexp_replace(host0, '^www\.', '') END AS host
-  FROM parts),
-pq AS (
-  SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path0,
-         -- COALESCE: duckdb's array_to_string returns NULL on an empty
-         -- list where Spark's array_join returns '' (tracking-only query)
-         COALESCE(array_to_string(list_filter(
-             string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
-             x -> NOT regexp_matches(
-                 x, '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=.*)?$')),
-           '&'), '') AS q
-  FROM hosts),
-canon AS (
-  SELECT doc_id,
-    -- full-pattern guard mirrors text.URL_CANONICAL_FULL_PATTERN: a URL
-    -- whose tail the anchored rest regex can't match (whitespace in the
-    -- path) must go NULL, not truncate to scheme://host
-    CASE WHEN url IS NULL OR scheme = '' OR host = ''
-           OR NOT regexp_matches(
-               u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?\s]+([/?][^\s]*)?$')
-         THEN NULL
-         ELSE scheme || '://' || host
-              || (CASE WHEN regexp_replace(path0, '(.)/$', '\1') = '/'
-                       THEN '' ELSE regexp_replace(path0, '(.)/$', '\1') END)
-              || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
-    END AS canonical_url
-  FROM pq)
+    add("doc_url_dedup", _url_dedup, _URL_CANON_SQL + r"""
 SELECT doc_id, canonical_url,
        CASE WHEN canonical_url IS NULL THEN doc_id
             ELSE MIN(doc_id) OVER (PARTITION BY canonical_url) END AS kept_id,
        (CASE WHEN canonical_url IS NULL THEN doc_id
              ELSE MIN(doc_id) OVER (PARTITION BY canonical_url) END) <> doc_id
          AS is_dup
+FROM canon""")
+
+    # Streaming twin (streaming.streaming_url_dedup): the SAME injected URL
+    # feed arrives in TWO micro-batches (maxFilesPerTrigger=1 over
+    # mtime-ordered files, ids < 250 first) so canonical groups straddle the
+    # batch boundary and the cross-batch state path (reject against a
+    # canonical owned by an EARLIER batch) is the one driver-checked;
+    # null/malformed canonicals transit the stateless keep-self branch.
+    # Because the earlier batch holds the smaller ids and within-batch ties
+    # go to min id, first-seen == min(doc_id) per canonical — the same
+    # window the batch oracle uses. In-query assertions pin the 2-batch
+    # feed and that at least one canonical group actually straddles it.
+    def _url_dedup_streaming(spark, sf_dir):
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from alphastats_spark.streaming import streaming_url_dedup
+
+        src = tempfile.mkdtemp(prefix="as_surl_")
+        feed = _docs(spark, sf_dir).select(
+            "doc_id", _url_feed_expr().alias("url")
+        )
+        try:
+            for i, pred in enumerate(
+                [F.col("doc_id") < 250, F.col("doc_id") >= 250]
+            ):
+                stage = f"{src}_stage{i}"
+                feed.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+                part = glob.glob(f"{stage}/part-*.parquet")[0]
+                dst = f"{src}/batch-{i:03d}.parquet"
+                shutil.move(part, dst)
+                os.utime(dst, (1_600_000_000 + 1000 * i,) * 2)
+                shutil.rmtree(stage, ignore_errors=True)
+            stream = (
+                spark.readStream.schema("doc_id bigint, url string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            name = f"surl_{uuid.uuid4().hex[:8]}"
+            sq = (
+                streaming_url_dedup(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
+            assert len(sq.recentProgress) >= 2, "feed must span 2 micro-batches"
+            rows = spark.table(name).select(
+                "doc_id", "canonical_url", "first_id", "admitted"
+            ).collect()
+            # at least one canonical group straddles the boundary: a row
+            # with id >= 250 rejected against an owner from batch 0
+            assert any(
+                (not r["admitted"]) and r["doc_id"] >= 250 and r["first_id"] < 250
+                for r in rows
+            ), "no canonical group straddled the micro-batch boundary"
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, canonical_url string, first_id bigint, admitted boolean",
+        )
+
+    add("doc_url_dedup_streaming", _url_dedup_streaming, _URL_CANON_SQL + r"""
+SELECT doc_id, canonical_url,
+       CASE WHEN canonical_url IS NULL THEN doc_id
+            ELSE MIN(doc_id) OVER (PARTITION BY canonical_url) END AS first_id,
+       (canonical_url IS NULL
+        OR doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url)) AS admitted
 FROM canon""")
 
     # ---- deduplication ----------------------------------------------------

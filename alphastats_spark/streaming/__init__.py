@@ -17,6 +17,7 @@ from alphastats_spark.streaming.metrics import (
     streaming_exact_dedup,
     streaming_funnel_levels,
     streaming_index_candidates,
+    streaming_url_dedup,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "streaming_exact_dedup",
     "streaming_funnel_levels",
     "streaming_index_candidates",
+    "streaming_url_dedup",
 ]

@@ -681,6 +681,93 @@ def streaming_attribution(
     )
 
 
+def streaming_url_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """First-seen-canonical-URL admission over a document stream — the
+    ingest-time twin of the batch :func:`~alphastats_spark.functions.
+    dedup.url_dedup` (crawl-frontier dedup: a page fetched in ANY earlier
+    micro-batch rejects every later fetch whose URL canonicalizes to the
+    same string, long before content hashing).
+
+    URLs canonicalize via :func:`~alphastats_spark.functions.text.
+    canonical_url`. Rows whose URL is NULL or unparseable (NULL
+    canonical) are admitted unconditionally and NEVER enter the state
+    store — a non-URL can't collide, and a synthetic per-row key would
+    grow state with entries no later row can ever hit. They route around
+    the stateful fold entirely (a stateless union branch), the streaming
+    mirror of the batch operator's null-safe window key.
+
+    State (``applyInPandasWithState`` keyed by the canonical string) is
+    ONE long per distinct canonical URL — the owning id — the same
+    irreducible shape as :func:`streaming_exact_dedup`; at crawl scale
+    point the session at the RocksDB state backend. Within a micro-batch
+    ties go to the smallest id (deterministic under replay); across
+    batches the first batch to present a canonical owns it forever.
+
+    Output per row: ``(id, canonical_url, first_id, admitted)`` with
+    ``first_id == id`` for admitted rows.
+    """
+    from alphastats_spark.functions.text import canonical_url
+
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+    ).where(F.col(id_col).isNotNull())
+
+    keep_self = base.where(F.col("canonical_url").isNull()).select(
+        F.col(id_col),
+        F.col("canonical_url"),
+        F.col(id_col).alias("first_id"),
+        F.lit(True).alias("admitted"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("canonical_url", T.StringType()),
+            T.StructField("first_id", T.LongType()),
+            T.StructField("admitted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("first_id", T.LongType())])
+
+    def fold(key_, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = batch[id_col].astype("int64")
+        if state.exists:
+            first = int(state.get[0])
+            admitted = [False] * len(ids)
+        else:
+            first = int(ids.iloc[0])
+            admitted = [i == 0 for i in range(len(ids))]
+            state.update((first,))
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                "canonical_url": [key_[0]] * len(ids),
+                "first_id": [first] * len(ids),
+                "admitted": admitted,
+            }
+        )
+
+    stateful = (
+        base.where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return stateful.unionByName(keep_self)
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -574,3 +574,62 @@ def test_streaming_exact_dedup_rocksdb_state_store(spark, tmp_path):
         10: (1, False),  # rejected by batch-1 state held in RocksDB
         11: (11, True),
     }
+
+
+def test_streaming_url_dedup_cross_batch(spark, tmp_path):
+    """A canonical URL admitted in batch 1 rejects ALL later fetches whose
+    URL canonicalizes the same (case/www/port/tracking variants); rows with
+    null or malformed URLs transit the stateless keep-self branch — always
+    admitted, never colliding, never entering state."""
+    from alphastats_spark.streaming import streaming_url_dedup
+
+    src = str(tmp_path / "surl_src")
+    b1 = spark.createDataFrame(
+        [(1, "https://site.example/p/1"),
+         (2, "https://site.example/p/1?utm_source=x"),  # same-batch dup
+         (3, None),
+         (4, "https://mal.example/a b")],  # malformed -> keep-self
+        "doc_id bigint, url string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "HTTPS://WWW.Site.Example:443/p/1#frag"),  # batch-1 canonical
+         (11, "https://other.example/x"),
+         (12, None),
+         (13, "https://mal.example/a b")],  # same malformed string: keep-self
+        "doc_id bigint, url string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, url string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    sq = (
+        streaming_url_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("surl_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    rows = spark.sql("select * from surl_test").collect()
+    got = {r["doc_id"]: (r["first_id"], r["admitted"]) for r in rows}
+    assert got == {
+        1: (1, True),    # batch-1 owner
+        2: (1, False),   # tracking-param variant, same batch
+        3: (3, True),    # null URL: keep-self
+        4: (4, True),    # malformed: keep-self
+        10: (1, False),  # batch 2: case/www/:443/fragment variant of 1
+        11: (11, True),
+        12: (12, True),
+        13: (13, True),  # identical malformed string must NOT collide with 4
+    }
+    canon = {r["doc_id"]: r["canonical_url"] for r in rows}
+    assert canon[10] == "https://site.example/p/1"
+    for d in (3, 4, 12, 13):
+        assert canon[d] is None
