@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["check_constraints", "not_null", "unique", "in_range", "in_set",
-           "matches", "non_empty"]
+           "matches", "non_empty", "row_violation"]
 
 
 def not_null(column: str, name: str | None = None) -> dict[str, Any]:
@@ -84,8 +84,14 @@ def non_empty(column: str, name: str | None = None) -> dict[str, Any]:
             "column": column}
 
 
-def _violation_expr(rule: dict[str, Any]) -> Column:
-    """Row-level violation indicator (1 = this row violates the rule)."""
+def row_violation(rule: dict[str, Any]) -> Column:
+    """Row-level violation predicate (TRUE = this row violates the rule).
+
+    Only row-expressible kinds — ``unique`` is an aggregate property and
+    raises here (``check_constraints`` handles it with COUNT DISTINCT;
+    a per-row dup verdict is the dedup family's job). Exposed for
+    composition: ``pipeline.curate_corpus`` uses it as its stage-1 gate.
+    """
     c = F.col(rule["column"])
     kind = rule["kind"]
     if kind == "not_null":
@@ -104,12 +110,18 @@ def _violation_expr(rule: dict[str, Any]) -> Column:
         bad = c.isNotNull() & ~c.rlike(f"^(?:{rule['pattern']})$")
     elif kind == "non_empty":
         bad = c.isNull() | (F.trim(c) == F.lit(""))
-    else:  # pragma: no cover - guarded by check_constraints
-        raise ValueError(f"unknown rule kind: {kind}")
+    else:
+        raise ValueError(f"rule kind {kind!r} is not row-expressible")
+    return bad
+
+
+def _violation_expr(rule: dict[str, Any]) -> Column:
+    """Violation COUNT aggregate for one row-expressible rule."""
     # coalesce: SUM over zero rows is NULL; an empty table has 0 violations
     # (and passed=true), matching the unique rule and COUNT(*) FILTER SQL.
     return F.coalesce(
-        F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        F.sum(F.when(row_violation(rule), F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0),
     ).cast("bigint")
 
 

@@ -1153,6 +1153,214 @@ def group_split(
     return hash_split(df, weights, id_col=group_col, salt=salt)
 
 
+def curate_corpus(
+    df: DataFrame,
+    bench_df: DataFrame,
+    rules: list[dict] | None = None,
+    quality_kwargs: dict | None = None,
+    url_col: str | None = None,
+    fuzzy_threshold: float = 0.5,
+    decontam_threshold: float = 0.5,
+    mix_weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+    split_weights: dict[str, float] | None = None,
+    split_group_col: str = "source",
+    pack_budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """The end-to-end curation pipeline as ONE lazy plan: constraints →
+    quality filter → URL dedup → exact dedup → fuzzy near-dup dedup →
+    fuzzy benchmark decontamination → token-budget domain mixing →
+    leakage-safe group split → sequence packing — the actual product the
+    per-stage operators exist for, composed with full per-document
+    lineage.
+
+    Output is one row per INPUT document:
+    ``(id_col, kept, stage, split, pack_id, pack_offset)`` where a
+    dropped document carries the FIRST stage that rejected it (one of
+    ``constraints, quality, url_dup, exact_dup, near_dup, contaminated,
+    mix_out``) with NULL split and ``-1`` pack sentinels (nullable ints
+    coerce to float NaN in arrow interchange — same convention as
+    :func:`~alphastats_spark.functions.dedup.deduplicate`), and a
+    surviving document carries ``stage='packed'``, its
+    :func:`group_split` split and its :func:`pack_documents` pack
+    assignment.
+
+    Stage semantics are EXACTLY the standalone operators' (each stage
+    delegates to them): ``rules`` are row-expressible constraint dicts
+    (:func:`~alphastats_spark.functions.checks.row_violation`; default
+    ``not_null(id) + non_empty(text)``; ``unique`` raises — exact dedup
+    is the dedup stage's job), the URL stage only runs when ``url_col``
+    is given, the mix stage only when ``mix_weights + token_budget``
+    are. Null-text rows reaching the exact stage keep themselves (a
+    null can't be a copy of anything — url_dedup's posture), though the
+    default rules drop them at ``constraints`` first.
+
+    Scale shape: every inter-stage join is an equi-join on ``id_col``;
+    the document payload is projected ONCE into a pass-cached base frame,
+    and each stage's verdict — an id+flag frame, the narrowest possible
+    stage boundary — is an EAGER ``localCheckpoint``. The checkpoint is
+    load-bearing, not an optimization: a persist caches DATA but every
+    downstream action still re-analyzes the full logical tree, and eight
+    stacked stages of LSH/window plans make Catalyst's optimizer time
+    blow up super-linearly (measured: the un-truncated composition took
+    >10 min at sf0.001 vs ~2 min truncated). It also costs nothing
+    semantically — ``deduplicate``'s connected-components loop already
+    runs eager actions, so the composition was never lazy end-to-end. At
+    cluster scale the verdict checkpoints are where a run writes
+    parquet + ``spark.checkpoint()`` (reliable storage) between stages.
+    Callers should still wrap full materialization in
+    ``ordered.pass_cache_scope()`` to release the base cache and the
+    dedup stages' internal caches.
+    """
+    from alphastats_spark.functions import checks as checks_mod
+    from alphastats_spark.functions import dedup as dedup_mod
+    from alphastats_spark.functions.text import normalize
+
+    if rules is None:
+        rules = [
+            checks_mod.not_null(id_col),
+            checks_mod.non_empty(text_col),
+        ]
+    for r in rules:
+        if r.get("kind") == "unique":
+            raise ValueError(
+                "unique is not row-expressible; exact duplicates are the "
+                "exact_dup stage's job"
+            )
+
+    cols = list(dict.fromkeys(
+        [id_col, text_col, strata_col, split_group_col]
+        + ([url_col] if url_col else [])
+    ))
+    base = ordered.persist_tracked(df.select(*cols))
+
+    drops: list[DataFrame] = []
+    alive = base.select(id_col)
+
+    def advance(verdict: DataFrame, stage: str) -> DataFrame:
+        """Split (id, keep) into a drop record + the next survivor set.
+
+        The eager localCheckpoint truncates the stage's plan tree (see
+        the docstring) — both consumers below read the checkpointed RDD,
+        never the stage's lineage."""
+        verdict = verdict.localCheckpoint(eager=True)
+        drops.append(
+            verdict.where(~F.col("__keep"))
+            .select(F.col(id_col), F.lit(stage).alias("stage"))
+        )
+        return verdict.where(F.col("__keep")).select(id_col)
+
+    def docs() -> DataFrame:
+        return base.join(alive, on=id_col, how="inner")
+
+    # 1. constraints — row-expressible rule gate
+    bad = None
+    for r in rules:
+        v = checks_mod.row_violation(r)
+        bad = v if bad is None else (bad | v)
+    alive = advance(
+        base.select(F.col(id_col), (~F.coalesce(bad, F.lit(False))).alias("__keep")),
+        "constraints",
+    )
+
+    # 2. quality — Gopher-style hard rules
+    qf = quality_filter(docs(), id_col=id_col, text_col=text_col,
+                        **(quality_kwargs or {}))
+    alive = advance(qf.select(id_col, F.col("keep").alias("__keep")), "quality")
+
+    # 3. URL dedup — cheapest dedup first (no content hashing)
+    if url_col is not None:
+        ud = dedup_mod.url_dedup(docs(), url_col=url_col, id_col=id_col)
+        alive = advance(
+            ud.select(id_col, (~F.col("is_dup")).alias("__keep")), "url_dup"
+        )
+
+    # 4. exact dedup — keep the min-id representative per fingerprint;
+    # null fingerprints (null text) match no group and keep themselves
+    ex = dedup_mod.exact_duplicates(docs(), id_col=id_col, text_col=text_col)
+    fp = docs().select(
+        F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fingerprint")
+    )
+    alive = advance(
+        fp.join(ex, on="fingerprint", how="left").select(
+            F.col(id_col),
+            F.coalesce(
+                F.col(id_col) == F.col("representative"), F.lit(True)
+            ).alias("__keep"),
+        ),
+        "exact_dup",
+    )
+
+    # 5. fuzzy near-dup dedup — MinHash/LSH lineage, drop non-representatives
+    dl = dedup_mod.deduplicate(
+        docs(), id_col=id_col, text_col=text_col,
+        threshold=fuzzy_threshold, lineage=True,
+    )
+    alive = advance(
+        dl.select(id_col, (F.col("reason") != "near_dup_dropped").alias("__keep")),
+        "near_dup",
+    )
+
+    # 6. fuzzy benchmark decontamination — drop leaked training docs
+    dc = dedup_mod.decontaminate_fuzzy(
+        docs(), bench_df, id_col=id_col, text_col=text_col,
+        threshold=decontam_threshold, lineage=True,
+    )
+    alive = advance(
+        dc.select(id_col, (F.col("reason") == "clean").alias("__keep")),
+        "contaminated",
+    )
+
+    # 7. token-budget domain mixing — membership of the mixed sample
+    if mix_weights is not None and token_budget is not None:
+        kept_ids = mix_sample(
+            docs(), mix_weights, token_budget,
+            strata_col=strata_col, id_col=id_col, text_col=text_col,
+        ).select(F.col(id_col), F.lit(True).alias("__in"))
+        alive = advance(
+            alive.join(kept_ids, on=id_col, how="left").select(
+                F.col(id_col), F.coalesce(F.col("__in"), F.lit(False)).alias("__keep")
+            ),
+            "mix_out",
+        )
+
+    # 8. survivors: leakage-safe split + concat-then-split packing
+    final = docs()
+    split = group_split(
+        final, group_col=split_group_col, weights=split_weights
+    ).select(id_col, "split")
+    pack = pack_documents(
+        final, budget=pack_budget, id_col=id_col, text_col=text_col
+    ).select(id_col, "pack_id", "pack_offset")
+    kept = (
+        split.join(pack, on=id_col, how="inner")
+        .select(
+            F.col(id_col),
+            F.lit(True).alias("kept"),
+            F.lit("packed").alias("stage"),
+            F.col("split"),
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            F.col("pack_offset").cast("bigint").alias("pack_offset"),
+        )
+    )
+
+    dropped = drops[0]
+    for d in drops[1:]:
+        dropped = dropped.unionByName(d)
+    dropped = dropped.select(
+        F.col(id_col),
+        F.lit(False).alias("kept"),
+        F.col("stage"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(-1).cast("bigint").alias("pack_id"),
+        F.lit(-1).cast("bigint").alias("pack_offset"),
+    )
+    return kept.unionByName(dropped)
+
+
 def percentile_normalize(
     df: DataFrame,
     value_col: str,

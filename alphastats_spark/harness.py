@@ -5811,6 +5811,247 @@ SELECT doc_id,
        (doc_id = MIN(doc_id) OVER (PARTITION BY k)) AS admitted
 FROM h""")
 
+    # ---- end-to-end curation composition ------------------------------------
+    # pipeline.curate_corpus: constraints → quality → URL dedup → exact dedup
+    # → fuzzy near-dup dedup → fuzzy decontamination → domain mixing → group
+    # split → packing, as ONE call with per-document lineage. Every stage is
+    # already gated in isolation; this gates the COMPOSITION — the stage
+    # ordering, first-drop attribution, survivor threading and the final
+    # split/pack assignment — against an independent staged CTE chain in
+    # DuckDB (each sN = survivors of stage N, drops = sN ANTI sN+1). The
+    # injected feed makes every stage fire at sf0.01: %13 nulls/empties
+    # (constraints), corpus-relative quality thresholds, %7/%40 URL
+    # collisions, %25==6 verbatim copies of one quality-passing text A
+    # (exact), %25==13 near-variants of A (fuzzy), bench = the UNMODIFIED
+    # %40==7 slice so surviving %40==7 docs leak at jaccard 1.0
+    # (decontamination), and src0/1/2-only mix weights (mix_out).
+    _A_TEXT = (
+        "the quick brown fox jumps over the lazy sleeping dog while many "
+        "other animals watch quietly from their hidden places in the deep "
+        "green forest during those long warm summer afternoons and evenings "
+        "near the river"
+    )
+    _CUR_C1 = 0.6
+    _CUR_C2 = 0.6 + 0.2
+
+    def _curation(spark, sf_dir):
+        from alphastats_spark.operators import ordered as _ordered
+
+        docs = _docs(spark, sf_dir)
+        txt = (
+            F.when(F.col("doc_id") % 13 == 4, F.lit(None).cast("string"))
+            .when(F.col("doc_id") % 13 == 9, F.lit(""))
+            .when(F.col("doc_id") % 25 == 6, F.lit(_A_TEXT))
+            .when(F.col("doc_id") % 25 == 13,
+                  F.lit(_A_TEXT + " unique extension marker seven"))
+            .otherwise(F.col("text"))
+        )
+        url = (
+            F.when(F.col("doc_id") % 10 == 9, F.lit(None).cast("string"))
+            .otherwise(F.concat(
+                F.lit("https://site"), F.col("doc_id") % 7,
+                F.lit(".example/p/"), F.col("doc_id") % 40))
+        )
+        feed = docs.select("doc_id", txt.alias("text"), "source", url.alias("url"))
+        bench = docs.where(F.col("doc_id") % 40 == 7).select("doc_id", "text")
+        with _ordered.pass_cache_scope():
+            out = pipeline.curate_corpus(
+                feed, bench, url_col="url",
+                quality_kwargs={"min_tokens": 30, "min_mean_word_len": 4.0},
+                mix_weights={"src0": 1.0, "src1": 8.0, "src2": 1.0},
+                token_budget=2000,
+                split_weights={"train": 0.6, "val": 0.2, "test": 0.2},
+                pack_budget=512,
+            )
+            rows = out.collect()
+            schema = out.schema
+        return spark.createDataFrame(rows, schema)
+
+    add("corpus_curation_pipeline", _curation, f"""
+WITH RECURSIVE
+feed AS MATERIALIZED (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 13 = 4 THEN NULL
+         WHEN doc_id % 13 = 9 THEN ''
+         WHEN doc_id % 25 = 6 THEN '{_A_TEXT}'
+         WHEN doc_id % 25 = 13 THEN '{_A_TEXT} unique extension marker seven'
+         ELSE text END AS text,
+    CASE WHEN doc_id % 10 = 9 THEN NULL
+         ELSE 'https://site' || (doc_id % 7) || '.example/p/' || (doc_id % 40)
+    END AS url
+  FROM documents),
+-- stage 1: constraints (not_null(doc_id) + non_empty(text))
+s1 AS MATERIALIZED (SELECT * FROM feed
+       WHERE doc_id IS NOT NULL AND text IS NOT NULL AND trim(text) <> ''),
+-- stage 2: quality (thresholds 30 / 4.0, same rules as doc_quality_filter)
+qm AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(len({_TOKS_SQL}), 0) AS n,
+         {_TOKS_SQL} AS toks,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')
+           AS ltoks
+  FROM s1),
+qk AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id, n,
+      CASE WHEN n > 0
+           THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / n
+           ELSE 0.0 END AS mean_len,
+      CASE WHEN n > 0
+           THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / n
+           ELSE 0.0 END AS alpha_frac,
+      COALESCE(len(list_filter(ltoks, x -> x IN ({_stop_list()}))), 0) AS stop
+    FROM qm)
+  WHERE n >= 30 AND n <= 100000 AND mean_len >= 4.0 AND mean_len <= 10.0
+    AND alpha_frac >= 0.8 AND stop >= 2),
+s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN qk USING (doc_id)),
+-- stage 3: URL dedup (feed URLs are canonicalization-neutral: lowercase,
+-- no www/port/tracking/fragment/trailing-slash, so canonical = url; null
+-- URLs keep themselves)
+uk AS MATERIALIZED (SELECT doc_id FROM s2
+       QUALIFY url IS NULL OR doc_id = MIN(doc_id) OVER (PARTITION BY url)),
+s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN uk USING (doc_id)),
+-- stage 4: exact dedup (min-id representative per normalized-md5 group)
+ek AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM s3)
+       QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+s4 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN ek USING (doc_id)),
+-- stage 5: fuzzy near-dup dedup (the dedup_corpus chain over s4)
+t5 AS MATERIALIZED (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM s4),
+sh5 AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM t5),
+sig5 AS MATERIALIZED (SELECT doc_id, {mh_sql} FROM sh5 GROUP BY doc_id),
+bands5 AS MATERIALIZED (SELECT doc_id, b.band, b.sig
+           FROM sig5, LATERAL (VALUES {band_rows}) AS b(band, sig)),
+bover5 AS MATERIALIZED (SELECT band, sig FROM bands5 GROUP BY band, sig
+           HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
+bcap5 AS MATERIALIZED (SELECT b.* FROM bands5 b ANTI JOIN bover5 o
+          ON b.band = o.band AND b.sig = o.sig),
+cand5 AS MATERIALIZED (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bcap5 l JOIN bcap5 r
+            ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+shh5 AS MATERIALIZED (SELECT doc_id,
+                CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+         FROM sh5),
+sizes5 AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM sh5 GROUP BY doc_id),
+common5 AS MATERIALIZED (SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+            FROM cand5 c
+            JOIN shh5 a ON a.doc_id = c.id_a
+            JOIN shh5 b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2),
+vpairs5 AS MATERIALIZED (SELECT id_a, id_b FROM common5
+            JOIN sizes5 sa ON id_a = sa.doc_id
+            JOIN sizes5 sb ON id_b = sb.doc_id
+            WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5),
+edges5 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM vpairs5
+           UNION SELECT id_b, id_a FROM vpairs5),
+reach5 AS (SELECT src, dst FROM edges5
+           UNION
+           SELECT r.src, e.dst FROM reach5 r JOIN edges5 e ON r.dst = e.src),
+cls5 AS MATERIALIZED (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach5 GROUP BY src),
+s5 AS MATERIALIZED (SELECT s4.* FROM s4 LEFT JOIN cls5 ON s4.doc_id = cls5.id
+       WHERE cls5.id IS NULL OR cls5.cluster_id = s4.doc_id),
+-- stage 6: fuzzy decontamination vs the UNMODIFIED %40==7 bench slice
+bt AS MATERIALIZED (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+       FROM documents WHERE doc_id % 40 = 7),
+bsh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM bt),
+tt AS MATERIALIZED (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM s5),
+tsh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM tt),
+bsig AS MATERIALIZED (SELECT doc_id, {mh_sql} FROM bsh GROUP BY doc_id),
+tsig AS MATERIALIZED (SELECT doc_id, {mh_sql} FROM tsh GROUP BY doc_id),
+bbands AS MATERIALIZED (SELECT doc_id, b.band, b.sig
+           FROM bsig, LATERAL (VALUES {band_rows}) AS b(band, sig)),
+tbands AS MATERIALIZED (SELECT doc_id, b.band, b.sig
+           FROM tsig, LATERAL (VALUES {band_rows}) AS b(band, sig)),
+thot AS MATERIALIZED (SELECT band, sig FROM tbands GROUP BY band, sig
+         HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
+cand6 AS MATERIALIZED (SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS match_id
+          FROM bbands l
+          JOIN (SELECT b.* FROM tbands b ANTI JOIN thot h
+                ON b.band = h.band AND b.sig = h.sig) r
+            ON l.band = r.band AND l.sig = r.sig),
+bshh AS MATERIALIZED (SELECT doc_id,
+                CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+         FROM bsh),
+tshh AS MATERIALIZED (SELECT doc_id,
+                CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+         FROM tsh),
+bsizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM bsh GROUP BY doc_id),
+tsizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM tsh GROUP BY doc_id),
+common6 AS MATERIALIZED (SELECT c.new_id, c.match_id, COUNT(*) AS cnt
+            FROM cand6 c
+            JOIN bshh a ON a.doc_id = c.new_id
+            JOIN tshh b ON b.doc_id = c.match_id AND b.shingle = a.shingle
+            GROUP BY 1, 2),
+leak6 AS MATERIALIZED (SELECT DISTINCT match_id FROM common6
+          JOIN bsizes sa ON new_id = sa.doc_id
+          JOIN tsizes sb ON match_id = sb.doc_id
+          WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5),
+s6 AS MATERIALIZED (SELECT s5.* FROM s5 ANTI JOIN leak6 l ON s5.doc_id = l.match_id),
+-- stage 7: token-budget mixing (weights src0/src1/src2 = 0.1/0.8/0.1,
+-- budget 2000; masses over the SURVIVOR frame, mirroring mix_sample's
+-- input-frame contract)
+mm AS MATERIALIZED (SELECT source, SUM(len({_TOKS_SQL})) AS mass FROM s6 GROUP BY 1),
+mr AS MATERIALIZED (SELECT source,
+              LEAST(1.0, 2000.0 * (CASE source WHEN 'src0' THEN 0.1
+                                               WHEN 'src1' THEN 0.8
+                                               WHEN 'src2' THEN 0.1
+                                               ELSE 0.0 END) / mass) AS keep_rate
+       FROM mm),
+s7 AS MATERIALIZED (SELECT s6.* FROM s6 JOIN mr USING (source)
+       WHERE CAST(CONCAT('0x', substr(md5(CAST(s6.doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < mr.keep_rate * 10000),
+-- stage 8: survivors -> leakage-safe group split + 512-token packing
+gs AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN CAST(CAST(CONCAT('0x', substr(md5('gsplit:' || source), 1, 8))
+                 AS BIGINT) AS DOUBLE) / 4294967296.0 < {_CUR_C1!r} THEN 'train'
+       WHEN CAST(CAST(CONCAT('0x', substr(md5('gsplit:' || source), 1, 8))
+                 AS BIGINT) AS DOUBLE) / 4294967296.0 < {_CUR_C2!r} THEN 'val'
+       ELSE 'test' END AS split
+  FROM s7),
+pk AS MATERIALIZED (SELECT doc_id,
+              CAST(COALESCE(SUM(CAST(COALESCE(len({_TOKS_SQL}), 0) AS BIGINT))
+                     OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS excl
+       FROM s7),
+-- assembly: first-drop attribution per stage + the survivors' assignment
+dropped AS MATERIALIZED (
+  SELECT f.doc_id, 'constraints' AS stage FROM feed f
+    ANTI JOIN s1 ON f.doc_id = s1.doc_id
+  UNION ALL SELECT s1.doc_id, 'quality' FROM s1
+    ANTI JOIN s2 ON s1.doc_id = s2.doc_id
+  UNION ALL SELECT s2.doc_id, 'url_dup' FROM s2
+    ANTI JOIN s3 ON s2.doc_id = s3.doc_id
+  UNION ALL SELECT s3.doc_id, 'exact_dup' FROM s3
+    ANTI JOIN s4 ON s3.doc_id = s4.doc_id
+  UNION ALL SELECT s4.doc_id, 'near_dup' FROM s4
+    ANTI JOIN s5 ON s4.doc_id = s5.doc_id
+  UNION ALL SELECT s5.doc_id, 'contaminated' FROM s5
+    ANTI JOIN s6 ON s5.doc_id = s6.doc_id
+  UNION ALL SELECT s6.doc_id, 'mix_out' FROM s6
+    ANTI JOIN s7 ON s6.doc_id = s7.doc_id)
+SELECT doc_id, FALSE AS kept, stage,
+       CAST(NULL AS VARCHAR) AS split,
+       CAST(-1 AS BIGINT) AS pack_id, CAST(-1 AS BIGINT) AS pack_offset
+FROM dropped
+UNION ALL
+SELECT gs.doc_id, TRUE AS kept, 'packed' AS stage, gs.split,
+       CAST(pk.excl // 512 AS BIGINT) AS pack_id,
+       CAST(pk.excl % 512 AS BIGINT) AS pack_offset
+FROM gs JOIN pk ON gs.doc_id = pk.doc_id""")
+
 
 def _stop_list() -> str:
     from alphastats_spark.functions.text import STOPWORDS

@@ -2716,3 +2716,70 @@ def test_decontaminate_fuzzy(spark):
     assert lin[12]["bench_id"] == -1 and lin[12]["jaccard"] == 0.0
     # drop mode output == lineage 'clean' rows
     assert kept_ids == {d for d, r in lin.items() if r["reason"] == "clean"}
+
+
+def test_curate_corpus_lineage(spark):
+    """End-to-end curation composition: one row per input doc, first-drop
+    stage attribution in pipeline order, survivors carry a consistent
+    split + pack assignment (functions/pipeline.py curate_corpus)."""
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import checks, pipeline
+    from alphastats_spark.operators import ordered
+
+    good = ("the quick brown fox jumps over the lazy dog while many other "
+            "animals watch quietly from their hidden places in the deep "
+            "green forest during those long warm summer afternoons and "
+            "evenings near the river bank watching everything")
+    rows = [
+        (1, good + " one", "src0", "https://a.example/1"),
+        (2, None, "src0", "https://a.example/2"),          # constraints
+        (3, "tiny text", "src0", "https://a.example/3"),   # quality
+        (4, good + " four", "src0", "https://a.example/1"),  # url dup of 1
+        (5, good + " one", "src1", "https://a.example/5"),   # exact dup of 1
+        (6, good + " one extension marker", "src1", None),   # near dup of 1
+        (7, ("several curious travelers wandered slowly across the ancient "
+             "stone bridge carrying heavy baskets filled with fresh bread "
+             "ripe fruit and small wooden toys for the children waiting "
+             "patiently beside the old market square fountain"),
+         "src1", "https://a.example/7"),
+        (8, ("modern engineers designed the tall glass tower with careful "
+             "attention to wind loads solar gain and the daily movement of "
+             "thousands of busy office workers through its bright open "
+             "lobbies and quiet upper floors every single day"),
+         "src2", "https://a.example/8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string, url string")
+    bench = spark.createDataFrame(
+        [(100, rows[6][1])], "doc_id bigint, text string"
+    )  # contaminates doc 7 (verbatim bench copy)
+    with ordered.pass_cache_scope():
+        out = {r["doc_id"]: r for r in pipeline.curate_corpus(
+            df, bench, url_col="url",
+            quality_kwargs={"min_tokens": 20, "min_mean_word_len": 3.0},
+            fuzzy_threshold=0.5, decontam_threshold=0.5,
+            split_weights={"train": 0.6, "val": 0.2, "test": 0.2},
+            pack_budget=16,
+        ).collect()}
+    assert len(out) == 8
+    assert out[2]["stage"] == "constraints" and not out[2]["kept"]
+    assert out[3]["stage"] == "quality"
+    assert out[4]["stage"] == "url_dup"
+    assert out[5]["stage"] == "exact_dup"
+    assert out[6]["stage"] == "near_dup"
+    assert out[7]["stage"] == "contaminated"
+    # dropped rows carry the sentinels
+    for d in (2, 3, 4, 5, 6, 7):
+        assert out[d]["split"] is None and out[d]["pack_id"] == -1
+    # survivors (1, 8): packed in id order with budget 16
+    for d in (1, 8):
+        assert out[d]["kept"] and out[d]["stage"] == "packed"
+        assert out[d]["split"] in ("train", "val", "test")
+    assert out[1]["pack_id"] == 0 and out[1]["pack_offset"] == 0
+    n1 = len((good + " one").split())
+    assert out[8]["pack_id"] == n1 // 16 and out[8]["pack_offset"] == n1 % 16
+
+    # unique rules are rejected (aggregate, not row-expressible)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exact_dup stage"):
+        pipeline.curate_corpus(df, bench, rules=[checks.unique("doc_id")])
