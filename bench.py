@@ -3,6 +3,18 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+A/B mode — ``python bench.py --ab <git-ref> [--rounds N]`` — answers the
+question a single-run artifact cannot on this box (±20-40% same-code
+spread observed across rounds 8-10): is a delta code or box state? It
+checks ``<git-ref>`` out into a temporary worktree and runs the full
+bench of BOTH builds as subprocesses, interleaved A,B,A,B,... in one
+benching session (each run pays the same warm-up discipline; pairing
+controls for box drift between rounds), then reports paired per-query
+medians and deltas in one JSON line (metric ``ab_bench``; positive
+delta_pct = current build slower). Regression calls should be made from
+this block, never from comparing two single-run artifacts taken hours
+apart.
+
 Each headline query exercises a different part of the engine:
   q_snapshot   — one-pass multi-metric aggregate (10 metrics, single agg)
   q_drawdowns  — distributed prefix machinery (log-space cumprod + cummax)
@@ -260,5 +272,108 @@ def main() -> None:
     spark.stop()
 
 
+def _run_bench_subprocess(repo_dir: str) -> dict:
+    """One full bench of the build at ``repo_dir``; returns its JSON."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo_dir, "bench.py")],
+        cwd=repo_dir,
+        env=os.environ.copy(),
+        capture_output=True,
+        text=True,
+        check=False,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"bench run in {repo_dir} produced no JSON line "
+        f"(exit {proc.returncode}):\n{proc.stderr[-2000:]}"
+    )
+
+
+def run_ab(ref: str, rounds: int) -> None:
+    """Interleaved A/B: current tree vs ``ref`` in a temp worktree."""
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, ref],
+        cwd=here, check=True, capture_output=True,
+    )
+    a_raw: list[dict] = []
+    b_raw: list[dict] = []
+    try:
+        for _ in range(rounds):
+            a_raw.append(_run_bench_subprocess(here))
+            b_raw.append(_run_bench_subprocess(wt))
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=here, check=False, capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+    def flat(run: dict) -> dict:
+        out = dict(run.get("queries", {}))
+        out.update(run.get("extensions", {}))
+        return out
+
+    # pair only the queries both builds implement (an older ref may lack
+    # newer headliners) — per-query medians over the interleaved rounds
+    common = sorted(set(flat(a_raw[0])) & set(flat(b_raw[0])))
+    pairs = {}
+    for q in common:
+        a = [flat(r)[q] for r in a_raw]
+        b = [flat(r)[q] for r in b_raw]
+        am, bm = statistics.median(a), statistics.median(b)
+        pairs[q] = {
+            "a": a, "b": b,
+            "a_med": round(am, 3), "b_med": round(bm, 3),
+            "delta_pct": round((am - bm) / bm * 100, 1) if bm else None,
+        }
+    a_tot = statistics.median(
+        [sum(flat(r)[q] for q in common) for r in a_raw]
+    )
+    b_tot = statistics.median(
+        [sum(flat(r)[q] for q in common) for r in b_raw]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ab_bench",
+                "ref": ref,
+                "rounds": rounds,
+                "sf": a_raw[0].get("sf"),
+                "common_queries": common,
+                "pairs": pairs,
+                "total_a_med": round(a_tot, 3),
+                "total_b_med": round(b_tot, 3),
+                "total_delta_pct": round((a_tot - b_tot) / b_tot * 100, 1)
+                if b_tot else None,
+                "load_avgs_a": [r.get("load_avg") for r in a_raw],
+                "load_avgs_b": [r.get("load_avg") for r in b_raw],
+                "a_runs": a_raw,
+                "b_runs": b_raw,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        _ref = sys.argv[sys.argv.index("--ab") + 1]
+        _rounds = (
+            int(sys.argv[sys.argv.index("--rounds") + 1])
+            if "--rounds" in sys.argv
+            else 3
+        )
+        run_ab(_ref, _rounds)
+    else:
+        main()
