@@ -1486,11 +1486,55 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND10_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND10_WINDOW]
+    front = [n for n in _ROUND11_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND11_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND11_WINDOW = [
+    # Round 11 window (50 slots). Priority (a) repaired fails: none — r10
+    # was 50/50. Priority (b): the two queries REGISTERED this round —
+    # the end-to-end curation composition (pipeline.curate_corpus, per-doc
+    # lineage vs an independent staged MATERIALIZED-CTE chain) and the
+    # streaming URL-dedup twin (first-seen canonical admission over a
+    # boundary-straddling two-batch feed) — plus doc_url_dedup, whose
+    # operator (null-safe window key) AND oracle (full-pattern guard +
+    # malformed-URL feed branch) both changed this round.
+    "corpus_curation_pipeline", "doc_url_dedup_streaming", "doc_url_dedup",
+    # Priority (c): machinery REVISED this round — checks._violation_expr
+    # now delegates to the extracted row_violation predicate (the curation
+    # stage-1 gate), transited by the constraint-report gate.
+    "corpus_constraint_report",
+    # Priority (d): ALL 26 queries whose newest driver-green row is r6
+    # (r10 verdict item 2's exact list).
+    "asset_correlation_matrix", "cdar", "corpus_length_quantiles",
+    "corpus_shards", "doc_chunk_shards", "doc_dsir_select",
+    "doc_hash_embed", "doc_lm_buckets", "doc_url_domains",
+    "docs_jsonl_roundtrip", "event_gap_profile", "event_hourly_uniques",
+    "event_interval_join", "event_top_paths", "event_value_anomalies",
+    "media_decode_real", "multi_asset_smart_long", "psr",
+    "returns_csv_roundtrip", "returns_partitioned_sink", "rolling_corr_30d",
+    "rolling_greeks_30d", "rolling_greeks_30d_keyed", "rolling_metrics_30d",
+    "rolling_trailing_30d", "rolling_trailing_30d_keyed",
+    # Priority (e): 20 rotation slots over the 41 r7-stale queries,
+    # machinery-churn first (r10 verdict: ann index family, simhash,
+    # streaming dedup, media_resize_real), then the similarity /
+    # events-streaming / pipeline-split families; corpus_group_split is
+    # also transited by the new curation composition. The 21 left out
+    # (scalar compositions, calendar aggregates, roundtrips, fuzzy names)
+    # front the r12 rotation.
+    "ann_ivf_append", "ann_ivf_partitioned", "ann_ivfpq_refine",
+    "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_streaming_candidates", "dedup_streaming_exact",
+    "media_resize_real",
+    "emb_near_dups", "emb_quantize_int8",
+    "event_funnel", "event_funnel_times", "event_sessionization",
+    "event_session_windows", "event_hourly_streaming",
+    "corpus_group_split", "corpus_sample_stratified",
+    "doc_tfidf_topk", "doc_repetition", "doc_chunks",
+]
 
 
 _ROUND10_WINDOW = [

@@ -11,7 +11,13 @@ bench regressions (VERDICT r5 "Next round" #4):
   LM scoring, events, DSIR, containment, interval join, ANN — 1x vs 10x
   with per-operator exponents).
 
-Usage:  python scripts/gen_scale.py <round> [--skip-sf10]
+Usage:  python scripts/gen_scale.py <round> [--skip-sf10] [--deep4]
+
+--deep4 extends the instrumented per-stage dedup probe with a FOURTH
+point at 5M docs (r10 verdict item 5: pin the exponent story with a
+third measured decade-ish step on shipped defaults, or record the
+disk-bound free-disk trace — the probe returns a partial trace instead
+of dying when the box's disk is the ceiling).
 
 Synthetic inputs are cached under /tmp/as_scale; a warm second run is
 dominated by the measured queries, not synthesis.
@@ -81,7 +87,8 @@ def main() -> None:
     # cluster iterations per stage, so the deep-scale wall exponent is
     # attributable to a stage (algorithm) or to none (the box's disk)
     st = last_json_lines(
-        run([py, f"{REPO}/scripts/scale_ext.py", "--deep3-stages"])
+        run([py, f"{REPO}/scripts/scale_ext.py", "--deep3-stages"]
+            + (["--deep4"] if "--deep4" in sys.argv else []))
     )
     stage_out = next(o for o in reversed(st) if "deep3_stages" in o)
     result["deep3_stages"] = stage_out["deep3_stages"]

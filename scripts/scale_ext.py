@@ -369,10 +369,35 @@ def run_deep3_instrumented(spark, n_docs: int) -> dict:
 
     out: dict = {"n_docs": n_docs}
     docs = synth_docs(spark, n_docs).persist()
-    docs.count()
-    out["disk_free_gb_start"] = round(
-        _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
-    )
+    try:
+        docs.count()
+        out["disk_free_gb_start"] = round(
+            _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+        )
+        _deep3_stages_body(spark, docs, out)
+    except Exception as e:  # noqa: BLE001 — a disk-bound 5M point must
+        # still return its partial per-stage trace (the free-disk
+        # snapshots ARE the disk-attribution evidence)
+        out["error"] = f"{type(e).__name__}: {e}"[:500]
+        out["disk_free_gb_at_error"] = round(
+            _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+        )
+    finally:
+        docs.unpersist()
+    return out
+
+
+def _deep3_stages_body(spark, docs, out: dict) -> None:
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.functions.text import hash_key60
+    from alphastats_spark.operators import ordered
+
+    n_docs = out["n_docs"]
 
     def stage(name, fn):
         t0 = time.time()
@@ -484,8 +509,6 @@ def run_deep3_instrumented(spark, n_docs: int) -> dict:
             )
             .count(),
         )
-    docs.unpersist()
-    return out
 
 
 def main() -> None:
@@ -494,6 +517,9 @@ def main() -> None:
     deep = "--deep" in sys.argv
     deep3 = "--deep3" in sys.argv  # implies --deep (needs the 100x point)
     stages = "--deep3-stages" in sys.argv  # standalone diagnostic mode
+    deep4 = "--deep4" in sys.argv  # adds the 5M-doc fourth point (r10
+    # verdict item 5); implies the stages diagnostic
+    stages = stages or deep4
     deep3 = deep3 or stages
     deep = deep or deep3
 
@@ -517,11 +543,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if stages:
-        # standalone diagnostic: per-stage counts/walls at three corpus
-        # sizes; one decade-normalized exponent per count and per wall so
-        # "where does 1.62 come from" has a stage-level answer
-        pts = [run_deep3_instrumented(spark, n)
-               for n in (500_000, 1_000_000, 2_000_000)]
+        # standalone diagnostic: per-stage counts/walls at three (four
+        # with --deep4) corpus sizes; one doubling-normalized exponent per
+        # count and per wall so "where does 1.62 come from" has a
+        # stage-level answer. The 5M point runs LAST and returns a partial
+        # per-stage free-disk trace instead of dying if the box's disk is
+        # the ceiling (run_deep3_instrumented catches in-process failures).
+        sizes = (500_000, 1_000_000, 2_000_000) + (
+            (5_000_000,) if deep4 else ()
+        )
+        pts = [run_deep3_instrumented(spark, n) for n in sizes]
 
         def expn(k, a, b):
             va, vb = a.get(k), b.get(k)
@@ -537,7 +568,7 @@ def main() -> None:
         result = {
             "deep3_stages": pts,
             "deep3_stage_exponents": {
-                k: [expn(k, pts[0], pts[1]), expn(k, pts[1], pts[2])]
+                k: [expn(k, pts[i], pts[i + 1]) for i in range(len(pts) - 1)]
                 for k in keys
             },
         }
