@@ -156,7 +156,10 @@ def check_constraints(df: DataFrame, rules: list[dict[str, Any]]) -> DataFrame:
                 F.approx_count_distinct(c) if r.get("approx")
                 else F.countDistinct(c)
             )
-            v = (F.count(c) - distinct).cast("bigint")
+            # HLL can overestimate distinct past the row count on a truly
+            # unique column; a negative violation count is meaningless (and
+            # would flip `passed` on a clean column), so clamp at 0
+            v = F.greatest(F.lit(0), F.count(c) - distinct).cast("bigint")
         else:
             v = _violation_expr(r)
         aggs.append(v.alias(f"__v{i}"))

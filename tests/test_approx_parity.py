@@ -97,6 +97,35 @@ def test_inter_event_gaps_approx_bounds(spark):
             assert _rel_err(float(arow[c]), float(erow[c])) <= REL_TOL, (t, c, arow[c], erow[c])
 
 
+def test_check_constraints_hll_uniqueness_bounds(spark):
+    """``unique(approx=True)`` swaps exact COUNT DISTINCT for the HLL
+    sketch; the pinned property is the sketch's documented bound — the
+    approx violation count lands within REL_TOL of the exact one,
+    *relative to the non-null row count* (violations = rows − distinct, so
+    a ±2% distinct-count error is a ±2%-of-rows violation error; the
+    exact count can legitimately be 0, which makes a violations-relative
+    bound degenerate)."""
+    from alphastats_spark.functions import checks
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_rows = docs.count()
+    rules = []
+    for col in ("doc_id", "source"):
+        rules.append(checks.unique(col, name=f"exact({col})"))
+        rules.append(checks.unique(col, name=f"hll({col})", approx=True))
+    rep = {r["rule"]: r for r in checks.check_constraints(docs, rules).collect()}
+    assert len(rep) == 4
+    for col in ("doc_id", "source"):
+        exact_v = rep[f"exact({col})"]["violations"]
+        approx_v = rep[f"hll({col})"]["violations"]
+        assert rep[f"exact({col})"]["n_rows"] == n_rows
+        assert abs(approx_v - exact_v) <= REL_TOL * n_rows, (col, approx_v, exact_v)
+    # doc_id really is unique, source really isn't — the bound above must
+    # not be vacuous on either side
+    assert rep["exact(doc_id)"]["violations"] == 0
+    assert rep["exact(source)"]["violations"] > REL_TOL * n_rows
+
+
 def test_value_anomalies_approx_bounds(spark):
     """The approximate median/MAD may move borderline rows across the z
     threshold, so the pinned property is set-level: the two flag sets
