@@ -123,6 +123,99 @@ def url_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_copies: int = 1,
+    sep_pattern: str = r"\r?\n",
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-paragraph removal — the CCNet/Dolma hygiene
+    stage that strips boilerplate (nav bars, cookie banners, license
+    footers) finer than whole-document dedup can: a paragraph whose
+    normalized form occurs more than ``max_copies`` times ACROSS THE
+    CORPUS is removed from every document containing it.
+
+    Output is one row per input document:
+    ``(id_col, text_clean, n_paragraphs, n_dropped)`` — paragraphs are
+    the ``sep_pattern`` splits of ``text_col`` with whitespace-only
+    segments discarded, survivors are rejoined with ``join_sep`` in
+    original order. A document whose every paragraph is boilerplate
+    comes back with ``text_clean=''``; a document with NULL text (or no
+    non-whitespace paragraph at all) keeps ``text_clean=NULL`` with
+    ``0/0`` counts. Occurrences are counted per ROW of the exploded
+    paragraph table (a document repeating its own footer contributes
+    each repeat), matching CCNet's occurrence semantics. Paragraphs that
+    normalize to the empty string (punctuation-only separators) share
+    one hash and are dropped together once frequent — the desired
+    outcome for ``***``-style rules.
+
+    Scale shape: explode → one map-side-combinable ``groupBy(hash)``
+    count whose FILTERED output (hashes with count > max_copies) is the
+    join side — tiny in practice, so AQE broadcasts it and the big
+    exploded side never reshuffles for the join — then one
+    ``groupBy(id)`` to reassemble. Deliberately NOT a count window over
+    ``hash`` partitions: a 100M-copy cookie banner would serialize its
+    entire partition into one window task, while the aggregate's
+    map-side combine absorbs it.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+                "__pos", "__para"
+            ),
+        )
+        .where(F.trim(F.col("__para")) != F.lit(""))
+        .select(
+            id_col, "__pos", "__para",
+            F.md5(normalize(F.col("__para"))).alias("__h"),
+        )
+    )
+    hot = (
+        paras.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__copies"))
+        .where(F.col("__copies") > max_copies)
+        .select("__h", F.lit(True).alias("__hot"))
+    )
+    flagged = paras.join(hot, on="__h", how="left")
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+        F.count(F.col("__hot")).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__hot").isNull(),
+                            F.struct(F.col("__pos"), F.col("__para")),
+                        )
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            join_sep,
+        ).alias("text_clean"),
+    )
+    # documents that contributed no non-whitespace paragraph (NULL or
+    # blank text) vanish from the explode — backfill with NULL/0/0
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("text_clean"),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).cast("bigint").alias(
+                "n_paragraphs"
+            ),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 def minhash_signature_cols(k: int = MINHASH_K) -> list:
     """K min-hash expressions over an exploded ``shingle`` column."""
     return [

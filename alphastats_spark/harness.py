@@ -1502,7 +1502,12 @@ _ROUND11_WINDOW = [
     # boundary-straddling two-batch feed) — plus doc_url_dedup, whose
     # operator (null-safe window key) AND oracle (full-pattern guard +
     # malformed-URL feed branch) both changed this round.
+    # ... and corpus-wide duplicate-paragraph removal (paragraph_dedup,
+    # injected multi-paragraph feed), registered mid-round — it takes a
+    # priority-(b) slot, displacing one (e) rotation slot (doc_chunks →
+    # fronts the r12 rotation instead).
     "corpus_curation_pipeline", "doc_url_dedup_streaming", "doc_url_dedup",
+    "doc_paragraph_dedup",
     # Priority (c): machinery REVISED this round — checks._violation_expr
     # now delegates to the extracted row_violation predicate (the curation
     # stage-1 gate), transited by the constraint-report gate.
@@ -1533,7 +1538,7 @@ _ROUND11_WINDOW = [
     "event_funnel", "event_funnel_times", "event_sessionization",
     "event_session_windows", "event_hourly_streaming",
     "corpus_group_split", "corpus_sample_stratified",
-    "doc_tfidf_topk", "doc_repetition", "doc_chunks",
+    "doc_tfidf_topk", "doc_repetition",
 ]
 
 
@@ -3134,6 +3139,76 @@ FROM documents GROUP BY 1"""
     add("dedup_exact_nulls",
         lambda spark, sf_dir: dedup.exact_duplicates(_docs_nulled(spark, sf_dir)),
         f"WITH {_NULLS_DOCS_CTE}\n{_exact_sql}")
+
+    # Corpus-wide duplicate-paragraph removal (dedup.paragraph_dedup): the
+    # synthetic docs are single-line, so multi-paragraph texts are injected
+    # deterministically — doc_id%10==9 NULL text (backfill path), %20==7
+    # two corpus-hot footer lines ONLY (all-dropped ⇒ text_clean=''),
+    # otherwise text + a hot 'footer k' (k = id%7, ~60 copies each at
+    # sf0.01 > max_copies=2 ⇒ dropped) + a singleton 'unique line id'
+    # (kept). The oracle re-derives the whole explode→count→filter→
+    # reassemble chain independently in DuckDB (positional unnest +
+    # string_agg ORDER BY pos).
+    def _para_dedup(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        multi = d.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 9, F.lit(None).cast("string"))
+            .when(
+                F.col("doc_id") % 20 == 7,
+                F.lit("shared footer alpha\nshared footer beta"),
+            )
+            .otherwise(
+                F.concat_ws(
+                    "\n",
+                    F.col("text"),
+                    F.concat(
+                        F.lit("footer "),
+                        (F.col("doc_id") % 7).cast("string"),
+                    ),
+                    F.concat(
+                        F.lit("unique line "), F.col("doc_id").cast("string")
+                    ),
+                )
+            )
+            .alias("text"),
+        )
+        return dedup.paragraph_dedup(multi, max_copies=2)
+
+    _para_norm = (
+        r"trim(regexp_replace(regexp_replace(lower(para), '[^a-z0-9\s]',"
+        r" ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+    add("doc_paragraph_dedup", _para_dedup, rf"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 9 THEN NULL
+         WHEN doc_id % 20 = 7 THEN
+           'shared footer alpha' || chr(10) || 'shared footer beta'
+         ELSE text || chr(10) || 'footer ' || (doc_id % 7)
+              || chr(10) || 'unique line ' || doc_id
+    END AS text
+  FROM documents),
+lists AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS l FROM inj),
+p AS (
+  SELECT doc_id, pos, l[pos] AS para
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+        FROM lists)
+  WHERE trim(l[pos]) <> ''),
+h AS (SELECT doc_id, pos, para, md5({_para_norm}) AS hh FROM p),
+hot AS (SELECT hh FROM h GROUP BY hh HAVING COUNT(*) > 2),
+fl AS (SELECT h.*, hh IN (SELECT hh FROM hot) AS is_hot FROM h),
+reb AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+    CAST(COUNT(*) FILTER (is_hot) AS BIGINT) AS n_dropped,
+    COALESCE(string_agg(CASE WHEN NOT is_hot THEN para END, chr(10)
+                        ORDER BY pos), '') AS text_clean
+  FROM fl GROUP BY doc_id)
+SELECT d.doc_id, reb.text_clean,
+  COALESCE(reb.n_paragraphs, 0) AS n_paragraphs,
+  COALESCE(reb.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN reb USING (doc_id)""")
 
     mh_sql = ", ".join(
         f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)

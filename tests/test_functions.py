@@ -63,6 +63,37 @@ class TestDedup:
         assert by_rep[0] == 2  # docs 0 and 2
         assert by_rep[1] == 1
 
+    def test_paragraph_dedup(self, spark):
+        rows = [
+            (0, "intro zero\ncookie banner\nunique zero"),
+            (1, "intro one\nCookie   Banner!\nunique one"),  # normalizes equal
+            (2, "cookie banner\ncookie banner"),  # all boilerplate → ''
+            (3, None),  # null text → backfill row
+            (4, "   \n \n"),  # whitespace-only paragraphs → backfill row
+            (5, "z last\na first\ncookie banner"),  # order preserved, not sorted
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df, max_copies=2).collect()}
+        assert len(out) == 6
+        # 'cookie banner' occurs 5x (normalization folds doc 1's variant) > 2
+        assert out[0]["text_clean"] == "intro zero\nunique zero"
+        assert (out[0]["n_paragraphs"], out[0]["n_dropped"]) == (3, 1)
+        assert out[1]["text_clean"] == "intro one\nunique one"
+        assert out[2]["text_clean"] == ""
+        assert (out[2]["n_paragraphs"], out[2]["n_dropped"]) == (2, 2)
+        for null_doc in (3, 4):
+            r = out[null_doc]
+            assert r["text_clean"] is None
+            assert (r["n_paragraphs"], r["n_dropped"]) == (0, 0)
+        assert out[5]["text_clean"] == "z last\na first"
+
+    def test_paragraph_dedup_below_threshold_is_identity(self, spark):
+        rows = [(i, f"shared header\nbody {i}") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = dedup.paragraph_dedup(df, max_copies=3).collect()
+        assert all(r["n_dropped"] == 0 for r in out)
+        assert {r["text_clean"] for r in out} == {f"shared header\nbody {i}" for i in range(3)}
+
     def test_lsh_finds_near_dup(self, spark, docs):
         pairs = dedup.lsh_candidate_pairs(docs).collect()
         pairset = {(r["id_a"], r["id_b"]) for r in pairs}
