@@ -660,6 +660,67 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_novelty(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    fraction of a document's DISTINCT word n-grams absent from the
+    reference's n-gram vocabulary. The curation signal between exact
+    decontamination and fuzzy dedup: score candidate shards against the
+    corpus you already hold (novelty ~0 ⇒ redundant re-crawl; ~1 ⇒
+    genuinely new material), or against a benchmark suite as a soft
+    contamination meter where the hard `decontaminate_fuzzy` drop is too
+    blunt.
+
+    Output is one row per ``df`` document: ``(id_col, n_grams, n_unseen,
+    novelty)`` with ``novelty = n_unseen / n_grams`` over distinct
+    grams (``_grams_over`` dedups within doc), NULL for documents with
+    no gram at all (< n tokens, empty or NULL text; their counts are
+    0/0).
+
+    Scale shape: both sides ride :func:`_hashed_shingles` (8-byte gram
+    hashes, not raw strings, across every shuffle); the reference
+    vocabulary is a distinct aggregate already partitioned by gram hash,
+    so the left join reuses that exchange (AQE broadcasts it when the
+    reference is small), and the per-doc rollup is one
+    map-side-combinable groupBy. No driver-side state — the reference
+    can be 100 TB.
+    """
+    left = _hashed_shingles(df, id_col, text_col, n)
+    seen = (
+        _hashed_shingles(ref_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    per = (
+        left.join(seen, on="shingle", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("__seen").isNull(), F.lit(1)))
+            .cast("bigint")
+            .alias("n_unseen"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("bigint").alias("n_unseen"),
+            F.when(
+                F.col("n_grams") > 0, F.col("n_unseen") / F.col("n_grams")
+            ).alias("novelty"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

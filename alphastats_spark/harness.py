@@ -1502,12 +1502,13 @@ _ROUND11_WINDOW = [
     # boundary-straddling two-batch feed) — plus doc_url_dedup, whose
     # operator (null-safe window key) AND oracle (full-pattern guard +
     # malformed-URL feed branch) both changed this round.
-    # ... and corpus-wide duplicate-paragraph removal (paragraph_dedup,
-    # injected multi-paragraph feed), registered mid-round — it takes a
-    # priority-(b) slot, displacing one (e) rotation slot (doc_chunks →
-    # fronts the r12 rotation instead).
+    # ... and the two ops registered mid-round — corpus-wide duplicate-
+    # paragraph removal (paragraph_dedup, injected multi-paragraph feed)
+    # and n-gram novelty vs a reference corpus (ngram_novelty) — each
+    # taking a priority-(b) slot and displacing one (e) rotation slot
+    # (doc_chunks, doc_tfidf_topk → front the r12 rotation instead).
     "corpus_curation_pipeline", "doc_url_dedup_streaming", "doc_url_dedup",
-    "doc_paragraph_dedup",
+    "doc_paragraph_dedup", "doc_ngram_novelty",
     # Priority (c): machinery REVISED this round — checks._violation_expr
     # now delegates to the extracted row_violation predicate (the curation
     # stage-1 gate), transited by the constraint-report gate.
@@ -1538,7 +1539,7 @@ _ROUND11_WINDOW = [
     "event_funnel", "event_funnel_times", "event_sessionization",
     "event_session_windows", "event_hourly_streaming",
     "corpus_group_split", "corpus_sample_stratified",
-    "doc_tfidf_topk", "doc_repetition",
+    "doc_repetition",
 ]
 
 
@@ -3209,6 +3210,32 @@ SELECT d.doc_id, reb.text_clean,
   COALESCE(reb.n_paragraphs, 0) AS n_paragraphs,
   COALESCE(reb.n_dropped, 0) AS n_dropped
 FROM documents d LEFT JOIN reb USING (doc_id)""")
+
+    # N-gram novelty vs a reference corpus (dedup.ngram_novelty): ref =
+    # the doc_id%3==0 slice, every doc scored against it — ref members
+    # exercise the novelty≈0 path (their grams are in the vocabulary by
+    # construction), the rest the mixed path. Oracle re-derives the
+    # distinct-gram vocabulary + left-join rollup over the shared
+    # 60-bit shingle-hash CTE.
+    add("doc_ngram_novelty",
+        lambda spark, sf_dir: dedup.ngram_novelty(
+            _docs(spark, sf_dir),
+            _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0),
+        ),
+        _SHINGLE_HASH_CTE + """,
+refv AS (SELECT DISTINCT shingle FROM shh WHERE doc_id % 3 = 0),
+per AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (r.shingle IS NULL) AS BIGINT) AS n_unseen
+  FROM shh s LEFT JOIN refv r ON s.shingle = r.shingle
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+  COALESCE(per.n_grams, 0) AS n_grams,
+  COALESCE(per.n_unseen, 0) AS n_unseen,
+  CASE WHEN per.n_grams > 0 THEN per.n_unseen * 1.0 / per.n_grams END
+    AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)""")
 
     mh_sql = ", ".join(
         f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)

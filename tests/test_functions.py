@@ -87,6 +87,31 @@ class TestDedup:
             assert (r["n_paragraphs"], r["n_dropped"]) == (0, 0)
         assert out[5]["text_clean"] == "z last\na first"
 
+    def test_ngram_novelty(self, spark):
+        ref = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")],
+            "doc_id bigint, text string",
+        )
+        rows = [
+            (0, "alpha beta gamma delta epsilon"),  # fully contained → 0.0
+            (1, "zeta eta theta iota kappa"),       # fully novel → 1.0
+            (2, "alpha beta gamma nu xi"),          # 1 of 3 grams seen
+            (3, "two words"),                       # < n tokens → no grams
+            (4, None),                              # null text → no grams
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in dedup.ngram_novelty(df, ref).collect()}
+        assert len(out) == 5
+        assert out[0]["novelty"] == 0.0 and out[0]["n_unseen"] == 0
+        assert out[1]["novelty"] == 1.0 and out[1]["n_unseen"] == out[1]["n_grams"] == 3
+        # doc 2: grams {alpha beta gamma, beta gamma nu, gamma nu xi} — 1 seen
+        assert (out[2]["n_grams"], out[2]["n_unseen"]) == (3, 2)
+        assert abs(out[2]["novelty"] - 2 / 3) < 1e-12
+        for no_grams in (3, 4):
+            r = out[no_grams]
+            assert (r["n_grams"], r["n_unseen"]) == (0, 0)
+            assert r["novelty"] is None
+
     def test_paragraph_dedup_below_threshold_is_identity(self, spark):
         rows = [(i, f"shared header\nbody {i}") for i in range(3)]
         df = spark.createDataFrame(rows, "doc_id bigint, text string")
