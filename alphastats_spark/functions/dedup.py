@@ -645,9 +645,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
+    # plain joins, not forced broadcasts: `sizes` has one row per doc, so
+    # force-shipping it grows with the corpus; AQE still broadcasts it
+    # when it is actually small
     out = (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -971,7 +974,10 @@ def lsh_verified_pairs(
 
     This is the 100 TB shape: the exact similarity join runs on the
     LSH-bounded candidate set (|candidates| ≪ n²) instead of every pair
-    sharing a shingle. Output matches ``ngram_jaccard_pairs`` on the
+    sharing a shingle, and candidates are first thinned by the EXACT
+    size-ratio bound (J ≥ t ⟹ min(|A|,|B|)/max ≥ t — see the inline
+    comment) so the per-shingle join never pays for pairs no threshold
+    could admit. Output matches ``ngram_jaccard_pairs`` on the
     candidate subset: (id_a, id_b, jaccard) with jaccard ≥ threshold.
     ``max_band_bucket`` threads to the band self-join's mega-bucket guard
     (see :data:`MAX_BAND_BUCKET` for the measured sizing; ``None`` = the
@@ -993,6 +999,32 @@ def lsh_verified_pairs(
         sigs, id_col, k, rows_per_band, max_band_bucket
     ).select("id_a", "id_b")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
+
+    # EXACT size-ratio prefilter before the expensive shingle join:
+    # |A∩B| ≤ min(|A|,|B|) gives J(A,B) ≤ min/max, so J ≥ t implies
+    # min/max ≥ t — pairs of very different sizes can be discarded from a
+    # candidate-scale table for free instead of paying the per-shingle
+    # explode join below (the dominant shuffle of the whole pipeline —
+    # its volume is Σ doc-size over surviving candidates). Lossless by
+    # construction; the DuckDB oracles need no mirror because the output
+    # set is unchanged. The filtered (pair, sizes) table is persisted:
+    # the explode join consumes the id pairs and the jaccard projection
+    # re-joins the sizes, and without the persist that second consumer
+    # would re-run the band self-join. Size joins are plain shuffles (AQE
+    # broadcasts them when small) — NOT forced broadcasts: `sizes` is
+    # corpus-sized (one row per doc), and force-shipping it to every
+    # executor is exactly the kind of driver/network bomb a 100-TB corpus
+    # can't pay.
+    cands = ordered.persist_tracked(
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.least("size_a", "size_b")
+            >= F.lit(threshold) * F.greatest("size_a", "size_b")
+        )
+    )
 
     # the verify join shuffles on (id, shingle) twice; carry the shingle
     # as a 60-bit hash, not the raw gram string (see _hashed_shingles —
@@ -1005,16 +1037,14 @@ def lsh_verified_pairs(
         F.col(id_col).alias("id_b"), hash_key60(F.col("shingle")).alias("shingle")
     )
     common = (
-        cands.join(a, "id_a")
+        cands.select("id_a", "id_b")
+        .join(a, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(cands, ["id_a", "id_b"])
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 7),
@@ -1826,7 +1856,8 @@ def containment_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
-    scored = common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # plain joins (AQE broadcasts when small) — sizes is corpus-sized
+    scored = common.join(sa, "id_a").join(sb, "id_b")
     fwd = scored.select(
         F.col("id_a").alias("contained_id"),
         F.col("id_b").alias("container_id"),

@@ -459,17 +459,28 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
             F.col("doc_id").alias("id_b"),
             hash_key60(F.col("shingle")).alias("shingle"),
         )
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("size_a"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("size_b"))
+        # size-ratio prefilter + candidate-scale size join, mirroring the
+        # r11 lsh_verified_pairs shape (no corpus-sized forced broadcasts)
+        cands_sz = ordered.persist_tracked(
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(
+                F.least("size_a", "size_b")
+                >= F.lit(0.5) * F.greatest("size_a", "size_b")
+            )
+        )
+        stage("sized_candidates", cands_sz.count)
         common = (
-            cands.join(a, "id_a")
+            cands_sz.select("id_a", "id_b")
+            .join(a, "id_a")
             .join(b, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("common"))
         )
-        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("size_a"))
-        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("size_b"))
         ver = ordered.persist_tracked(
-            common.join(F.broadcast(sa), "id_a")
-            .join(F.broadcast(sb), "id_b")
+            common.join(cands_sz, ["id_a", "id_b"])
             .withColumn(
                 "jaccard",
                 F.round(
