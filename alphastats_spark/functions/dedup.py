@@ -302,12 +302,19 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*minhash_signature_cols(k))
 
 
-def _band_table(sigs: DataFrame, id_col: str, k: int, rows_per_band: int) -> DataFrame:
+def _band_table(
+    sigs: DataFrame, id_col: str, k: int, rows_per_band: int,
+    extra: tuple = (),
+) -> DataFrame:
     """Explode a signature frame into (id, band, band-signature) rows —
-    the LSH bucketing shared by the self-join and cross-corpus paths."""
+    the LSH bucketing shared by the self-join and cross-corpus paths.
+    ``extra`` columns of ``sigs`` are carried through (the verified path
+    rides its per-doc shingle count here — 8 bytes/row on a table that is
+    ``n_bands`` rows per doc, vs a whole extra corpus-sized join later)."""
     n_bands = k // rows_per_band
     return sigs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         F.explode(
             F.array(
                 *[
@@ -325,7 +332,10 @@ def _band_table(sigs: DataFrame, id_col: str, k: int, rows_per_band: int) -> Dat
                 ]
             )
         ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select(
+        id_col, *extra,
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+    )
 
 
 #: Max documents per (band, signature) bucket before the bucket is dropped
@@ -424,12 +434,23 @@ def _candidates_from_sigs(
     k: int,
     rows_per_band: int,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    size_col: str | None = None,
+    size_ratio: float | None = None,
 ) -> DataFrame:
+    """``size_col``/``size_ratio`` (the verified path): ``sigs`` carries a
+    per-doc set-size column, the self-join condition additionally requires
+    ``min(size)/max(size) >= size_ratio`` — the exact Jaccard size bound,
+    applied INSIDE the join so pairs no threshold could admit never reach
+    the groupBy — and the output carries ``size_a``/``size_b`` so the
+    caller never joins a corpus-sized size table."""
     from pyspark.sql import Window
 
     from alphastats_spark.operators import ordered
 
-    bands = _band_table(sigs, id_col, k, rows_per_band)
+    bands = _band_table(
+        sigs, id_col, k, rows_per_band,
+        extra=(size_col,) if size_col else (),
+    )
     # mega-bucket guard, fused into the band-table pass (round-9: the
     # round-8 shape — persist, then a SECOND groupBy traversal + collect/
     # broadcast anti-join — cost ~2 s of fixed latency on the sf0.1 dedup
@@ -456,14 +477,27 @@ def _candidates_from_sigs(
     bands = ordered.persist_tracked(bands)
     left = bands.alias("l")
     right = bands.alias("r")
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.sig") == F.col("r.sig"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    keys = [
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+    ]
+    if size_col is not None:
+        la, rb = F.col(f"l.{size_col}"), F.col(f"r.{size_col}")
+        if size_ratio:
+            cond = cond & (
+                F.least(la, rb) >= F.lit(float(size_ratio)) * F.greatest(la, rb)
+            )
+        # sizes are functions of the ids — adding them to the grouping
+        # keys carries them through without a second aggregate or join
+        keys += [la.alias("size_a"), rb.alias("size_b")]
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        left.join(right, cond)
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
@@ -994,36 +1028,29 @@ def lsh_verified_pairs(
     from alphastats_spark.functions.text import hash_key60
 
     sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
-    sigs = sh.groupBy(id_col).agg(*minhash_signature_cols(k))
-    cands = _candidates_from_sigs(
-        sigs, id_col, k, rows_per_band, max_band_bucket
-    ).select("id_a", "id_b")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("size_b"))
-
-    # EXACT size-ratio prefilter before the expensive shingle join:
-    # |A∩B| ≤ min(|A|,|B|) gives J(A,B) ≤ min/max, so J ≥ t implies
-    # min/max ≥ t — pairs of very different sizes can be discarded from a
-    # candidate-scale table for free instead of paying the per-shingle
-    # explode join below (the dominant shuffle of the whole pipeline —
-    # its volume is Σ doc-size over surviving candidates). Lossless by
-    # construction; the DuckDB oracles need no mirror because the output
-    # set is unchanged. The filtered (pair, sizes) table is persisted:
-    # the explode join consumes the id pairs and the jaccard projection
-    # re-joins the sizes, and without the persist that second consumer
-    # would re-run the band self-join. Size joins are plain shuffles (AQE
-    # broadcasts them when small) — NOT forced broadcasts: `sizes` is
-    # corpus-sized (one row per doc), and force-shipping it to every
-    # executor is exactly the kind of driver/network bomb a 100-TB corpus
-    # can't pay.
+    # the per-doc set size rides the SAME aggregate that builds the
+    # minhash signature (one shuffle) and then the band table itself
+    # (8 bytes on a rows-per-doc = n_bands table), so the verify stage
+    # never joins — let alone force-broadcasts — a corpus-sized size
+    # table. The EXACT size-ratio prefilter (|A∩B| ≤ min(|A|,|B|) gives
+    # J ≤ min/max, so J ≥ t implies min/max ≥ t) is fused into the band
+    # self-join's condition inside _candidates_from_sigs: pairs no
+    # threshold could admit never reach the candidate groupBy, and the
+    # per-shingle explode join below — the dominant shuffle of the whole
+    # pipeline, volume Σ doc-size over surviving candidates — pays only
+    # for survivors. Lossless by construction; the DuckDB oracles need
+    # no mirror because the output set is unchanged.
+    sigs = sh.groupBy(id_col).agg(
+        *minhash_signature_cols(k), F.count(F.lit(1)).alias("__nsh")
+    )
+    # persisted: the explode join consumes the id pairs and the jaccard
+    # projection re-joins the sizes — without the persist that second
+    # consumer would re-run the band self-join
     cands = ordered.persist_tracked(
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(
-            F.least("size_a", "size_b")
-            >= F.lit(threshold) * F.greatest("size_a", "size_b")
-        )
+        _candidates_from_sigs(
+            sigs, id_col, k, rows_per_band, max_band_bucket,
+            size_col="__nsh", size_ratio=threshold,
+        ).select("id_a", "id_b", "size_a", "size_b")
     )
 
     # the verify join shuffles on (id, shingle) twice; carry the shingle

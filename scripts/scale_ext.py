@@ -449,8 +449,9 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
         )
         stage("candidate_pairs", cands.count)
         # Jaccard verify restricted to candidates — the lsh_verified_pairs
-        # join shape over the already-persisted shingle table
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # join shape over the already-persisted shingle table: sizes ride
+        # the signature aggregate and the band self-join fuses the exact
+        # size-ratio prefilter (r11 shape — no corpus-sized size joins)
         a = sh.select(
             F.col("doc_id").alias("id_a"),
             hash_key60(F.col("shingle")).alias("shingle"),
@@ -459,17 +460,15 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
             F.col("doc_id").alias("id_b"),
             hash_key60(F.col("shingle")).alias("shingle"),
         )
-        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("size_a"))
-        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("size_b"))
-        # size-ratio prefilter + candidate-scale size join, mirroring the
-        # r11 lsh_verified_pairs shape (no corpus-sized forced broadcasts)
+        sigs_sz = sh.groupBy("doc_id").agg(
+            *dedup.minhash_signature_cols(dedup.MINHASH_K),
+            F.count(F.lit(1)).alias("__nsh"),
+        )
         cands_sz = ordered.persist_tracked(
-            cands.join(sa, "id_a")
-            .join(sb, "id_b")
-            .where(
-                F.least("size_a", "size_b")
-                >= F.lit(0.5) * F.greatest("size_a", "size_b")
-            )
+            dedup._candidates_from_sigs(
+                sigs_sz, "doc_id", dedup.MINHASH_K, 2,
+                size_col="__nsh", size_ratio=0.5,
+            ).select("id_a", "id_b", "size_a", "size_b")
         )
         stage("sized_candidates", cands_sz.count)
         common = (
