@@ -925,11 +925,20 @@ def duplicate_clusters(
     run). The edge/node counts read the frames the loop persists anyway;
     leaving ``stats=None`` (the default) adds no extra traversal.
     """
+    # EAGER localCheckpoint, not a bare persist: the loop below nests the
+    # edge frame's LOGICAL plan ~2^5 times between re-roots (each labels
+    # plan references edges and the previous labels), and a persist caches
+    # data but not the plan — with a deep upstream tree (the full LSH
+    # verify pipeline) Catalyst's per-iteration planning blows driver heap
+    # before the first re-root ever runs. The checkpoint truncates the
+    # lineage so every nested reference is a scan node; its storage is
+    # released when the RDD is GC'd (the deep probes force periodic GC;
+    # long-lived sessions get it from the ContextCleaner).
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("id")).persist()
@@ -974,14 +983,12 @@ def duplicate_clusters(
         # same cluster — silent under-deduplication. A near-dup graph
         # needing >max_iters hops means a pathological chain; fail loudly.
         labels.unpersist()
-        edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iters={max_iters} "
             "label-propagation rounds (graph diameter exceeds it); raise "
             "max_iters or pre-split the pathological component"
         )
 
-    edges.unpersist()
     if stats is not None:
         stats["iterations"] = iters_run
     # the returned frame stays cached (callers branch over it); register it
