@@ -33,7 +33,15 @@ from pyspark.sql import functions as F
 
 from alphastats_spark.functions.text import normalize
 
+#: Default MinHash family size and band shape (b = MINHASH_K /
+#: ROWS_PER_BAND bands of ROWS_PER_BAND rows). A pair of Jaccard s
+#: collides in a band of r rows with probability s^r and in >=1 of
+#: b bands with 1-(1-s^r)^b, so r sets the false-positive decay and b
+#: buys the recall back. Every LSH entry point threads an explicit
+#: (k, rows_per_band) override; these module constants are only the
+#: defaults the DuckDB oracle mirrors also derive from.
 MINHASH_K = 8
+ROWS_PER_BAND = 2
 SIMHASH_BITS = 32
 
 
@@ -310,7 +318,18 @@ def _band_table(
     the LSH bucketing shared by the self-join and cross-corpus paths.
     ``extra`` columns of ``sigs`` are carried through (the verified path
     rides its per-doc shingle count here — 8 bytes/row on a table that is
-    ``n_bands`` rows per doc, vs a whole extra corpus-sized join later)."""
+    ``n_bands`` rows per doc, vs a whole extra corpus-sized join later).
+
+    ``k`` must divide evenly into ``rows_per_band``-row bands: silently
+    ignoring leftover hashes would make two callers with the same ``k``
+    but different ``rows_per_band`` disagree on which hashes are live —
+    and a stored index admits against exactly the bands written."""
+    if rows_per_band < 1 or k % rows_per_band:
+        raise ValueError(
+            f"k={k} must be a positive multiple of rows_per_band="
+            f"{rows_per_band} (bands would drop {k % rows_per_band} "
+            "trailing min-hashes silently)"
+        )
     n_bands = k // rows_per_band
     return sigs.select(
         F.col(id_col),
@@ -373,7 +392,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    rows_per_band: int = ROWS_PER_BAND,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents agreeing on any full band.
@@ -1005,7 +1024,7 @@ def lsh_verified_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    rows_per_band: int = ROWS_PER_BAND,
     threshold: float = 0.5,
     n: int = 3,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
@@ -1095,6 +1114,8 @@ def deduplicate(
     threshold: float = 0.5,
     lineage: bool = False,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    k: int = MINHASH_K,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """End-to-end corpus deduplication: keep one representative per
     near-duplicate cluster.
@@ -1108,7 +1129,10 @@ def deduplicate(
     columns ever shuffled except by the anti-join key. ``max_band_bucket``
     threads to the candidate guard (:data:`MAX_BAND_BUCKET`) — raise it
     per call for corpora where 200-member band buckets are honest
-    clusters, ``None`` for the exact unguarded join.
+    clusters, ``None`` for the exact unguarded join. ``k``/
+    ``rows_per_band`` thread to the MinHash banding family (see
+    :data:`MINHASH_K`/:data:`ROWS_PER_BAND` for the collision-probability
+    trade and the README's threshold → (k, r, b) table).
 
     ``lineage=True`` instead returns the decision audit a production dedup
     run needs — one row per INPUT document:
@@ -1122,8 +1146,8 @@ def deduplicate(
     strict superset of the default output's information.
     """
     pairs = lsh_verified_pairs(
-        df, id_col, text_col, threshold=threshold,
-        max_band_bucket=max_band_bucket,
+        df, id_col, text_col, k=k, rows_per_band=rows_per_band,
+        threshold=threshold, max_band_bucket=max_band_bucket,
     )
     clusters = duplicate_clusters(pairs)
     if not lineage:
@@ -1275,7 +1299,7 @@ def incremental_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    rows_per_band: int = ROWS_PER_BAND,
     threshold: float = 0.5,
     n: int = 3,
 ) -> DataFrame:
@@ -1467,7 +1491,7 @@ def benchmark_leakage(
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    rows_per_band: int = ROWS_PER_BAND,
     n: int = 3,
 ) -> DataFrame:
     """Fuzzy benchmark-contamination audit: one row per BENCHMARK document
@@ -1522,7 +1546,7 @@ def decontaminate_fuzzy(
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    rows_per_band: int = ROWS_PER_BAND,
     n: int = 3,
     lineage: bool = False,
 ) -> DataFrame:
@@ -1602,7 +1626,7 @@ def write_dedup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = MINHASH_K,
-    rows_per_band: int = 2,
+    rows_per_band: int = ROWS_PER_BAND,
     n: int = 3,
     mode: str = "overwrite",
 ) -> None:
@@ -1764,7 +1788,9 @@ def _resolve_index_params(meta, k, rows_per_band, n):
     collisions, i.e. every near-duplicate admitted."""
     resolved = []
     for name, given, default in (
-        ("k", k, MINHASH_K), ("rows_per_band", rows_per_band, 2), ("n", n, 3)
+        ("k", k, MINHASH_K),
+        ("rows_per_band", rows_per_band, ROWS_PER_BAND),
+        ("n", n, 3)
     ):
         stored = getattr(meta, name, None) if meta is not None else None
         if given is None:

@@ -2259,6 +2259,36 @@ shh AS (
 )"""
 
 
+def _mh_sql(k: int | None = None) -> str:
+    """The k seeded-min-hash aggregate columns, mirroring
+    ``dedup.minhash_signature_cols`` — parameterized so every MinHash
+    oracle derives its hash family from the SAME ``(k, rows_per_band)``
+    the Spark side runs with (a hard-coded mirror silently diverges the
+    day the module defaults move)."""
+    from alphastats_spark.functions import dedup
+
+    k = dedup.MINHASH_K if k is None else k
+    return ", ".join(
+        f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(k)
+    )
+
+
+def _band_values_sql(k: int | None = None, rows_per_band: int | None = None) -> str:
+    """The LATERAL (VALUES ...) band rows mirroring ``dedup._band_table``:
+    band b's signature is the '|'-joined min-hashes
+    mh[b*r] .. mh[b*r + r - 1]."""
+    from alphastats_spark.functions import dedup
+
+    k = dedup.MINHASH_K if k is None else k
+    r = dedup.ROWS_PER_BAND if rows_per_band is None else rows_per_band
+    return ", ".join(
+        "({b}, {sig})".format(
+            b=b, sig=" || '|' || ".join(f"mh{b * r + i}" for i in range(r))
+        )
+        for b in range(k // r)
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -3237,17 +3267,12 @@ SELECT d.doc_id,
     AS novelty
 FROM documents d LEFT JOIN per USING (doc_id)""")
 
-    mh_sql = ", ".join(
-        f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
-    )
+    mh_sql = _mh_sql()
     add("dedup_minhash_signatures",
         lambda spark, sf_dir: dedup.minhash_signatures(_docs(spark, sf_dir)),
         _SHINGLE_CTE + f"SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id")
 
-    n_bands = dedup.MINHASH_K // 2
-    band_rows = ", ".join(
-        f"({b}, mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(n_bands)
-    )
+    band_rows = _band_values_sql()
     add("dedup_lsh_candidates",
         lambda spark, sf_dir: dedup.lsh_candidate_pairs(_docs(spark, sf_dir)),
         _SHINGLE_CTE + f""",
@@ -3309,6 +3334,46 @@ sig AS (SELECT doc_id, {mh_sql} FROM sh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b.band, b.sig
   FROM sig, LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+bover AS (SELECT band, sig FROM bands GROUP BY band, sig
+          HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
+bcap AS (SELECT b.* FROM bands b ANTI JOIN bover o
+         ON b.band = o.band AND b.sig = o.sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bcap l JOIN bcap r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.id_a
+  JOIN shh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
+
+    # The parameterized banding family (r12): lsh_verified_pairs at a
+    # NON-default (k=12, rows_per_band=3, b=4) against an oracle whose
+    # hash-family SQL is generated from the same parameters — driver-gates
+    # the (k, r) plumbing end-to-end (signature aggregate width, band
+    # grouping stride, guard, size-ratio prefilter, verify join), not just
+    # pytest-checks it. A family mismatch anywhere yields different band
+    # collisions and a value-hash mismatch.
+    add("dedup_lsh_params",
+        lambda spark, sf_dir: dedup.lsh_verified_pairs(
+            _docs(spark, sf_dir), k=12, rows_per_band=3, threshold=0.5
+        ),
+        _SHINGLE_HASH_CTE + f""",
+sig AS (SELECT doc_id, {_mh_sql(12)} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b.band, b.sig
+  FROM sig, LATERAL (VALUES {_band_values_sql(12, 3)}) AS b(band, sig)
 ),
 bover AS (SELECT band, sig FROM bands GROUP BY band, sig
           HAVING COUNT(*) > {dedup.MAX_BAND_BUCKET}),
@@ -5417,12 +5482,8 @@ FROM v, n""")
     # verified near-dup pairs straddle this split at sf0.01, so both the
     # rejected and admitted paths are driver-checked. The batch band table
     # broadcasts; the corpus side never reshuffles beyond its band groupBy.
-    _inc_mh = ", ".join(
-        f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(dedup.MINHASH_K)
-    )
-    _inc_bands = ", ".join(
-        f"({b}, mh{2 * b} || '|' || mh{2 * b + 1})" for b in range(dedup.MINHASH_K // 2)
-    )
+    _inc_mh = _mh_sql()
+    _inc_bands = _band_values_sql()
     _inc_cte = f"""
 WITH t AS (SELECT doc_id, (doc_id % 5 = 0) AS is_new,
                   string_split({_NORM_SQL}, ' ') AS toks FROM documents),

@@ -415,8 +415,8 @@ def streaming_dedup_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 8,
-    rows_per_band: int = 2,
+    k: int | None = None,
+    rows_per_band: int | None = None,
     max_ids_per_sig: int = 32,
 ) -> DataFrame:
     """Cross-batch near-duplicate candidates over a document stream.
@@ -432,7 +432,16 @@ def streaming_dedup_candidates(
 
     Output: (id_a, id_b, band) with id_a < id_b; pairs can repeat across
     bands/batches — dedupe downstream (e.g. in the sink or a batch pass).
+    ``k``/``rows_per_band`` default to the batch module's banding family
+    (``dedup.MINHASH_K``/``dedup.ROWS_PER_BAND``) so a stream and the
+    batch pass it backstops agree on which pairs can collide.
     """
+    from alphastats_spark.functions import dedup as _dedup
+
+    if k is None:
+        k = _dedup.MINHASH_K
+    if rows_per_band is None:
+        rows_per_band = _dedup.ROWS_PER_BAND
     banded = _stream_banded(df, id_col, text_col, k, rows_per_band).select(
         F.concat_ws("#", F.col("band").cast("string"), F.col("sig")).alias("__key"),
         F.col("band").alias("__band"),

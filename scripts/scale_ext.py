@@ -42,6 +42,20 @@ VOCAB = (
 ).split()
 
 
+def load_stamp() -> dict:
+    """1-minute load average + contended flag, captured at call time —
+    the same self-describing stamp bench.py emits. The committed
+    SCALE_r11 extensions block was contention-poisoned (ivfpq_topk
+    measured SLOWER at 1x than 10x under load_avg ≈ 4-11) and nothing in
+    the artifact said so; every timed block now carries its own stamp so
+    exponent claims can be rejected at read time instead of trusted."""
+    try:
+        la = round(os.getloadavg()[0], 2)
+    except OSError:
+        la = None
+    return {"load_avg": la, "contended": bool(la is not None and la > 2.0)}
+
+
 def synth_docs(spark, n_docs: int):
     from pyspark.sql import functions as F
 
@@ -340,6 +354,116 @@ def run_deep3_suite(spark, docs) -> dict[str, float]:
 DEEP3_PROBES = ("lsh_deduplicate", "containment_capped")
 
 
+#: Banding families for the --band-ab probe: the shipped pre-r12 default
+#: (k=8, r=2, b=4) against the two candidates the r11 verdict prescribed.
+#: r sets the per-band false-positive decay (a pair of Jaccard s collides
+#: with s^r), b = k/r buys recall back (hit >= 1 band: 1-(1-s^r)^b).
+BAND_AB_CONFIGS = ((8, 2), (24, 3), (16, 4))
+
+
+def run_band_ab(spark, sizes=(2_000_000, 5_000_000)) -> list[dict]:
+    """A/B the MinHash banding families on the deep probe corpora —
+    the r11 verdict's weak item: with (k=8, r=2) the sub-cap band
+    buckets fill as the corpus grows and post-guard candidates went
+    super-linear (exponent ~1.65 across 2M→5M) while verified pairs
+    stayed exactly linear, i.e. the excess was ALL false positives and
+    the verify join (the pipeline's dominant shuffle) paid for them.
+
+    Per (size, family): candidate count after the fused guard+size-ratio
+    prefilter, verified-pair count, and the candidate-generation /
+    verify-join walls. Recall is RELATIVE to the union of every family's
+    verified pairs at that size — each family's verification is exact
+    (J >= t on true shingle sets), so each verified set is a subset of
+    the truth and the union is the tightest available lower bound on it.
+    The per-size shingle table is computed once and shared across
+    families (persisted), so family walls exclude tokenization and are
+    directly comparable; each family pays its OWN signature aggregate
+    (k md5s per shingle row — the honest per-family hashing cost).
+    """
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.functions.text import hash_key60
+    from alphastats_spark.operators import ordered
+
+    results = []
+    for n_docs in sizes:
+        docs = synth_docs(spark, n_docs).persist()
+        docs.count()
+        point: dict = {"n_docs": n_docs, **load_stamp(), "families": {}}
+        with ordered.pass_cache_scope():
+            sh = ordered.persist_tracked(
+                dedup._exploded_shingles(docs, "doc_id", "text", 3)
+            )
+            point["n_shingle_rows"] = sh.count()
+            a = sh.select(
+                F.col("doc_id").alias("id_a"),
+                hash_key60(F.col("shingle")).alias("shingle"),
+            )
+            b = sh.select(
+                F.col("doc_id").alias("id_b"),
+                hash_key60(F.col("shingle")).alias("shingle"),
+            )
+            verified_frames = {}
+            for k, r in BAND_AB_CONFIGS:
+                fam = f"k{k}_r{r}_b{k // r}"
+                row: dict = {"k": k, "rows_per_band": r, "n_bands": k // r,
+                             **load_stamp()}
+                t0 = time.time()
+                sigs_sz = sh.groupBy("doc_id").agg(
+                    *dedup.minhash_signature_cols(k),
+                    F.count(F.lit(1)).alias("__nsh"),
+                )
+                cands = ordered.persist_tracked(
+                    dedup._candidates_from_sigs(
+                        sigs_sz, "doc_id", k, r,
+                        dedup.MAX_BAND_BUCKET,
+                        size_col="__nsh", size_ratio=0.5,
+                    ).select("id_a", "id_b", "size_a", "size_b")
+                )
+                row["n_candidates"] = cands.count()
+                row["t_candidates"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                common = (
+                    cands.select("id_a", "id_b")
+                    .join(a, "id_a")
+                    .join(b, ["id_b", "shingle"])
+                    .groupBy("id_a", "id_b")
+                    .agg(F.count(F.lit(1)).alias("common"))
+                )
+                ver = ordered.persist_tracked(
+                    common.join(cands, ["id_a", "id_b"])
+                    .where(
+                        F.round(
+                            F.col("common")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("common")),
+                            7,
+                        )
+                        >= 0.5
+                    )
+                    .select("id_a", "id_b")
+                )
+                row["n_verified"] = ver.count()
+                row["t_verify"] = round(time.time() - t0, 2)
+                verified_frames[fam] = ver
+                point["families"][fam] = row
+                print(f"  band_ab[{n_docs}] {fam}: {row}", flush=True)
+            union = verified_frames[next(iter(verified_frames))]
+            for fam, ver in list(verified_frames.items())[1:]:
+                union = union.unionByName(ver)
+            n_union = union.distinct().count()
+            point["n_verified_union"] = n_union
+            for fam, row in point["families"].items():
+                row["recall_vs_union"] = round(
+                    row["n_verified"] / n_union, 5
+                ) if n_union else None
+        docs.unpersist()
+        print(f"  band_ab[{n_docs}] union={n_union}", flush=True)
+        results.append(point)
+    return results
+
+
 def run_deep3_instrumented(spark, n_docs: int) -> dict:
     """Per-stage row counts + wall seconds for the composed LSH dedup
     pipeline at one corpus size — the diagnostic the r9 verdict asked for:
@@ -367,7 +491,7 @@ def run_deep3_instrumented(spark, n_docs: int) -> dict:
     from alphastats_spark.functions.text import hash_key60
     from alphastats_spark.operators import ordered
 
-    out: dict = {"n_docs": n_docs}
+    out: dict = {"n_docs": n_docs, **load_stamp()}
     docs = synth_docs(spark, n_docs).persist()
     try:
         docs.count()
@@ -425,7 +549,7 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
         # diagnostic-only pre-guard view of the band table: how many band
         # rows exist and how many sit in over-cap (boilerplate) buckets
         bands_raw = ordered.persist_tracked(
-            dedup._band_table(sigs, "doc_id", dedup.MINHASH_K, 2)
+            dedup._band_table(sigs, "doc_id", dedup.MINHASH_K, dedup.ROWS_PER_BAND)
         )
         stage("band_rows", bands_raw.count)
         hot = (
@@ -444,7 +568,7 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
         # band table probed on its own partitioning)
         cands = ordered.persist_tracked(
             dedup._candidates_from_sigs(
-                sigs, "doc_id", dedup.MINHASH_K, 2
+                sigs, "doc_id", dedup.MINHASH_K, dedup.ROWS_PER_BAND
             ).select("id_a", "id_b")
         )
         stage("candidate_pairs", cands.count)
@@ -466,7 +590,7 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
         )
         cands_sz = ordered.persist_tracked(
             dedup._candidates_from_sigs(
-                sigs_sz, "doc_id", dedup.MINHASH_K, 2,
+                sigs_sz, "doc_id", dedup.MINHASH_K, dedup.ROWS_PER_BAND,
                 size_col="__nsh", size_ratio=0.5,
             ).select("id_a", "id_b", "size_a", "size_b")
         )
@@ -524,13 +648,22 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
 def main() -> None:
     from alphastats_spark.session import build_session
 
+    # captured BEFORE the Spark session exists: the one stamp that can
+    # only reflect EXTERNAL contention. The per-block stamps taken mid-run
+    # additionally carry the probe's own decaying 1-minute load (a block
+    # that follows a heavy block reads high even on an idle box), so
+    # exponent accept/reject calls should key off this pre-session stamp
+    # and treat the per-block ones as ordering context.
+    pre_stamp = load_stamp()
+
     deep = "--deep" in sys.argv
     deep3 = "--deep3" in sys.argv  # implies --deep (needs the 100x point)
     stages = "--deep3-stages" in sys.argv  # standalone diagnostic mode
     deep4 = "--deep4" in sys.argv  # adds the 5M-doc fourth point (r10
     # verdict item 5); implies the stages diagnostic
+    band_ab = "--band-ab" in sys.argv  # r12: banding-family A/B at 2M/5M
     stages = stages or deep4
-    deep3 = deep3 or stages
+    deep3 = deep3 or stages or band_ab
     deep = deep or deep3
 
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
@@ -551,6 +684,11 @@ def main() -> None:
                         "2min" if deep else "30min"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if band_ab:
+        print(json.dumps({"banding_ab": run_band_ab(spark),
+                          "stamp_presession": pre_stamp}))
+        return
 
     if stages:
         # standalone diagnostic: per-stage counts/walls at three (four
@@ -576,6 +714,7 @@ def main() -> None:
                 if (k.startswith(("n_", "t_")) and k != "n_docs")
                 or k == "cluster_iterations"]
         result = {
+            "stamp_presession": pre_stamp,
             "deep3_stages": pts,
             "deep3_stage_exponents": {
                 k: [expn(k, pts[i], pts[i + 1]) for i in range(len(pts) - 1)]
@@ -586,8 +725,10 @@ def main() -> None:
         return
 
     # per-suite progress lines so a mid-run crash can't lose earlier suites
+    stamp_1x = load_stamp()
     r1 = run_suite(spark, synth_docs(spark, 5_000), synth_events(spark, 100_000, 150))
     print("1x:", json.dumps(r1), flush=True)
+    stamp_10x = load_stamp()
     r10 = run_suite(spark, synth_docs(spark, 50_000), synth_events(spark, 1_000_000, 1_500))
     print("10x:", json.dumps(r10), flush=True)
     a1 = run_ann_suite(spark, synth_embs(spark, 5_000))
@@ -599,8 +740,11 @@ def main() -> None:
     exponents = {
         k: round(math.log10(max(r10[k], 1e-3) / max(r1[k], 1e-3)), 2) for k in r1
     }
-    result = {"t_1x": r1, "t_10x": r10, "exponent": exponents}
+    result = {"t_1x": r1, "t_10x": r10, "exponent": exponents,
+              "stamp_presession": pre_stamp,
+              "stamp_1x": stamp_1x, "stamp_10x": stamp_10x}
     if deep:
+        result["stamp_100x"] = load_stamp()
         r100 = run_deep_suite(
             spark, synth_docs(spark, 500_000), synth_embs(spark, 500_000)
         )
@@ -612,6 +756,7 @@ def main() -> None:
         }
         if deep3:
             n3 = 2_000_000  # 5M exceeds the box's free disk; see docstring
+            result["stamp_deep3"] = load_stamp()
             r1000 = run_deep3_suite(spark, synth_docs(spark, n3))
             print("deep3:", json.dumps(r1000), flush=True)
             result["t_deep3"] = r1000

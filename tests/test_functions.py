@@ -2110,6 +2110,68 @@ def test_admit_band_bucket_cap(spark):
     assert run(dedup.MAX_BAND_BUCKET) == 12  # shipped default far above honest clusters
 
 
+def test_banding_parameterization(spark):
+    """(k, rows_per_band) threads end-to-end: a non-default family's
+    verified pairs are a SUBSET of the exact Jaccard pairs with identical
+    scores (verification is exact regardless of banding), deduplicate()
+    forwards the family, and _band_table fails loudly on a k that doesn't
+    divide into whole bands (silently dropping trailing hashes would make
+    writer and admitter disagree on which hashes are live)."""
+    import pytest
+
+    from alphastats_spark.functions import dedup
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta u{i % 4}") for i in range(8)]
+    rows += [(100 + i, f"totally unrelated text number {i} for padding") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for k, r in ((12, 3), (16, 4)):
+        got = {
+            (row["id_a"], row["id_b"]): row["jaccard"]
+            for row in dedup.lsh_verified_pairs(
+                docs, k=k, rows_per_band=r, threshold=0.5
+            ).collect()
+        }
+        assert got, f"({k},{r}) found no pairs on near-identical docs"
+        for pair, j in got.items():
+            assert exact[pair] == j, f"({k},{r}) jaccard mismatch on {pair}"
+
+    lin = dedup.deduplicate(docs, lineage=True, k=12, rows_per_band=3)
+    reasons = {r["reason"] for r in lin.collect()}
+    assert "near_dup_dropped" in reasons and "representative" in reasons
+
+    with pytest.raises(ValueError, match="multiple of rows_per_band"):
+        dedup._band_table(
+            dedup.minhash_signatures(docs, k=8), "doc_id", 8, 3
+        )
+
+
+def test_streaming_dedup_defaults_follow_module(spark, monkeypatch):
+    """streaming_dedup_candidates' k/rows_per_band default to the batch
+    module constants, so a default stream and the default batch pass
+    agree on which pairs can band-collide even after the defaults move."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.streaming import metrics as sm
+
+    seen = {}
+    real = sm._stream_banded
+
+    def spy(df, id_col, text_col, k, rows_per_band, n=3):
+        seen["k"], seen["r"] = k, rows_per_band
+        return real(df, id_col, text_col, k, rows_per_band, n)
+
+    monkeypatch.setattr(sm, "_stream_banded", spy)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    sm.streaming_dedup_candidates(df)
+    assert (seen["k"], seen["r"]) == (dedup.MINHASH_K, dedup.ROWS_PER_BAND)
+
+
 def test_knn_join_auto_planes(spark):
     """n_planes=None auto-sizes ∝ log₂(n/TARGET): the plane count grows
     with the corpus and the auto path returns exactly the explicit path's
