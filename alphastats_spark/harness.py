@@ -1486,11 +1486,51 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND11_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND11_WINDOW]
+    front = [n for n in _ROUND12_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND12_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND12_WINDOW = [
+    # Round 12 window (50 slots). Priority (a) repaired fails: none — r11
+    # was 50/50. Priority (b): the one query REGISTERED this round —
+    # dedup_lsh_params, the parameterized banding family at a non-default
+    # (k=12, rows_per_band=3) against a parameter-mirrored oracle (the
+    # r11 verdict item 6).
+    "dedup_lsh_params",
+    # Priority (c): machinery revised this round — the banding
+    # parameterization rewired every LSH entry point (module-constant
+    # defaults, _band_table divisibility validation, streaming default
+    # resolution, parameterized oracle SQL generators), so the index /
+    # admit / streaming-index / compaction family re-gates now. All are
+    # also r8-stale, so they double as rotation picks.
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_incremental_admit",
+    "dedup_index_admit", "dedup_index_compacted",
+    "dedup_streaming_index_candidates", "ann_knn_join", "ann_ivf_compacted",
+    # Priority (d): ALL 23 queries whose newest driver-green row is r7
+    # (the r11 verdict item 2's exact list) — after this window no
+    # registered query's newest green predates r8.
+    "best_month", "calendar_summary", "consecutive_losses",
+    "corpus_ngram_counts", "correlation", "cust_fuzzy_names", "doc_chunks",
+    "doc_redact_pii", "doc_score_percentiles", "doc_tfidf_topk",
+    "docs_orc_roundtrip", "expected_monthly", "monthly_returns",
+    "multi_asset_greeks_long", "multi_asset_sharpe",
+    "smart_adjusted_sortino", "smart_sharpe", "trailing_windows",
+    "treynor_ratio", "weekly_returns", "win_month", "win_quarter",
+    "worst_year",
+    # Priority (e): 18 rotation slots over the remaining r8-stale pool —
+    # decontamination/attribution/media/overlap first (r11 verdict's
+    # named picks), then pipeline/event/scalar fills. The 19 left out
+    # (calendar scalars and composition singles) front the r13 rotation.
+    "corpus_overlap_matrix", "doc_decontaminate", "doc_decontaminate_hashed",
+    "event_attribution", "event_attribution_first", "media_frames_real",
+    "corpus_pack_greedy", "corpus_source_stats", "doc_quality_filter",
+    "event_hourly_counts", "r_squared",
+    "sharpe", "sortino", "volatility", "cagr", "comp", "tail_ratio",
+    "win_rate",
+]
 
 
 _ROUND11_WINDOW = [
