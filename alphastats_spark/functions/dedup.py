@@ -508,8 +508,18 @@ def _candidates_from_sigs(
     if size_col is not None:
         la, rb = F.col(f"l.{size_col}"), F.col(f"r.{size_col}")
         if size_ratio:
+            # softened by the downstream rounding margin: the final filter
+            # admits pairs via round(jaccard, 7) >= t, i.e. true J down to
+            # t - 5e-8, while this bound works on the UNROUNDED ratio — a
+            # bare >= t prefilter could drop a pair whose J sits in
+            # [t - 5e-8, t) (reachable only at >~2e7 distinct shingles per
+            # doc, plus the fp-rounding corner when min == t * max
+            # exactly). Backing the bound off by 1e-7 makes the prefilter
+            # a strict superset of every pair the rounded threshold can
+            # admit, so "lossless by construction" holds exactly.
             cond = cond & (
-                F.least(la, rb) >= F.lit(float(size_ratio)) * F.greatest(la, rb)
+                F.least(la, rb)
+                >= F.lit(float(size_ratio) - 1e-7) * F.greatest(la, rb)
             )
         # sizes are functions of the ids — adding them to the grouping
         # keys carries them through without a second aggregate or join
@@ -745,6 +755,17 @@ def ngram_novelty(
     reference is small), and the per-doc rollup is one
     map-side-combinable groupBy. No driver-side state — the reference
     can be 100 TB.
+
+    Collision bias (one-sided): membership is tested on the 60-bit gram
+    hashes, so a genuinely novel gram that collides with ANY
+    reference-vocabulary hash is silently counted as seen — ``n_unseen``
+    (and therefore ``novelty``) is a slight UNDERestimate, never an
+    over-estimate. The effect is negligible while the reference's
+    distinct-gram vocabulary stays well under the ~2^30 birthday bound of
+    the 60-bit space (per-probe-gram false-seen probability ≈ |ref
+    vocabulary| / 2^60: one-in-a-million at a trillion-gram reference);
+    approaching 2^30 distinct reference grams, widen the hash rather
+    than trust small novelty scores.
     """
     left = _hashed_shingles(df, id_col, text_col, n)
     seen = (
@@ -922,6 +943,7 @@ def duplicate_clusters(
     b_col: str = "id_b",
     max_iters: int = 30,
     stats: dict | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
@@ -943,22 +965,43 @@ def duplicate_clusters(
     ``n_nodes`` and ``iterations`` (label-propagation rounds actually
     run). The edge/node counts read the frames the loop persists anyway;
     leaving ``stats=None`` (the default) adds no extra traversal.
+
+    Fault-tolerance trade (cluster runs): the default lineage truncation
+    is an eager ``localCheckpoint`` — its blocks are NON-replicated and
+    the lineage is gone, so losing an executor mid-propagation makes the
+    job unrecoverable (a persist could recompute; this cannot). Fine on
+    local[*] (no executor to lose) and for restartable batch jobs; for
+    long multi-tenant cluster runs pass ``reliable_checkpoint=True`` to
+    use a RELIABLE checkpoint instead — replicated to the directory set
+    via ``sparkContext.setCheckpointDir`` (Spark raises if unset),
+    surviving executor loss at the cost of one write+read of the edge
+    set. Either way the truncated frames are registered for explicit
+    release (``ordered.local_checkpoint_tracked`` /
+    ``ordered._PASS_CACHES``), so long-lived sessions reclaim the blocks
+    with ``release_pass_caches``/``pass_cache_scope`` rather than waiting
+    on driver GC.
     """
-    # EAGER localCheckpoint, not a bare persist: the loop below nests the
-    # edge frame's LOGICAL plan ~2^5 times between re-roots (each labels
-    # plan references edges and the previous labels), and a persist caches
-    # data but not the plan — with a deep upstream tree (the full LSH
-    # verify pipeline) Catalyst's per-iteration planning blows driver heap
-    # before the first re-root ever runs. The checkpoint truncates the
-    # lineage so every nested reference is a scan node; its storage is
-    # released when the RDD is GC'd (the deep probes force periodic GC;
-    # long-lived sessions get it from the ContextCleaner).
+    from alphastats_spark.operators import ordered as _ordered
+
+    # EAGER lineage truncation, not a bare persist: the loop below nests
+    # the edge frame's LOGICAL plan ~2^5 times between re-roots (each
+    # labels plan references edges and the previous labels), and a persist
+    # caches data but not the plan — with a deep upstream tree (the full
+    # LSH verify pipeline) Catalyst's per-iteration planning blows driver
+    # heap before the first re-root ever runs. The checkpoint truncates
+    # the lineage so every nested reference is a scan node. See the
+    # docstring for the localCheckpoint fault-tolerance caveat and the
+    # reliable_checkpoint alternative; both forms are tracked for
+    # explicit block release.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if reliable_checkpoint:
+        edges = edges.checkpoint(eager=True)
+    else:
+        edges = _ordered.local_checkpoint_tracked(edges, eager=True)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("id")).persist()
     if stats is not None:
@@ -987,7 +1030,12 @@ def duplicate_clusters(
             )
         )
         if it % 5 == 4:  # re-root lineage so plans stay bounded
-            new_labels = new_labels.localCheckpoint(eager=False)
+            if reliable_checkpoint:
+                new_labels = new_labels.checkpoint(eager=False)
+            else:
+                new_labels = _ordered.local_checkpoint_tracked(
+                    new_labels, eager=False
+                )
         new_labels = new_labels.persist()
         changed = new_labels.where(F.col("__chg")).limit(1).count()
         labels.unpersist()
@@ -1013,8 +1061,6 @@ def duplicate_clusters(
     # the returned frame stays cached (callers branch over it); register it
     # so release_pass_caches / pass_cache_scope can free it — a bare
     # persist() here leaked one labels frame per deduplicate() call
-    from alphastats_spark.operators import ordered as _ordered
-
     _ordered._PASS_CACHES.append(labels)
     return labels.select("id", "cluster_id")
 
@@ -1064,8 +1110,11 @@ def lsh_verified_pairs(
     # threshold could admit never reach the candidate groupBy, and the
     # per-shingle explode join below — the dominant shuffle of the whole
     # pipeline, volume Σ doc-size over surviving candidates — pays only
-    # for survivors. Lossless by construction; the DuckDB oracles need
-    # no mirror because the output set is unchanged.
+    # for survivors. Lossless by construction — the bound is backed off
+    # by the round(·, 7) admission margin (see _candidates_from_sigs), so
+    # the prefilter passes a strict superset of every pair the final
+    # rounded threshold can admit; the DuckDB oracles need no mirror
+    # because the output set is unchanged.
     sigs = sh.groupBy(id_col).agg(
         *minhash_signature_cols(k), F.count(F.lit(1)).alias("__nsh")
     )

@@ -48,7 +48,9 @@ _TEMPORAL_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
 # APIs intentionally do NOT auto-release: the cache must outlive the
 # caller's eventual action, and repeated identical queries legitimately
 # re-hit it via plan canonicalization.
-_PASS_CACHES: list[DataFrame] = []
+# DataFrames (persist_tracked) and _CheckpointHandle shims
+# (local_checkpoint_tracked) — release only ever calls .unpersist()
+_PASS_CACHES: list = []
 
 
 def _persist_pass(df: DataFrame) -> DataFrame:
@@ -107,6 +109,44 @@ def pass_cache_scope():
         yield
     finally:
         release_pass_caches(mark)
+
+
+class _CheckpointHandle:
+    """Release shim registered in ``_PASS_CACHES`` for a localCheckpointed
+    frame: ``DataFrame.unpersist()`` does NOT free localCheckpoint blocks
+    (they belong to the materialized RDD behind the plan's LogicalRDD
+    node, not to the SQL cache manager — verified empirically: storage
+    survives an unpersist and is reclaimed only when the RDD is GC'd), so
+    the registry releases them through the LogicalRDD's own RDD handle.
+    Best-effort: the py4j plan-shape poke must never break a release
+    sweep, and a frame whose blocks were already GC'd just no-ops."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False):
+        try:
+            self._df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+        except Exception:  # noqa: BLE001 — release is best-effort by contract
+            pass
+
+
+def local_checkpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` registered for explicit release.
+
+    localCheckpoint truncates lineage (the reason to use it: iterative
+    plans that would otherwise nest unboundedly) but its blocks are
+    non-replicated AND invisible to ``unpersist()`` — in a long-lived
+    session they linger until driver GC collects the RDD. Registering a
+    :class:`_CheckpointHandle` in the pass-cache registry makes
+    ``release_pass_caches`` / ``pass_cache_scope`` free them like any
+    other pass cache. Release only after every frame derived from the
+    checkpoint is fully materialized: the lineage is GONE, so a released
+    checkpoint fails loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) instead
+    of silently recomputing the way a released persist does."""
+    ck = df.localCheckpoint(eager=eager)
+    _PASS_CACHES.append(_CheckpointHandle(ck))
+    return ck
 
 
 def with_order(df: DataFrame, temporal_name: str | None) -> DataFrame:

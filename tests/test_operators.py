@@ -193,3 +193,52 @@ def test_pass_cache_scope_bounds_long_session(spark):
             registered_any = registered_any or ordered.pass_cache_mark() > base
         assert ordered.pass_cache_mark() == base, f"request {request} leaked"
     assert registered_any, "scope never saw a registered cache - test is vacuous"
+
+
+def test_local_checkpoint_tracked_releases_blocks(spark):
+    """localCheckpoint blocks are invisible to DataFrame.unpersist (they
+    belong to the RDD behind the LogicalRDD plan node, not the SQL cache
+    manager) and otherwise linger until driver GC — the tracked variant
+    registers a release shim in the pass-cache registry so
+    release_pass_caches/pass_cache_scope reclaims them deterministically.
+    Pins: blocks exist while the scope is open, storage is empty after."""
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.operators import ordered
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    with ordered.pass_cache_scope():
+        ck = ordered.local_checkpoint_tracked(
+            spark.range(10_000).select(F.col("id"), (F.col("id") * 2).alias("y"))
+        )
+        assert ck.count() == 10_000
+        assert n_cached() > base, "eager checkpoint left no cached blocks"
+    assert n_cached() == base, "scope exit did not free the checkpoint blocks"
+
+
+def test_duplicate_clusters_edges_released_by_scope(spark):
+    """duplicate_clusters' edge-frame lineage truncation is tracked: a
+    fully-materializing pass_cache_scope leaves zero cached RDDs behind
+    (the r11 ADVICE concern — block release used to depend on driver GC)."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.operators import ordered
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    base = len(sc._jsc.sc().getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    with ordered.pass_cache_scope():
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == base
