@@ -1169,6 +1169,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "source",
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """The end-to-end curation pipeline as ONE lazy plan: constraints →
     quality filter → URL dedup → exact dedup → fuzzy near-dup dedup →
@@ -1213,7 +1214,17 @@ def curate_corpus(
     parquet + ``spark.checkpoint()`` (reliable storage) between stages.
     Callers should still wrap full materialization in
     ``ordered.pass_cache_scope()`` to release the base cache and the
-    dedup stages' internal caches.
+    dedup stages' internal caches — the stage checkpoints register there
+    too (``ordered.local_checkpoint_tracked``), so their blocks are
+    reclaimed with the scope instead of waiting on driver GC.
+
+    ``stage_times`` (optional dict out-param) is the scale-probe hook
+    (same pattern as ``duplicate_clusters(stats=)``): each gating stage's
+    wall seconds — measured around its eager verdict checkpoint, i.e.
+    everything since the previous stage boundary — lands under its stage
+    name. The final split+pack stage is lazy (materializes with the
+    caller's action), so it has no entry; time the caller's action for
+    it. ``None`` (the default) adds no clock calls.
     """
     from alphastats_spark.functions import checks as checks_mod
     from alphastats_spark.functions import dedup as dedup_mod
@@ -1243,10 +1254,17 @@ def curate_corpus(
     def advance(verdict: DataFrame, stage: str) -> DataFrame:
         """Split (id, keep) into a drop record + the next survivor set.
 
-        The eager localCheckpoint truncates the stage's plan tree (see
-        the docstring) — both consumers below read the checkpointed RDD,
-        never the stage's lineage."""
-        verdict = verdict.localCheckpoint(eager=True)
+        The eager tracked localCheckpoint truncates the stage's plan tree
+        (see the docstring) — both consumers below read the checkpointed
+        RDD, never the stage's lineage."""
+        if stage_times is not None:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            verdict = ordered.local_checkpoint_tracked(verdict, eager=True)
+            stage_times[stage] = round(_time.perf_counter() - t0, 2)
+        else:
+            verdict = ordered.local_checkpoint_tracked(verdict, eager=True)
         drops.append(
             verdict.where(~F.col("__keep"))
             .select(F.col(id_col), F.lit(stage).alias("stage"))

@@ -464,6 +464,92 @@ def run_band_ab(spark, sizes=(2_000_000, 5_000_000)) -> list[dict]:
     return results
 
 
+def run_curation_probe(spark, sizes=(500_000, 1_000_000)) -> dict:
+    """Composition-scale probe for ``pipeline.curate_corpus`` (r11 verdict
+    item 5): the 9-stage pipeline is gated at sf0.01 and swept at sf0.1
+    but its eager per-stage verdict checkpoints and pass-cache discipline
+    had never been measured at probe scale. Runs the full composition at
+    two corpus sizes with per-stage wall attribution (the
+    ``stage_times`` out-param — each gating stage's wall is everything
+    since the previous stage's checkpoint), per-stage outcome counts from
+    the lineage output, free-disk snapshots, and a wall exponent across
+    the two points.
+
+    The benchmark side is a ~1/997 slice of the corpus re-keyed to fresh
+    ids, so the decontamination stage does real work (exact and near
+    matches exist by construction). The mix stage gets a token budget of
+    ~10 tokens/doc (~25% of the corpus's ~40 tokens/doc), so it also
+    genuinely drops documents.
+    """
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import pipeline
+    from alphastats_spark.operators import ordered
+
+    pts = []
+    for n_docs in sizes:
+        docs = synth_docs(spark, n_docs).persist()
+        docs.count()
+        bench = docs.where(F.col("doc_id") % 997 == 3).select(
+            (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
+            "text", "source",
+        )
+        point: dict = {"n_docs": n_docs, **load_stamp()}
+        point["disk_free_gb_start"] = round(
+            _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+        )
+        st: dict = {}
+        t0 = time.time()
+        with ordered.pass_cache_scope():
+            res = pipeline.curate_corpus(
+                docs, bench,
+                mix_weights={f"src{i}": 1.0 for i in range(20)},
+                token_budget=10 * n_docs,
+                stage_times=st,
+            )
+            point["stage_counts"] = {
+                r["stage"]: r["cnt"]
+                for r in res.groupBy("stage")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+        point["t_total"] = round(time.time() - t0, 2)
+        # the final split+pack stage is lazy — its wall is the total
+        # minus the checkpointed gating stages
+        point["stage_walls"] = st
+        point["t_split_pack_residual"] = round(
+            point["t_total"] - sum(st.values()), 2
+        )
+        point["disk_free_gb_end"] = round(
+            _sh.disk_usage(tempfile.gettempdir()).free / 1e9, 1
+        )
+        docs.unpersist()
+        print(f"  curation[{n_docs}]: {point}", flush=True)
+        pts.append(point)
+    expn = None
+    if len(pts) == 2 and pts[0]["t_total"] and pts[1]["t_total"]:
+        expn = round(
+            math.log(pts[1]["t_total"] / pts[0]["t_total"])
+            / math.log(pts[1]["n_docs"] / pts[0]["n_docs"]), 2
+        )
+    return {
+        "points": pts,
+        "wall_exponent": expn,
+        "stage_wall_exponents": {
+            k: round(
+                math.log(max(pts[1]["stage_walls"][k], 1e-3)
+                         / max(pts[0]["stage_walls"][k], 1e-3))
+                / math.log(pts[1]["n_docs"] / pts[0]["n_docs"]), 2
+            )
+            for k in pts[0].get("stage_walls", {})
+            if len(pts) == 2 and k in pts[1].get("stage_walls", {})
+        },
+    }
+
+
 def run_deep3_instrumented(spark, n_docs: int) -> dict:
     """Per-stage row counts + wall seconds for the composed LSH dedup
     pipeline at one corpus size — the diagnostic the r9 verdict asked for:
@@ -662,8 +748,9 @@ def main() -> None:
     deep4 = "--deep4" in sys.argv  # adds the 5M-doc fourth point (r10
     # verdict item 5); implies the stages diagnostic
     band_ab = "--band-ab" in sys.argv  # r12: banding-family A/B at 2M/5M
+    curation = "--curation" in sys.argv  # r12: curate_corpus probe 500k/1M
     stages = stages or deep4
-    deep3 = deep3 or stages or band_ab
+    deep3 = deep3 or stages or band_ab or curation
     deep = deep or deep3
 
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
@@ -687,6 +774,11 @@ def main() -> None:
 
     if band_ab:
         print(json.dumps({"banding_ab": run_band_ab(spark),
+                          "stamp_presession": pre_stamp}))
+        return
+
+    if curation:
+        print(json.dumps({"curation": run_curation_probe(spark),
                           "stamp_presession": pre_stamp}))
         return
 
