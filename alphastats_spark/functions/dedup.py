@@ -40,8 +40,24 @@ from alphastats_spark.functions.text import normalize
 #: buys the recall back. Every LSH entry point threads an explicit
 #: (k, rows_per_band) override; these module constants are only the
 #: defaults the DuckDB oracle mirrors also derive from.
-MINHASH_K = 8
-ROWS_PER_BAND = 2
+#:
+#: Sizing (round 12, measured — SCALE_r12.json:banding_ab, synthetic
+#: 2M/5M-doc corpora, threshold 0.5): the pre-r12 family (k=8, r=2, b=4)
+#: produced 6.0M post-guard candidates at 2M docs and 27.4M at 5M while
+#: verified pairs stayed linear — the excess was ALL false positives
+#: (r=2 collides an s≈0.3 boilerplate pair per band with s²≈0.09), and
+#: the verify join, the pipeline's dominant shuffle, paid for them.
+#: (24, 3, 8) cut candidates 3.6× (1.72M / 7.7M) while RAISING recall
+#: vs the cross-family verified union (0.9829/0.9824 vs 0.9754/0.9757 at
+#: 2M/5M — b=8's extra bands out-buy r=3's steeper per-band decay at
+#: J >= 0.5); the also-tested (16, 4, 4) lost 7-9 recall points. The
+#: remaining super-linear growth was the CAP's to fix, not the
+#: family's — see :data:`MAX_BAND_BUCKET`. Hashing cost is 3× md5s per
+#: shingle in the signature aggregate — measured as noise next to the
+#: verify-join savings from 2M docs up, and a small fixed regression at
+#: toy scale.
+MINHASH_K = 24
+ROWS_PER_BAND = 3
 SIMHASH_BITS = 32
 
 
@@ -380,11 +396,25 @@ def _band_table(
 #: exactly linearly, i.e. the excess candidates were all false
 #: positives. A/B at 2M synthetic docs: cap 1000 → 16.77M candidates /
 #: 427,452 verified / 291 s; cap 200 → 6.42M / 427,226 (−0.053%) /
-#: 166 s; cap 100 → 5.19M / 427,147 (−0.071%) / 147 s. 200 takes ~2×
-#: the wall off the deep-scale run for a 1-in-2000 verified-pair loss
-#: confined to boilerplate buckets; corpora where 200-member buckets
-#: are honest clusters should raise the knob per call.
-MAX_BAND_BUCKET = 200
+#: 166 s; cap 100 → 5.19M / 427,147 (−0.071%) / 147 s.
+#:
+#: Re-sized to 25 in round 12 with the (24, 3, 8) banding family
+#: (SCALE_r12.json:cap_sweep, 2M + 5M probe corpora): sub-cap buckets
+#: FILLING with corpus size is the one super-linear count in the whole
+#: pipeline, and the cap — not the banding family — is what flattens it.
+#: Measured 2M→5M post-guard candidate exponents: cap 200 → 1.64,
+#: cap 100 → 1.48, cap 50 → 1.24, cap 25 → 1.03 (0.99M → 2.54M
+#: candidates), at a verified-pair cost of 114 in 1.07M (−0.011%) vs
+#: cap 200 and recall 0.9824 vs the cross-family union — still above the
+#: old (8, 2, 4)/cap-200 default's 0.9757. The tighter cap is safe
+#: BECAUSE b=8: a true pair is lost only when EVERY band it collides in
+#: is over-cap, and honest near-dup clusters collide in several of the 8
+#: independent bands. Caveat unchanged in kind: a corpus whose honest
+#: near-identical clusters exceed ~25 members (mirror farms, mass
+#: templates) should raise the knob per call — and run exact dedup
+#: FIRST (as curate_corpus does), since an exact-copy cluster of D > cap
+#: members shares ALL its band buckets and would be dropped whole.
+MAX_BAND_BUCKET = 25
 
 
 def lsh_candidate_pairs(

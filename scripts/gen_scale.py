@@ -93,6 +93,21 @@ def main() -> None:
     stage_out = next(o for o in reversed(st) if "deep3_stages" in o)
     result["deep3_stages"] = stage_out["deep3_stages"]
     result["deep3_stage_exponents"] = stage_out["deep3_stage_exponents"]
+    result["stamp_deep3_stages"] = stage_out.get("stamp_presession")
+
+    # r12: the curate_corpus composition probe (500k/1M docs, per-stage
+    # walls) — r11 verdict item 5
+    if "--curation" in sys.argv:
+        cu = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--curation"]))
+        result["curation"] = next(o for o in reversed(cu) if "curation" in o)["curation"]
+
+    # r12: fold pre-computed banding A/B and cap-sweep artifacts (they run
+    # hours before the flip the rest of this artifact measures, so they
+    # are passed in as files rather than re-run on post-flip code)
+    for flag, key in (("--band-ab-file", "banding_ab"), ("--cap-sweep-file", "cap_sweep")):
+        if flag in sys.argv:
+            with open(sys.argv[sys.argv.index(flag) + 1]) as f:
+                result[key] = json.load(f)[key]
 
     path = f"{REPO}/SCALE_r{rnd:02d}.json"
     with open(path, "w") as f:

@@ -464,6 +464,119 @@ def run_band_ab(spark, sizes=(2_000_000, 5_000_000)) -> list[dict]:
     return results
 
 
+def run_cap_sweep(
+    spark, k: int = 24, r: int = 3,
+    caps=(200, 100, 50, 25),
+    sizes=(2_000_000, 5_000_000),
+) -> list[dict]:
+    """MAX_BAND_BUCKET sweep for one banding family — the r12 follow-up
+    to the family A/B: every family's post-guard candidate count grows at
+    exponent ~1.4-1.65 across 2M→5M because SUB-CAP buckets keep filling
+    as the corpus grows (a bucket of D docs contributes ~D²/2 pairs and D
+    grows with n until the cap truncates it), so the CAP — not the
+    family — is the knob that flattens the curve. Per (size, cap):
+    post-guard candidates, verified pairs, and walls; plus one band-
+    bucket-size histogram per size (pair volume by bucket-size decile)
+    so the chosen cap is justified by the measured distribution rather
+    than picked. Verified counts are monotone in the cap, so recall cost
+    of cap c is verified(c)/verified(max cap) — stitch against the
+    family A/B's union for the absolute number.
+    """
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.functions.text import hash_key60
+    from alphastats_spark.operators import ordered
+
+    results = []
+    for n_docs in sizes:
+        docs = synth_docs(spark, n_docs).persist()
+        docs.count()
+        point: dict = {"n_docs": n_docs, "k": k, "rows_per_band": r,
+                       **load_stamp(), "caps": {}}
+        with ordered.pass_cache_scope():
+            sh = ordered.persist_tracked(
+                dedup._exploded_shingles(docs, "doc_id", "text", 3)
+            )
+            sh.count()
+            a = sh.select(
+                F.col("doc_id").alias("id_a"),
+                hash_key60(F.col("shingle")).alias("shingle"),
+            )
+            b = sh.select(
+                F.col("doc_id").alias("id_b"),
+                hash_key60(F.col("shingle")).alias("shingle"),
+            )
+            sigs_sz = ordered.persist_tracked(
+                sh.groupBy("doc_id").agg(
+                    *dedup.minhash_signature_cols(k),
+                    F.count(F.lit(1)).alias("__nsh"),
+                )
+            )
+            sigs_sz.count()
+            # bucket-size histogram: pair volume D*(D-1)/2 by bucket size,
+            # log2-binned — the evidence for where the cap should sit
+            bt = dedup._band_table(sigs_sz, "doc_id", k, r)
+            hist = (
+                bt.groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("D"))
+                .select(
+                    F.floor(F.log2("D")).cast("int").alias("size_bin"),
+                    F.col("D"),
+                )
+                .groupBy("size_bin")
+                .agg(
+                    F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum(F.col("D") * (F.col("D") - 1) / 2).cast("bigint")
+                    .alias("pair_volume"),
+                )
+                .orderBy("size_bin")
+                .collect()
+            )
+            point["bucket_histogram"] = [
+                {"min_size": int(2 ** row["size_bin"]),
+                 "n_buckets": int(row["n_buckets"]),
+                 "pair_volume": int(row["pair_volume"])}
+                for row in hist
+            ]
+            for cap in caps:
+                row: dict = {**load_stamp()}
+                t0 = time.time()
+                cands = ordered.persist_tracked(
+                    dedup._candidates_from_sigs(
+                        sigs_sz, "doc_id", k, r, cap,
+                        size_col="__nsh", size_ratio=0.5,
+                    ).select("id_a", "id_b", "size_a", "size_b")
+                )
+                row["n_candidates"] = cands.count()
+                row["t_candidates"] = round(time.time() - t0, 2)
+                t0 = time.time()
+                common = (
+                    cands.select("id_a", "id_b")
+                    .join(a, "id_a")
+                    .join(b, ["id_b", "shingle"])
+                    .groupBy("id_a", "id_b")
+                    .agg(F.count(F.lit(1)).alias("common"))
+                )
+                ver = (
+                    common.join(cands, ["id_a", "id_b"])
+                    .where(
+                        F.round(
+                            F.col("common")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("common")), 7,
+                        ) >= 0.5
+                    )
+                )
+                row["n_verified"] = ver.count()
+                row["t_verify"] = round(time.time() - t0, 2)
+                point["caps"][str(cap)] = row
+                print(f"  cap_sweep[{n_docs}] cap={cap}: {row}", flush=True)
+        docs.unpersist()
+        results.append(point)
+    return results
+
+
 def run_curation_probe(spark, sizes=(500_000, 1_000_000)) -> dict:
     """Composition-scale probe for ``pipeline.curate_corpus`` (r11 verdict
     item 5): the 9-stage pipeline is gated at sf0.01 and swept at sf0.1
@@ -748,9 +861,10 @@ def main() -> None:
     deep4 = "--deep4" in sys.argv  # adds the 5M-doc fourth point (r10
     # verdict item 5); implies the stages diagnostic
     band_ab = "--band-ab" in sys.argv  # r12: banding-family A/B at 2M/5M
+    cap_sweep = "--cap-sweep" in sys.argv  # r12: MAX_BAND_BUCKET sweep
     curation = "--curation" in sys.argv  # r12: curate_corpus probe 500k/1M
     stages = stages or deep4
-    deep3 = deep3 or stages or band_ab or curation
+    deep3 = deep3 or stages or band_ab or curation or cap_sweep
     deep = deep or deep3
 
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
@@ -774,6 +888,11 @@ def main() -> None:
 
     if band_ab:
         print(json.dumps({"banding_ab": run_band_ab(spark),
+                          "stamp_presession": pre_stamp}))
+        return
+
+    if cap_sweep:
+        print(json.dumps({"cap_sweep": run_cap_sweep(spark),
                           "stamp_presession": pre_stamp}))
         return
 

@@ -698,10 +698,12 @@ def test_lsh_band_join_skew_split(spark):
         unsplit = len(dedup.lsh_candidate_pairs(docs, max_band_bucket=None).collect())
         assert got == unsplit
 
-        # guarded default: the 150-doc hot bucket is under MAX_BAND_BUCKET,
-        # so the pair set is identical — through the fused window guard
-        # (one pass, no second count traversal, no broadcast anti-probe)
-        guarded = dedup.lsh_candidate_pairs(docs)
+        # guarded with an above-bucket cap (the 150-doc hot bucket is
+        # under 200): the pair set is identical — through the fused window
+        # guard (one pass, no second count traversal, no broadcast
+        # anti-probe). Explicit cap: the shipped default (25, sized by the
+        # r12 cap sweep) would legitimately drop this engineered bucket.
+        guarded = dedup.lsh_candidate_pairs(docs, max_band_bucket=200)
         assert len(guarded.collect()) == got
         gplan = guarded._jdf.queryExecution().executedPlan().toString()
         assert "windowspecdefinition(band" in gplan, gplan[:4000]
@@ -825,7 +827,9 @@ def test_compact_dedup_index(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect())) == b_bands
     assert sorted(map(tuple, spark.read.parquet(f"{path}/shingles").collect())) == b_sh
     meta = dedup.read_index_meta(spark, path)
-    assert (meta.k, meta.rows_per_band, meta.n) == (8, 2, 3)
+    assert (meta.k, meta.rows_per_band, meta.n) == (
+        dedup.MINHASH_K, dedup.ROWS_PER_BAND, 3
+    )
     after_admit = sorted(map(tuple, dedup.admit_against_index(batch, path).collect()))
     assert after_admit == before_admit
 
