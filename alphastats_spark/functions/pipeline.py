@@ -1220,11 +1220,14 @@ def curate_corpus(
 
     ``stage_times`` (optional dict out-param) is the scale-probe hook
     (same pattern as ``duplicate_clusters(stats=)``): each gating stage's
-    wall seconds — measured around its eager verdict checkpoint, i.e.
-    everything since the previous stage boundary — lands under its stage
-    name. The final split+pack stage is lazy (materializes with the
-    caller's action), so it has no entry; time the caller's action for
-    it. ``None`` (the default) adds no clock calls.
+    wall seconds — everything between the previous stage's eager verdict
+    checkpoint and this one's, so eager sub-actions inside a stage's
+    construction (``deduplicate``'s label-propagation loop, the
+    decontamination band builds) are attributed to THEIR stage, not
+    smeared into the caller's final action. The final split+pack stage is
+    lazy (materializes with the caller's action), so it has no entry;
+    time the caller's action for it. ``None`` (the default) adds no
+    clock calls.
     """
     from alphastats_spark.functions import checks as checks_mod
     from alphastats_spark.functions import dedup as dedup_mod
@@ -1251,20 +1254,22 @@ def curate_corpus(
     drops: list[DataFrame] = []
     alive = base.select(id_col)
 
+    if stage_times is not None:
+        import time as _time
+
+        _stage_t0 = [_time.perf_counter()]
+
     def advance(verdict: DataFrame, stage: str) -> DataFrame:
         """Split (id, keep) into a drop record + the next survivor set.
 
         The eager tracked localCheckpoint truncates the stage's plan tree
         (see the docstring) — both consumers below read the checkpointed
         RDD, never the stage's lineage."""
+        verdict = ordered.local_checkpoint_tracked(verdict, eager=True)
         if stage_times is not None:
-            import time as _time
-
-            t0 = _time.perf_counter()
-            verdict = ordered.local_checkpoint_tracked(verdict, eager=True)
-            stage_times[stage] = round(_time.perf_counter() - t0, 2)
-        else:
-            verdict = ordered.local_checkpoint_tracked(verdict, eager=True)
+            now = _time.perf_counter()
+            stage_times[stage] = round(now - _stage_t0[0], 2)
+            _stage_t0[0] = now
         drops.append(
             verdict.where(~F.col("__keep"))
             .select(F.col(id_col), F.lit(stage).alias("stage"))
