@@ -1495,11 +1495,13 @@ SELECT Metric, Strategy FROM (
 
 _ROUND12_WINDOW = [
     # Round 12 window (50 slots). Priority (a) repaired fails: none — r11
-    # was 50/50. Priority (b): the one query REGISTERED this round —
-    # dedup_lsh_params, the parameterized banding family at a non-default
-    # (k=12, rows_per_band=3) against a parameter-mirrored oracle (the
-    # r11 verdict item 6).
-    "dedup_lsh_params",
+    # was 50/50. Priority (b): the two queries REGISTERED this round —
+    # dedup_lsh_params (the parameterized banding family at a non-default
+    # (k=12, rows_per_band=3) against a parameter-mirrored oracle, the
+    # r11 verdict item 6) and dedup_banding_recommend (the threshold →
+    # family advisor vs an independent DuckDB formulation). win_rate
+    # (an (e) scalar fill, r8-green) yields its slot to stay at 50.
+    "dedup_lsh_params", "dedup_banding_recommend",
     # Priority (c): machinery revised this round — the banding
     # parameterization rewired every LSH entry point (module-constant
     # defaults, _band_table divisibility validation, streaming default
@@ -1529,7 +1531,6 @@ _ROUND12_WINDOW = [
     "corpus_pack_greedy", "corpus_source_stats", "doc_quality_filter",
     "event_hourly_counts", "r_squared",
     "sharpe", "sortino", "volatility", "cagr", "comp", "tail_ratio",
-    "win_rate",
 ]
 
 
@@ -3397,6 +3398,36 @@ FROM common
 JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
+
+    # Banding-family advisor (r12): the threshold -> (k, r, b) selection
+    # rule as a Spark plan (sequence explode + row_number window) vs an
+    # independent DuckDB formulation (generate_series + QUALIFY-style
+    # CTE). Cross-engine float noise is excluded by both sides rounding
+    # the hit probability to 7dp BEFORE the eligibility compare.
+    add("dedup_banding_recommend",
+        lambda spark, sf_dir: dedup.recommend_banding(
+            spark, [0.3, 0.5, 0.7, 0.9], k_budget=24, min_hit_prob=0.95
+        ),
+        f"""
+WITH th(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9)),
+cand AS (
+  SELECT th.threshold, r.r, CAST(24 / r.r AS INT) AS b
+  FROM th, generate_series(1, 24) AS r(r)
+),
+scored AS (
+  SELECT threshold, r, b,
+         ROUND(1.0 - POW(1.0 - POW((1.0 + threshold) / 2.0, r), b), {ROUND})
+           AS hit_prob
+  FROM cand WHERE b >= 1
+),
+best AS (
+  SELECT threshold, r, b, hit_prob,
+         ROW_NUMBER() OVER (PARTITION BY threshold ORDER BY r DESC) AS rn
+  FROM scored WHERE hit_prob >= 0.95
+)
+SELECT threshold, CAST(r * b AS INT) AS k, CAST(r AS INT) AS rows_per_band,
+       CAST(b AS INT) AS n_bands, hit_prob
+FROM best WHERE rn = 1""")
 
     # The parameterized banding family (r12): lsh_verified_pairs at a
     # NON-default (k=12, rows_per_band=3, b=4) against an oracle whose

@@ -2150,6 +2150,27 @@ def test_banding_parameterization(spark):
         )
 
 
+def test_recommend_banding(spark):
+    """The advisor returns the measured round-12 default at t=0.5, picks
+    a steeper family as the threshold tightens (r monotone in t), always
+    returns a row (r=1 qualifies as b -> budget), and every returned
+    family satisfies its own eligibility rule."""
+    from alphastats_spark.functions import dedup
+
+    rows = {
+        r["threshold"]: r
+        for r in dedup.recommend_banding(spark, [0.3, 0.5, 0.7, 0.9]).collect()
+    }
+    assert (rows[0.5]["k"], rows[0.5]["rows_per_band"], rows[0.5]["n_bands"]) == (24, 3, 8)
+    rs = [rows[t]["rows_per_band"] for t in (0.3, 0.5, 0.7, 0.9)]
+    assert rs == sorted(rs) and rs[0] < rs[-1], rs
+    for t, r in rows.items():
+        s_mid = (1 + t) / 2
+        p = 1 - (1 - s_mid ** r["rows_per_band"]) ** r["n_bands"]
+        assert round(p, 7) >= 0.95 and r["k"] == r["rows_per_band"] * r["n_bands"]
+        assert abs(round(p, 7) - r["hit_prob"]) < 1e-9
+
+
 def test_streaming_dedup_defaults_follow_module(spark, monkeypatch):
     """streaming_dedup_candidates' k/rows_per_band default to the batch
     module constants, so a default stream and the default batch pass
