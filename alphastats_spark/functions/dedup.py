@@ -52,13 +52,63 @@ from alphastats_spark.functions.text import normalize
 #: 2M/5M — b=8's extra bands out-buy r=3's steeper per-band decay at
 #: J >= 0.5); the also-tested (16, 4, 4) lost 7-9 recall points. The
 #: remaining super-linear growth was the CAP's to fix, not the
-#: family's — see :data:`MAX_BAND_BUCKET`. Hashing cost is 3× md5s per
-#: shingle in the signature aggregate — measured as noise next to the
-#: verify-join savings from 2M docs up, and a small fixed regression at
-#: toy scale.
+#: family's — see :data:`MAX_BAND_BUCKET`. Per-shingle hashing cost is
+#: ONE md5 regardless of k since round 13 — see :data:`SIG_FAMILY`.
 MINHASH_K = 24
 ROWS_PER_BAND = 3
 SIMHASH_BITS = 32
+
+#: Modulus of the affine (universal-hash) MinHash family: the Mersenne
+#: prime 2^31 - 1. Chosen so ``a * h + b`` never overflows a signed
+#: 64-bit integer on EITHER engine — ``a, b, h < p`` bounds the product
+#: at (p-1)^2 ≈ 4.6e18 < 2^63-1 ≈ 9.2e18 — which matters because Spark
+#: (non-ANSI) silently wraps a long overflow while DuckDB raises, so any
+#: family that relied on wraparound could never have an exact oracle.
+#: Same prime Spark MLlib's MinHashLSH uses (mllib MinHashLSH.HASH_PRIME).
+MINHASH_PRIME = 2_147_483_647
+
+#: MinHash signature hash family identifier, recorded in every dedup
+#: index's ``<path>/meta`` so readers hash new batches with the family
+#: the stored bands were built with (a family mismatch yields ZERO band
+#: collisions, i.e. every near-duplicate silently admitted).
+#:
+#: ``"affine31"`` (default, round 13): one 60-bit md5 per shingle
+#: reduced mod :data:`MINHASH_PRIME`, then ``mh_j = (a_j*h + b_j) % p``
+#: per hash function — k plain integer ops instead of the legacy
+#: family's k FULL md5 digests per shingle occurrence. At 100 TB the
+#: signature aggregate's per-row cost is the dominant scan-side work of
+#: the dedup pipeline, so this is a ~k× cut of that stage; the min-wise
+#: property is the standard universal-hashing MinHash construction
+#: (Broder 1997; same shape as Spark MLlib's MinHashLSH). DuckDB oracles
+#: mirror the exact 64-bit arithmetic, so cross-engine parity is by
+#: construction.
+#:
+#: ``"md5"``: the pre-r13 family (``min(md5('seed{j}:' || shingle))``
+#: per j) — kept so indexes written before ``sig_family`` metadata
+#: existed keep admitting correctly against their stored bands.
+SIG_FAMILY = "affine31"
+
+
+def _affine_coeffs(k: int) -> tuple:
+    """Deterministic ``(a_j, b_j)`` coefficients of the affine family,
+    ``a_j ∈ [1, p)``, ``b_j ∈ [0, p)`` — seeded so the Spark expressions
+    and the DuckDB oracle SQL (harness ``_mh_sql`` embeds these same
+    values as literals) derive from one source. Module-level cache: the
+    list is rebuilt per (k) only once per process."""
+    import random
+
+    cached = _AFFINE_CACHE.get(k)
+    if cached is None:
+        rng = random.Random(0x5EED_1DEA)
+        cached = tuple(
+            (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+            for _ in range(k)
+        )
+        _AFFINE_CACHE[k] = cached
+    return cached
+
+
+_AFFINE_CACHE: dict = {}
 
 
 def _grams_over(toks: Column, n: int) -> Column:
@@ -260,8 +310,16 @@ def recommend_banding(
     pick the LARGEST r whose hit probability at s* is ≥
     ``min_hit_prob`` — larger r means steeper false-positive decay
     (per-band collision s^r), so the largest admissible r minimizes
-    candidate volume at equal catch confidence. r = 1 always qualifies
-    as b → k_budget, so a row is returned for every threshold.
+    candidate volume at equal catch confidence.
+
+    A threshold with NO qualifying family is omitted from the output:
+    r = 1 (hit probability ``1-(1-s*)^k_budget``) is the easiest family
+    to satisfy, but at small budgets even it can miss ``min_hit_prob``
+    (e.g. budget 4, t → 0: 1-(0.5)^4 = 0.9375 < 0.95). Callers sizing
+    tiny families should check every requested threshold came back and
+    either lower ``min_hit_prob`` or raise ``k_budget`` for the missing
+    ones — silently banding with an under-powered family is a recall
+    hole, not a default this advisor will pick.
 
     Output: one row per threshold —
     ``(threshold, k, rows_per_band, n_bands, hit_prob)`` with
@@ -308,12 +366,76 @@ def recommend_banding(
     )
 
 
-def minhash_signature_cols(k: int = MINHASH_K) -> list:
-    """K min-hash expressions over an exploded ``shingle`` column."""
+def minhash_base_hash(col: Column) -> Column:
+    """The ONE per-shingle digest of the affine family: the canonical
+    60-bit md5 key (:func:`~alphastats_spark.functions.text.hash_key60`)
+    reduced mod :data:`MINHASH_PRIME`. Oracle mirror:
+    ``CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647``."""
+    from alphastats_spark.functions.text import hash_key60
+
+    return hash_key60(col) % F.lit(MINHASH_PRIME)
+
+
+def minhash_signature_cols(
+    k: int = MINHASH_K,
+    family: str = SIG_FAMILY,
+    src: str = "shingle",
+    prehashed: bool = False,
+) -> list:
+    """K min-hash aggregate expressions over an exploded shingle column.
+
+    ``family="affine31"`` (default): ``mh_j = min((a_j*h + b_j) % p)``
+    over the document's shingles, with ``h`` the one-md5 base hash — see
+    :data:`SIG_FAMILY` for the cost/portability reasoning. Prefer
+    :func:`_sigs_over_shingles`, which projects ``h`` once below the
+    aggregate so the single-digest guarantee is structural rather than
+    left to codegen subexpression elimination; ``prehashed=True`` says
+    ``src`` already holds the reduced base hash.
+
+    ``family="md5"``: the legacy k-independent-digests family, kept for
+    dedup indexes written before ``sig_family`` metadata existed.
+    """
+    col = F.col(src)
+    if family == "md5":
+        return [
+            F.min(F.md5(F.concat(F.lit(f"seed{j}:"), col))).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    if family != "affine31":
+        raise ValueError(f"unknown MinHash signature family {family!r}")
+    h = col if prehashed else minhash_base_hash(col)
+    p = F.lit(MINHASH_PRIME)
     return [
-        F.min(F.md5(F.concat(F.lit(f"seed{j}:"), F.col("shingle")))).alias(f"mh{j}")
-        for j in range(k)
+        F.min((F.lit(a) * h + F.lit(b)) % p).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_affine_coeffs(k))
     ]
+
+
+def _sigs_over_shingles(
+    sh: DataFrame,
+    id_col: str,
+    k: int,
+    family: str = SIG_FAMILY,
+    extra_aggs: tuple = (),
+) -> DataFrame:
+    """``sh.groupBy(id).agg(*signature cols, *extra_aggs)`` with the
+    affine family's base hash projected ONCE below the aggregate — the
+    structural guarantee that each (id, shingle) row pays exactly one md5
+    however large k is (inlining the digest into each of the k min()
+    inputs would leave de-duplication to codegen subexpression
+    elimination, which aggregate inputs don't reliably get).
+    ``extra_aggs`` ride the same shuffle (row counts etc.)."""
+    if family == "md5":
+        return sh.groupBy(id_col).agg(
+            *minhash_signature_cols(k, family), *extra_aggs
+        )
+    hashed = sh.select(
+        F.col(id_col), minhash_base_hash(F.col("shingle")).alias("__h")
+    )
+    return hashed.groupBy(id_col).agg(
+        *minhash_signature_cols(k, family, src="__h", prehashed=True),
+        *extra_aggs,
+    )
 
 
 def _exploded_shingles(
@@ -391,7 +513,7 @@ def minhash_signatures(
     faster plan at every scale tested.
     """
     exploded = _exploded_shingles(df, id_col, text_col)
-    return exploded.groupBy(id_col).agg(*minhash_signature_cols(k))
+    return _sigs_over_shingles(exploded, id_col, k)
 
 
 def _band_table(
@@ -1073,11 +1195,15 @@ def duplicate_clusters(
     use a RELIABLE checkpoint instead — replicated to the directory set
     via ``sparkContext.setCheckpointDir`` (Spark raises if unset),
     surviving executor loss at the cost of one write+read of the edge
-    set. Either way the truncated frames are registered for explicit
-    release (``ordered.local_checkpoint_tracked`` /
-    ``ordered._PASS_CACHES``), so long-lived sessions reclaim the blocks
-    with ``release_pass_caches``/``pass_cache_scope`` rather than waiting
-    on driver GC.
+    set. On the default localCheckpoint path the truncated frames are
+    registered for explicit release (``ordered.local_checkpoint_tracked``),
+    so long-lived sessions reclaim the blocks with
+    ``release_pass_caches``/``pass_cache_scope`` rather than waiting on
+    driver GC; the ``reliable_checkpoint=True`` path instead calls
+    ``DataFrame.checkpoint`` directly — nothing is registered, and the
+    checkpoint FILES persist in the checkpoint directory until
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` (or an external
+    sweep) removes them.
     """
     from alphastats_spark.operators import ordered as _ordered
 
@@ -1213,8 +1339,8 @@ def lsh_verified_pairs(
     # the prefilter passes a strict superset of every pair the final
     # rounded threshold can admit; the DuckDB oracles need no mirror
     # because the output set is unchanged.
-    sigs = sh.groupBy(id_col).agg(
-        *minhash_signature_cols(k), F.count(F.lit(1)).alias("__nsh")
+    sigs = _sigs_over_shingles(
+        sh, id_col, k, extra_aggs=(F.count(F.lit(1)).alias("__nsh"),)
     )
     # persisted: the explode join consumes the id pairs and the jaccard
     # projection re-joins the sizes — without the persist that second
@@ -1274,9 +1400,11 @@ def deduplicate(
     via a LEFT ANTI join (representative = min id per cluster). Output is
     the input frame minus dropped rows — schema unchanged, no payload
     columns ever shuffled except by the anti-join key. ``max_band_bucket``
-    threads to the candidate guard (:data:`MAX_BAND_BUCKET`) — raise it
-    per call for corpora where 200-member band buckets are honest
-    clusters, ``None`` for the exact unguarded join. ``k``/
+    threads to the candidate guard (default :data:`MAX_BAND_BUCKET`) —
+    raise it per call for corpora whose honest near-identical clusters
+    exceed that cap (mirror farms, mass templates; see the
+    :data:`MAX_BAND_BUCKET` caveat about running exact dedup first),
+    ``None`` for the exact unguarded join. ``k``/
     ``rows_per_band`` thread to the MinHash banding family (see
     :data:`MINHASH_K`/:data:`ROWS_PER_BAND` for the collision-probability
     trade and the README's threshold → (k, r, b) table).
@@ -1480,10 +1608,10 @@ def incremental_near_dups(
     # no parquet scan whose pruning a persist could break, so persist both
     # rather than re-running the signature groupBys per consumer
     bn = ordered.persist_tracked(_band_table(
-        sh_n.groupBy("new_id").agg(*minhash_signature_cols(k)), "new_id", k, rows_per_band
+        _sigs_over_shingles(sh_n, "new_id", k), "new_id", k, rows_per_band
     ))
     bo = ordered.persist_tracked(_band_table(
-        sh_o.groupBy("match_id").agg(*minhash_signature_cols(k)), "match_id", k, rows_per_band
+        _sigs_over_shingles(sh_o, "match_id", k), "match_id", k, rows_per_band
     ))
     return _verified_matches(bn, bo, sh_n, sh_o, threshold)
 
@@ -1785,26 +1913,31 @@ def write_dedup_index(
     re-hashing the corpus — the production shape where the corpus is
     billions of documents and ingest cost must be O(batch).
 
-    ``<path>/meta`` records the hash parameters (k, rows_per_band, n) the
-    index was built with: an admit pass hashed with DIFFERENT parameters
-    produces zero band collisions and silently admits every near-duplicate,
-    so the readers (:func:`admit_against_index`,
+    ``<path>/meta`` records the hash parameters (k, rows_per_band, n,
+    sig_family) the index was built with: an admit pass hashed with
+    DIFFERENT parameters produces zero band collisions and silently
+    admits every near-duplicate, so the readers
+    (:func:`admit_against_index`,
     :func:`alphastats_spark.streaming.streaming_index_candidates`) load
     these as defaults and fail loudly on an explicit mismatch. Written as
     a single-row Spark JSON table, so the index stays portable to any
     Hadoop-compatible filesystem (no driver-local ``open()``)."""
     from alphastats_spark.operators import ordered
 
+    family = SIG_FAMILY
     # an APPEND into an existing index must hash with the index's own
     # parameters: band rows hashed with different (k, rows_per_band, n)
-    # never collide with the stored corpus's rows, so every near-dup of
-    # the original corpus would be silently admitted — and because meta
-    # is rewritten below, the mismatch would also be invisible to the
-    # readers' FAILFAST checks. Raise at write time instead.
+    # — or a different signature FAMILY (the r13 md5 → affine31 default
+    # flip makes this a live hazard for pre-r13 indexes) — never collide
+    # with the stored corpus's rows, so every near-dup of the original
+    # corpus would be silently admitted; and because meta is rewritten
+    # below, the mismatch would also be invisible to the readers'
+    # FAILFAST checks. Raise at write time instead, and inherit the
+    # STORED family so appends into an md5-era index keep its family.
     if mode == "append":
         existing = read_index_meta(corpus_df.sparkSession, path)
         if existing is not None:
-            _resolve_index_params(existing, k, rows_per_band, n)
+            _, _, _, family = _resolve_index_params(existing, k, rows_per_band, n)
         else:
             # a band table with NO meta is a pre-metadata (legacy) index:
             # its rows may be hashed with ANY parameters, and stamping
@@ -1834,7 +1967,7 @@ def write_dedup_index(
             _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
         )
         bands = _band_table(
-            sh.groupBy("match_id").agg(*minhash_signature_cols(k)),
+            _sigs_over_shingles(sh, "match_id", k, family),
             "match_id", k, rows_per_band,
         )
         bands.write.partitionBy("band").mode(mode).parquet(f"{path}/bands")
@@ -1846,19 +1979,23 @@ def write_dedup_index(
         # every near-duplicate (the reader also fails loudly on multi-row
         # meta, so a pre-fix index raises instead of guessing)
         corpus_df.sparkSession.createDataFrame(
-            [(int(k), int(rows_per_band), int(n), 1)],
-            "k int, rows_per_band int, n int, version int",
+            [(int(k), int(rows_per_band), int(n), 2, family)],
+            "k int, rows_per_band int, n int, version int, sig_family string",
         ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
 def read_index_meta(spark, path: str):
-    """The ``(k, rows_per_band, n)`` parameters stored by
+    """The ``(k, rows_per_band, n, sig_family)`` parameters stored by
     :func:`write_dedup_index`, or None for a PRE-METADATA index (no
-    ``<path>/meta`` directory). Only the missing-path case maps to None:
-    any other read failure (transient filesystem error, permission
-    denial, corrupt JSON) re-raises — treating it as "no metadata" would
-    silently fall back to default hash parameters, i.e. zero band
-    collisions and every near-duplicate admitted."""
+    ``<path>/meta`` directory). A meta row WITHOUT ``sig_family`` (any
+    index written before round 13) reads it as null, which
+    :func:`_resolve_index_params` resolves to the legacy ``"md5"``
+    family — the only family that existed when such meta was written.
+    Only the missing-path case maps to None: any other read failure
+    (transient filesystem error, permission denial, corrupt JSON)
+    re-raises — treating it as "no metadata" would silently fall back to
+    default hash parameters, i.e. zero band collisions and every
+    near-duplicate admitted."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -1869,7 +2006,8 @@ def read_index_meta(spark, path: str):
         # metadata exists to close
         row = (
             spark.read.option("mode", "FAILFAST")
-            .schema("k int, rows_per_band int, n int, version int")
+            .schema("k int, rows_per_band int, n int, version int, "
+                    "sig_family string")
             .json(f"{path}/meta")
             .collect()
         )
@@ -1928,11 +2066,41 @@ def compact_dedup_index(
     }
 
 
-def _resolve_index_params(meta, k, rows_per_band, n):
-    """Fill None parameters from index metadata (module defaults when the
-    index predates metadata); raise on an explicit value that contradicts
-    what the index was built with — a silent mismatch yields zero band
-    collisions, i.e. every near-duplicate admitted."""
+def _resolve_index_params(meta, k, rows_per_band, n, allow_defaults=False):
+    """Fill None parameters from index metadata and return
+    ``(k, rows_per_band, n, sig_family)``; raise on an explicit value
+    that contradicts what the index was built with — a silent mismatch
+    yields zero band collisions, i.e. every near-duplicate admitted.
+
+    ``sig_family`` is never caller-supplied: it resolves to the stored
+    value, or to the legacy ``"md5"`` family when the meta row predates
+    the field (pre-r13 indexes were all md5-built).
+
+    A PRE-METADATA index (``meta is None``) with NO explicit parameters
+    raises: module defaults MOVE across releases (r12 flipped
+    (8, 2) → (24, 3); r13 flipped the hash family itself), and an index
+    whose build parameters are unrecorded resolved against NEW defaults
+    hashes into empty buckets — zero collisions, every near-duplicate
+    silently admitted. Callers who know how a legacy index was built
+    pass its parameters explicitly (legacy implies family "md5").
+    ``allow_defaults=True`` is the one deliberate exception — the
+    no-``index_path`` streaming form, whose documented contract is
+    lockstep with the CURRENT module defaults (family included): the
+    caller opted out of metadata entirely, not inherited a stale index.
+    """
+    if (
+        meta is None and not allow_defaults
+        and k is None and rows_per_band is None and n is None
+    ):
+        raise ValueError(
+            "dedup index has no <path>/meta parameter record and no "
+            "explicit (k, rows_per_band, n) was given — module defaults "
+            "have changed across releases, and hashing with parameters "
+            "the index was not built with yields zero band collisions "
+            "(every near-duplicate admitted). Pass the index's build "
+            "parameters explicitly, or rebuild it with write_dedup_index "
+            "(which records them)."
+        )
     resolved = []
     for name, given, default in (
         ("k", k, MINHASH_K),
@@ -1950,6 +2118,14 @@ def _resolve_index_params(meta, k, rows_per_band, n):
                     "band collisions and admits every near-duplicate"
                 )
             resolved.append(int(given))
+    if meta is not None:
+        stored_family = getattr(meta, "sig_family", None)
+        resolved.append(stored_family if stored_family is not None else "md5")
+    else:
+        # no meta: an opted-out streaming caller bands with CURRENT module
+        # code (SIG_FAMILY); a legacy stored index predates the affine
+        # family by construction
+        resolved.append(SIG_FAMILY if allow_defaults else "md5")
     return tuple(resolved)
 
 
@@ -1969,13 +2145,18 @@ def admit_against_index(
     off parquet. The batch band table still broadcasts, so the stored
     corpus tables never reshuffle beyond their band/shingle join keys.
 
-    ``k``/``rows_per_band``/``n`` default to the parameters stored in the
-    index's ``meta`` table; passing explicit values that contradict the
-    index raises (zero band collisions ⇒ every near-dup admitted)."""
+    ``k``/``rows_per_band``/``n`` — and the signature hash family —
+    default to the parameters stored in the index's ``meta`` table
+    (stored meta ALWAYS wins over module defaults, so an index built
+    under older defaults keeps admitting correctly after a default
+    flip); passing explicit values that contradict the index raises
+    (zero band collisions ⇒ every near-dup admitted). An index with no
+    meta at all raises unless the caller supplies its build parameters
+    (see :func:`_resolve_index_params`)."""
     from alphastats_spark.operators import ordered
 
     spark = new_df.sparkSession
-    k, rows_per_band, n = _resolve_index_params(
+    k, rows_per_band, n, family = _resolve_index_params(
         read_index_meta(spark, index_path), k, rows_per_band, n
     )
     bo = spark.read.parquet(f"{index_path}/bands")
@@ -1984,7 +2165,7 @@ def admit_against_index(
         _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
     )
     bn = _band_table(
-        sh_n.groupBy("new_id").agg(*minhash_signature_cols(k)), "new_id", k, rows_per_band
+        _sigs_over_shingles(sh_n, "new_id", k, family), "new_id", k, rows_per_band
     )
     matches = _verified_matches(bn, bo, sh_n, sh_o, threshold)
     return _admit_rank(new_df, matches, id_col)

@@ -2301,16 +2301,27 @@ shh AS (
 
 
 def _mh_sql(k: int | None = None) -> str:
-    """The k seeded-min-hash aggregate columns, mirroring
+    """The k min-hash aggregate columns, mirroring
     ``dedup.minhash_signature_cols`` — parameterized so every MinHash
     oracle derives its hash family from the SAME ``(k, rows_per_band)``
     the Spark side runs with (a hard-coded mirror silently diverges the
-    day the module defaults move)."""
+    day the module defaults move).
+
+    Affine family (r13): the base hash is the canonical 60-bit md5 key
+    reduced mod the Mersenne prime 2^31-1 (``dedup.MINHASH_PRIME``),
+    then ``mh_j = MIN((a_j*h + b_j) % p)`` with the ``(a_j, b_j)``
+    literals imported from ``dedup._affine_coeffs`` — one source for
+    both engines. All operands < p keep every product below 2^63, so
+    DuckDB's checked BIGINT arithmetic and Spark's wrapping long
+    arithmetic compute identical values by construction."""
     from alphastats_spark.functions import dedup
 
     k = dedup.MINHASH_K if k is None else k
+    p = dedup.MINHASH_PRIME
+    base = f"(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {p})"
     return ", ".join(
-        f"MIN(md5('seed{j}:' || shingle)) AS mh{j}" for j in range(k)
+        f"MIN(({a} * {base} + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(dedup._affine_coeffs(k))
     )
 
 
@@ -3411,7 +3422,10 @@ WHERE ROUND(cnt * 1.0 / (sa.n_sh + sb.n_sh - cnt), {ROUND}) >= 0.5""")
         f"""
 WITH th(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.9)),
 cand AS (
-  SELECT th.threshold, r.r, CAST(24 / r.r AS INT) AS b
+  -- 24 // r, NOT CAST(24 / r AS INT): DuckDB float-division + cast
+  -- ROUNDS (24/5 -> 5) while Spark's (lit(24)/r).cast('int') truncates —
+  -- integer floor division mirrors the truncation exactly for r >= 1
+  SELECT th.threshold, r.r, CAST(24 // r.r AS INT) AS b
   FROM th, generate_series(1, 24) AS r(r)
 ),
 scored AS (

@@ -253,7 +253,7 @@ def session_metrics(
 
 def _stream_banded(
     df: DataFrame, id_col: str, text_col: str, k: int, rows_per_band: int,
-    n: int = 3,
+    n: int = 3, sig_family: str | None = None,
 ) -> DataFrame:
     """Per-row MinHash band rows ``(__id, band, sig)`` for a document
     stream — ``array_min`` over the shingle array, no shuffle, identical
@@ -262,9 +262,19 @@ def _stream_banded(
     interpreted lambda re-evaluates any non-trivial closed-over
     subexpression per element, so nesting ``shingles(text)`` inside each
     of the k transforms would re-run the whole tokenization k×|shingles|
-    times per row (same trap as functions/dedup._grams_over)."""
+    times per row (same trap as functions/dedup._grams_over). For the
+    same reason the affine family's base md5 runs in its OWN projected
+    transform (one digest per shingle) and the k per-hash transforms do
+    plain integer arithmetic over the hashed array — the streaming twin
+    of the batch ``dedup._sigs_over_shingles`` structure.
+    ``sig_family`` must match whatever built the table this stream joins
+    against (``dedup.SIG_FAMILY`` default; ``"md5"`` for pre-r13
+    indexes — callers resolve it from the index meta)."""
+    from alphastats_spark.functions import dedup as _dedup
     from alphastats_spark.functions.dedup import shingles
 
+    if sig_family is None:
+        sig_family = _dedup.SIG_FAMILY
     id_type = df.schema[id_col].dataType.typeName()
     if id_type not in ("byte", "short", "integer", "long"):
         # a string/uuid id would cast to null and silently join nothing —
@@ -280,12 +290,35 @@ def _stream_banded(
     # check) would crash int() in the stateful fold and poison the stream
     ).where(F.col("__id").isNotNull() & (F.size("__sh") > 0))
 
-    def mh(j: int) -> Column:
-        prefix = f"seed{j}:"
-        # unary lambda — F.transform would pass the array index to a 2-arg one
-        return F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    if sig_family == "md5":
+        def mh(j: int) -> Column:
+            prefix = f"seed{j}:"
+            # unary lambda — F.transform would pass the array index to a
+            # 2-arg one
+            return F.array_min(
+                F.transform(
+                    F.col("__sh"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+                )
+            )
+    else:
+        if sig_family != "affine31":
+            raise ValueError(f"unknown MinHash signature family {sig_family!r}")
+        # one md5 per shingle, projected once; each mh(j) is then k-cheap
+        # integer arithmetic over the SAME hashed array
+        base = base.select(
+            "__id",
+            F.transform(F.col("__sh"), _dedup.minhash_base_hash).alias("__sh"),
         )
+        coeffs = _dedup._affine_coeffs(k)
+        p = F.lit(_dedup.MINHASH_PRIME)
+
+        def mh(j: int) -> Column:
+            a, b_ = coeffs[j]
+            return F.array_min(
+                F.transform(
+                    F.col("__sh"), lambda h: (F.lit(a) * h + F.lit(b_)) % p
+                )
+            )
 
     n_bands = k // rows_per_band
     band_structs = [
@@ -347,10 +380,14 @@ def streaming_index_candidates(
     Stream bands MUST be hashed with the index's build parameters or no
     collision ever fires (every near-dup silently admitted): pass
     ``index_path`` to load ``k``/``rows_per_band``/``n`` (the shingle
-    width) from the stored meta (and to fail loudly on an explicit
-    mismatch); without it, ``None`` falls back to the library-wide
-    defaults ``dedup.MINHASH_K``/2/3 that ``write_dedup_index`` also
-    uses, so the two stay in lockstep when a global constant changes.
+    width) AND the signature hash family from the stored meta (stored
+    values win over module defaults, so an index built under older
+    defaults — or the pre-r13 md5 family — keeps colliding correctly
+    after a default flip; explicit mismatches fail loudly). Without it,
+    ``None`` falls back to the library-wide defaults
+    ``dedup.MINHASH_K``/``dedup.ROWS_PER_BAND``/3 and
+    ``dedup.SIG_FAMILY`` that ``write_dedup_index`` also uses, so the
+    two stay in lockstep when a global constant changes.
     """
     from alphastats_spark.functions import dedup
 
@@ -359,10 +396,14 @@ def streaming_index_candidates(
         if index_path is not None
         else None
     )
-    k, rows_per_band, n = dedup._resolve_index_params(meta, k, rows_per_band, n)
+    k, rows_per_band, n, family = dedup._resolve_index_params(
+        meta, k, rows_per_band, n, allow_defaults=index_path is None
+    )
     if max_band_bucket == _USE_MODULE_DEFAULT:
         max_band_bucket = dedup.MAX_BAND_BUCKET
-    banded = _stream_banded(stream_df, id_col, text_col, k, rows_per_band, n)
+    banded = _stream_banded(
+        stream_df, id_col, text_col, k, rows_per_band, n, sig_family=family
+    )
     idx = index_bands.select(
         F.col("match_id").cast("long").alias("match_id"), "band", "sig"
     )

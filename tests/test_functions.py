@@ -2152,9 +2152,10 @@ def test_banding_parameterization(spark):
 
 def test_recommend_banding(spark):
     """The advisor returns the measured round-12 default at t=0.5, picks
-    a steeper family as the threshold tightens (r monotone in t), always
-    returns a row (r=1 qualifies as b -> budget), and every returned
-    family satisfies its own eligibility rule."""
+    a steeper family as the threshold tightens (r monotone in t), and
+    every returned family satisfies its own eligibility rule. A
+    threshold with NO qualifying family (tiny budget) is OMITTED, per
+    the documented contract — not padded with an under-powered row."""
     from alphastats_spark.functions import dedup
 
     rows = {
@@ -2169,6 +2170,54 @@ def test_recommend_banding(spark):
         p = 1 - (1 - s_mid ** r["rows_per_band"]) ** r["n_bands"]
         assert round(p, 7) >= 0.95 and r["k"] == r["rows_per_band"] * r["n_bands"]
         assert abs(round(p, 7) - r["hit_prob"]) < 1e-9
+    # budget 4, t=0.01: even r=1 gives 1-(1-0.505)^4 ≈ 0.94 < 0.95 — the
+    # threshold disappears rather than returning a family that misses the
+    # advisor's own recall floor; a satisfiable sibling still comes back
+    small = dedup.recommend_banding(spark, [0.01, 0.9], k_budget=4).collect()
+    assert [r["threshold"] for r in small] == [0.9]
+
+
+def test_minhash_affine_family(spark):
+    """The r13 affine family: coefficients are deterministic with the
+    k-prefix property (k=12's coeffs are k=24's first 12, so banding
+    subsets stay consistent), signature values are BIGINTs below the
+    prime, the structural one-md5 helper matches the inline expression
+    path, and the legacy md5 family still produces the pre-r13 hex
+    strings."""
+    from alphastats_spark.functions import dedup
+
+    c24, c12 = dedup._affine_coeffs(24), dedup._affine_coeffs(12)
+    assert c12 == c24[:12] and len(set(c24)) == 24
+    assert all(1 <= a < dedup.MINHASH_PRIME and 0 <= b < dedup.MINHASH_PRIME
+               for a, b in c24)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        "doc_id bigint, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, k=6)
+    assert all(f.dataType.typeName() == "long" for f in sigs.schema.fields[1:])
+    rows = {r["doc_id"]: tuple(r)[1:] for r in sigs.collect()}
+    assert all(0 <= v < dedup.MINHASH_PRIME for v in rows[1] + rows[2])
+
+    # inline (non-prehashed) expression path agrees with the structural one
+    sh = dedup._exploded_shingles(docs, "doc_id", "text")
+    inline = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in sh.groupBy("doc_id").agg(*dedup.minhash_signature_cols(6)).collect()
+    }
+    assert inline == rows
+
+    # legacy family: md5 hex strings, unchanged by the flip
+    legacy = dedup._sigs_over_shingles(sh, "doc_id", 4, family="md5")
+    assert all(f.dataType.typeName() == "string" for f in legacy.schema.fields[1:])
+    lrow = legacy.where("doc_id = 1").collect()[0]
+    assert all(len(v) == 32 and int(v, 16) >= 0 for v in tuple(lrow)[1:])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown MinHash signature family"):
+        dedup.minhash_signature_cols(4, family="sha9000")
 
 
 def test_streaming_dedup_defaults_follow_module(spark, monkeypatch):

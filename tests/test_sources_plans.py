@@ -1069,6 +1069,107 @@ def test_index_meta_single_row_on_append(spark, tmp_path):
         dedup.read_index_meta(spark, path)
 
 
+def _legacy_md5_index(spark, docs, path, k=8, rows_per_band=2, n=3,
+                      write_meta=True):
+    """Simulate an index written by PRE-r13 code: md5-family band
+    signatures, and (when present) a meta row WITHOUT sig_family —
+    byte-for-byte what write_dedup_index produced before the affine
+    family and the (8, 2) → (24, 3) default flip."""
+    from alphastats_spark.functions import dedup
+
+    sh = dedup._exploded_shingles(docs, "doc_id", "text", n, out_id="match_id")
+    dedup._band_table(
+        dedup._sigs_over_shingles(sh, "match_id", k, family="md5"),
+        "match_id", k, rows_per_band,
+    ).write.partitionBy("band").parquet(f"{path}/bands")
+    sh.write.parquet(f"{path}/shingles")
+    if write_meta:
+        spark.createDataFrame(
+            [(k, rows_per_band, n, 1)],
+            "k int, rows_per_band int, n int, version int",
+        ).coalesce(1).write.json(f"{path}/meta")
+
+
+def test_legacy_md5_index_admits_via_stored_meta(spark, tmp_path):
+    """An index written BEFORE the r13 family flip (md5 signatures, (8,2)
+    banding, meta without sig_family) must keep admitting correctly with
+    NO explicit parameters: stored meta wins over the moved module
+    defaults ((8,2) → (24,3), md5 → affine31). If the reader resolved
+    module defaults instead, the batch's band signatures would live in a
+    different hash universe than the stored corpus's — zero collisions,
+    every near-duplicate silently admitted — which is exactly what the
+    exact-duplicate assertions below would catch."""
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import dedup
+
+    corpus = _tiny_docs(spark).where("doc_id % 5 != 0")
+    path = str(tmp_path / "legacy_idx")
+    _legacy_md5_index(spark, corpus, path)
+
+    # batch: two EXACT copies of corpus texts (collide in every band
+    # under ANY correct family) + one novel document
+    batch = spark.createDataFrame(
+        [
+            (1001, " ".join(f"tok{(1 * 13 + j * 7) % 23}" for j in range(12))),
+            (1002, " ".join(f"tok{(2 * 13 + j * 7) % 23}" for j in range(12))),
+            (1003, " ".join(f"novel{j}" for j in range(12))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.admit_against_index(batch, path, threshold=0.5).collect()
+    }
+    assert not out[1001]["admitted"] and out[1001]["best_jaccard"] == 1.0
+    assert not out[1002]["admitted"] and out[1002]["best_jaccard"] == 1.0
+    assert out[1003]["admitted"]
+
+    # the streaming reader resolves the same stored meta (family included)
+    from alphastats_spark.streaming import streaming_index_candidates
+
+    src = str(tmp_path / "legacy_stream_src")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    bands = spark.read.parquet(f"{path}/bands")
+    name = "legacy_idx_stream_q"
+    sq = (
+        streaming_index_candidates(stream, bands, index_path=path)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    sq.awaitTermination(120)
+    got = {
+        r["new_id"]
+        for r in spark.table(name).select("new_id").distinct().collect()
+    }
+    assert {1001, 1002} <= got and 1003 not in got
+
+
+def test_metaless_index_requires_explicit_params(spark, tmp_path):
+    """A PRE-METADATA index (no <path>/meta at all) must not silently
+    resolve to module defaults — defaults move across releases, and a
+    mismatched family/banding yields zero collisions (every near-dup
+    admitted). No params → raise; explicit legacy params → correct
+    admission via the md5 family."""
+    from alphastats_spark.functions import dedup
+
+    corpus = _tiny_docs(spark).where("doc_id % 5 != 0")
+    path = str(tmp_path / "metaless_idx")
+    _legacy_md5_index(spark, corpus, path, write_meta=False)
+
+    batch = spark.createDataFrame(
+        [(1001, " ".join(f"tok{(1 * 13 + j * 7) % 23}" for j in range(12)))],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="no <path>/meta|explicit"):
+        dedup.admit_against_index(batch, path)
+    row = dedup.admit_against_index(
+        batch, path, k=8, rows_per_band=2, n=3
+    ).collect()[0]
+    assert not row["admitted"] and row["best_jaccard"] == 1.0
+
+
 def test_stream_banded_rejects_non_integral_ids(spark, tmp_path):
     from alphastats_spark.streaming.metrics import _stream_banded
 
