@@ -541,6 +541,125 @@ def lm_score(
     )
 
 
+def _bag_ngrams(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams over an already-projected token array —
+    the classifier feature bag (fastText counts repeats; contrast
+    dedup._grams_over, whose shingle sets are deliberately distinct)."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+#: classifier_score switches from the in-plan weight-array path to the
+#: explode + broadcast-join path above this many buckets: a plan-literal
+#: array ships once per task closure and evaluates as one element_at —
+#: unbeatable small — but a multi-megabyte literal bloats every plan
+#: copy, while a broadcast hash join is built for exactly that size.
+CLASSIFIER_PLAN_WEIGHTS_MAX = 4096
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_ngrams: int = 1,
+) -> DataFrame:
+    """fastText-style linear text classifier (Joulin et al. 2016, "Bag of
+    Tricks for Efficient Text Classification"): hashed bag-of-n-gram
+    features, mean-pooled, dotted with a trained weight vector, sigmoid —
+    the SUPERVISED quality signal real curation stacks run alongside the
+    unsupervised :func:`~alphastats_spark.functions.text.quality_score`
+    and :func:`lm_score` (e.g. a "looks like reference text" classifier
+    scoring a crawl).
+
+    Degenerate-linear fastText: with scalar per-bucket weights the mean
+    of feature embeddings followed by the linear layer collapses to
+    ``score = σ(mean_f(w[h(f)]) + bias)``. Features are the token bag
+    plus (``word_ngrams`` ≥ 2) non-distinct word n-grams up to that
+    order; ``h`` is the engine-portable md5 bucket (``md5_long(f) %
+    len(weights)``, mirrored exactly by the DuckDB oracle). Documents
+    with no features score ``σ(bias)`` — the model's empty-input prior,
+    not null. Output: ``(id_col, n_features, score)``, score rounded 7dp.
+
+    Plan shape at 100 TB — two paths, switched on ``len(weights)``:
+
+    * ``≤`` :data:`CLASSIFIER_PLAN_WEIGHTS_MAX`: the weight vector rides
+      the plan as an array literal and each document scores in ONE
+      per-row ``aggregate`` over its projected feature array — zero
+      shuffles, zero joins; the scorer is a pure map over the corpus
+      scan, which is the shape you want when scoring 100 TB with a
+      distilled few-k-bucket model.
+    * larger models: explode features → broadcast-join the weight table
+      on bucket → one map-side-combinable groupBy(id). One shuffle keyed
+      by doc id; the weight table broadcasts (it is model-sized, not
+      corpus-sized).
+
+    Both paths produce identical values (pinned in pytest).
+    """
+    if word_ngrams < 1:
+        raise ValueError(f"word_ngrams must be >= 1, got {word_ngrams}")
+    n_buckets = len(weights)
+    if n_buckets < 1:
+        raise ValueError("weights must be a non-empty per-bucket vector")
+    toks = text.tokens(text.normalize(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    feats = F.concat(
+        *[_bag_ngrams(F.col("__toks"), n) for n in range(1, word_ngrams + 1)]
+    )
+    # normalize(null) -> null tokens array: concat propagates the null,
+    # so coalesce to the empty bag (score = sigmoid(bias), like any
+    # featureless doc) instead of dropping the document
+    base = base.select(
+        F.col(id_col),
+        F.coalesce(feats, F.array().cast("array<string>")).alias("__f"),
+    )
+    bucket_of = lambda c: (text.md5_long(c) % n_buckets).cast("int")  # noqa: E731
+    sig = lambda z: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)  # noqa: E731
+
+    if n_buckets <= CLASSIFIER_PLAN_WEIGHTS_MAX:
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        total = F.aggregate(
+            F.col("__f"),
+            F.lit(0.0),
+            lambda acc, f: acc + F.element_at(warr, bucket_of(f) + 1),
+        )
+        mean = F.when(F.size("__f") > 0, total / F.size("__f")).otherwise(F.lit(0.0))
+        return base.select(
+            F.col(id_col),
+            F.size("__f").cast("bigint").alias("n_features"),
+            sig(mean + F.lit(float(bias))).alias("score"),
+        )
+
+    wdf = df.sparkSession.createDataFrame(
+        [(b, float(w)) for b, w in enumerate(weights)], "__b int, __w double"
+    )
+    exploded = base.select(F.col(id_col), F.explode("__f").alias("__feat")).select(
+        F.col(id_col), bucket_of(F.col("__feat")).alias("__b")
+    )
+    per_doc = (
+        exploded.join(F.broadcast(wdf), "__b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_features"), F.avg("__w").alias("__m"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_features", F.lit(0)).cast("bigint").alias("n_features"),
+            sig(F.coalesce("__m", F.lit(0.0)) + F.lit(float(bias))).alias("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-budget domain mixing (DoReMi/Pile-style)
 

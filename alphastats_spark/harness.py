@@ -1486,11 +1486,50 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND12_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND12_WINDOW]
+    front = [n for n in _ROUND13_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND13_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND13_WINDOW = [
+    # Round 13 window (50 slots). Priority (a) repaired fails: none — r12
+    # was 50/50. Priority (b)+(c): every query whose Spark machinery OR
+    # oracle changed with the r13 MinHash family flip (md5-per-seed →
+    # one-md5 affine31 universal hashing) — the signature values, band
+    # signatures and (where candidates differ) verified sets all change,
+    # so the whole family must re-prove cross-engine parity in the
+    # driver's gate, not just the replica sweep. dedup_banding_recommend
+    # re-gates for its oracle's integer-floor-division fix;
+    # doc_classifier_score is the one query REGISTERED this round (the
+    # fastText-style supervised quality scorer).
+    "doc_classifier_score",
+    "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_streaming_candidates", "dedup_lsh_verified", "dedup_lsh_params",
+    "dedup_banding_recommend", "dedup_corpus", "corpus_curation_pipeline",
+    "dedup_incremental_admit", "doc_benchmark_leakage",
+    "doc_decontaminate_fuzzy", "dedup_index_admit", "dedup_index_compacted",
+    "dedup_streaming_index_candidates",
+    # Priority (d): the ENTIRE 20-name r8-stale pool (the r12 verdict
+    # item 2's exact list) — after this window no registered query's
+    # newest driver green predates r9.
+    "avg_return", "calmar", "cvar", "expected_return", "five_year",
+    "gain_to_pain_ratio", "kurtosis", "mtd", "one_year", "profit_factor",
+    "recovery_factor", "serenity_index", "six_month", "skew", "ten_year",
+    "three_month", "three_year", "ulcer_index", "win_rate", "ytd",
+    # Priority (e): 15 rotation slots over the r9-stale pool (4 of that
+    # pool — lsh_candidates/lsh_verified/dedup_corpus/benchmark_leakage —
+    # already re-gate above as family picks). Heavyweights first: the
+    # three report string-parity queries, the as-of-join metric family,
+    # drawdown machinery, the real-JPEG decode path, then dedup/event
+    # fills. The remaining r9-stale names front the r14 rotation.
+    "report_basic", "report_full_bench", "report_numeric", "greeks",
+    "information_ratio", "max_drawdown", "to_drawdowns",
+    "probabilistic_sharpe_ratio", "media_decode_jpeg",
+    "multi_asset_metrics_long", "dedup_clusters", "dedup_exact_nulls",
+    "doc_substring_dedup", "event_retention", "event_transition_matrix",
+]
 
 
 _ROUND12_WINDOW = [
@@ -5316,6 +5355,43 @@ SELECT d.doc_id,
        CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        ROUND(COALESCE(agg.a, 0.0), {ROUND}) AS avg_logprob
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
+
+    # fastText-style linear quality classifier (pipeline.classifier_score,
+    # Joulin et al. 2016): hashed unigram+bigram bag → mean-pooled seeded
+    # per-bucket weights → sigmoid. The weights are EXACT multiples of
+    # 2^-10 (dyadic rationals), so the per-document feature sum is exact
+    # in double arithmetic on both engines REGARDLESS of summation order —
+    # the usual AVG-oracle float-order hazard is designed out, not rounded
+    # away; the only cross-engine float op left is one exp(). Runs on the
+    # null-injected corpus: featureless documents must score the model's
+    # empty-input prior sigmoid(bias), pinning the null/empty path.
+    _clf_w = [((b * 2654435761) % 1024) / 1024.0 - 0.5 for b in range(256)]
+    add("doc_classifier_score",
+        lambda spark, sf_dir: pipeline.classifier_score(
+            _docs_nulled(spark, sf_dir), _clf_w, bias=-0.25, word_ngrams=2),
+        f"""
+WITH {_NULLS_DOCS_CTE},
+t AS (SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toks
+      FROM documents),
+f AS (
+  SELECT doc_id, unnest(toks) AS f FROM t
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> array_to_string(toks[i:i+1], ' '))) AS f
+  FROM t
+),
+w AS (SELECT doc_id,
+             (((CAST(CONCAT('0x', substr(md5(f), 1, 8)) AS BIGINT) % 256)
+               * 2654435761) % 1024) / 1024.0 - 0.5 AS w
+      FROM f),
+s AS (SELECT doc_id, COUNT(*) AS n_features, SUM(w) / COUNT(*) AS m
+      FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+       ROUND(1.0 / (1.0 + EXP(-(COALESCE(s.m, 0.0) - 0.25))), {ROUND}) AS score
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""")
 
     # Deterministic weighted sampling without replacement (Efraimidis-
     # Spirakis exponential keys): token-mass-weighted top-100, md5-keyed

@@ -101,10 +101,12 @@ def main() -> None:
         cu = last_json_lines(run([py, f"{REPO}/scripts/scale_ext.py", "--curation"]))
         result["curation"] = next(o for o in reversed(cu) if "curation" in o)["curation"]
 
-    # r12: fold pre-computed banding A/B and cap-sweep artifacts (they run
-    # hours before the flip the rest of this artifact measures, so they
-    # are passed in as files rather than re-run on post-flip code)
-    for flag, key in (("--band-ab-file", "banding_ab"), ("--cap-sweep-file", "cap_sweep")):
+    # r12/r13: fold pre-computed A/B artifacts (band-ab/cap-sweep ran
+    # hours before the r12 flip; signature-ab is the r13 md5-vs-affine31
+    # family A/B) — passed in as files so long probes can run separately
+    for flag, key in (("--band-ab-file", "banding_ab"),
+                      ("--cap-sweep-file", "cap_sweep"),
+                      ("--signature-ab-file", "signature_ab")):
         if flag in sys.argv:
             with open(sys.argv[sys.argv.index(flag) + 1]) as f:
                 result[key] = json.load(f)[key]

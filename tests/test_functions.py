@@ -2242,6 +2242,41 @@ def test_streaming_dedup_defaults_follow_module(spark, monkeypatch):
     assert (seen["k"], seen["r"]) == (dedup.MINHASH_K, dedup.ROWS_PER_BAND)
 
 
+def test_classifier_score_paths_and_prior(spark, monkeypatch):
+    """classifier_score's two physical paths (in-plan weight array vs
+    explode + broadcast-join) produce IDENTICAL values; featureless
+    documents (null/empty text) score the model's empty-input prior
+    sigmoid(bias); word_ngrams=2 counts unigrams + bigrams."""
+    import math
+
+    from alphastats_spark.functions import pipeline
+
+    w = [((b * 7) % 32) / 32.0 - 0.5 for b in range(64)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "one two"), (3, None), (4, "")],
+        "doc_id bigint, text string",
+    )
+    plan = {
+        r["doc_id"]: (r["n_features"], r["score"])
+        for r in pipeline.classifier_score(docs, w, bias=0.3, word_ngrams=2).collect()
+    }
+    # force the join path by shrinking the switch threshold
+    monkeypatch.setattr(pipeline, "CLASSIFIER_PLAN_WEIGHTS_MAX", 2)
+    joined = {
+        r["doc_id"]: (r["n_features"], r["score"])
+        for r in pipeline.classifier_score(docs, w, bias=0.3, word_ngrams=2).collect()
+    }
+    assert plan == joined
+    # unigrams + bigrams: 4 toks -> 4 + 3; 2 toks -> 2 + 1
+    assert plan[1][0] == 7 and plan[2][0] == 3
+    prior = round(1.0 / (1.0 + math.exp(-0.3)), 7)
+    assert plan[3] == (0, prior) and plan[4] == (0, prior)
+    with pytest.raises(ValueError, match="word_ngrams"):
+        pipeline.classifier_score(docs, w, word_ngrams=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        pipeline.classifier_score(docs, [])
+
+
 def test_knn_join_auto_planes(spark):
     """n_planes=None auto-sizes ∝ log₂(n/TARGET): the plane count grows
     with the corpus and the auto path returns exactly the explicit path's
