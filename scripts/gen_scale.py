@@ -106,10 +106,14 @@ def main() -> None:
     # family A/B) — passed in as files so long probes can run separately
     for flag, key in (("--band-ab-file", "banding_ab"),
                       ("--cap-sweep-file", "cap_sweep"),
-                      ("--signature-ab-file", "signature_ab")):
+                      ("--signature-ab-file", "signature_ab"),
+                      ("--curation-file", "curation")):
         if flag in sys.argv:
             with open(sys.argv[sys.argv.index(flag) + 1]) as f:
-                result[key] = json.load(f)[key]
+                loaded = json.load(f)
+            result[key] = loaded[key]
+            if "stamp_presession" in loaded:
+                result[f"stamp_{key}"] = loaded["stamp_presession"]
 
     path = f"{REPO}/SCALE_r{rnd:02d}.json"
     with open(path, "w") as f:
