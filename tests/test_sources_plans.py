@@ -1170,6 +1170,31 @@ def test_metaless_index_requires_explicit_params(spark, tmp_path):
     assert not row["admitted"] and row["best_jaccard"] == 1.0
 
 
+def test_affine_signature_plan_single_md5(spark):
+    """The affine MinHash signature plan pays exactly ONE md5 per
+    (doc, shingle) row however large k is — the whole point of the r13
+    family flip (the legacy family ran k digests per row; at 100 TB the
+    signature aggregate is the dominant scan-side cost of the dedup
+    pipeline). Pinned structurally: the optimized plan of a k=24
+    signature aggregate contains one md5 call, in the projection below
+    the aggregate, with the 24 min() inputs pure integer arithmetic."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.plans.audit import explain_string
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    sh = dedup._exploded_shingles(docs, "doc_id", "text")
+    plan = explain_string(
+        dedup._sigs_over_shingles(sh, "doc_id", 24), "extended"
+    )
+    optimized = plan.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    assert optimized.lower().count("md5") == 1, optimized
+
+
 def test_stream_banded_rejects_non_integral_ids(spark, tmp_path):
     from alphastats_spark.streaming.metrics import _stream_banded
 
