@@ -271,6 +271,98 @@ def tf_idf_topk(
     )
 
 
+#: Document-frequency cap for the TF-IDF similarity self-join: a term in
+#: D documents contributes D² join rows, and at corpus scale one
+#: boilerplate token makes D ~ |corpus|. High-df terms are also exactly
+#: the ones IDF down-weights toward zero, so dropping them from the JOIN
+#: (never from the norms) loses almost no cosine mass while bounding the
+#: hot-posting cost at ANY corpus size — the same safe-by-default posture
+#: as dedup.CONTAINMENT_MAX_SHINGLE_DF. ``None`` = the exact join.
+TFIDF_PAIRS_MAX_TERM_DF = 1000
+
+
+def tfidf_similarity_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_term_df: int | None = TFIDF_PAIRS_MAX_TERM_DF,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity over the corpus — the weighted
+    text-similarity join (template/near-topic detection, soft clustering)
+    that n-gram Jaccard misses when overlap is concentrated in RARE terms:
+    cosine weights every co-occurring term by tf·idf, so two documents
+    sharing distinctive vocabulary score high even at low set overlap.
+
+    Sparse inverted-index formulation (the Bayardo et al. 2007 WWW
+    "all-pairs" shape, re-expressed relationally): each document is the
+    implicit sparse vector of its ``tf · idf`` weights (idf =
+    ``ln((1+N)/(1+df)) + 1``, the same smoothed form as
+    :func:`tf_idf_topk`), L2-normalized; the dot product of every
+    co-occurring pair is ONE equi-join of the posting table with itself
+    on term + a sum — never a doc×doc cross join. Output:
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b`` and rounded cosine ≥
+    ``threshold``.
+
+    Plan shape at 100 TB: one (doc, term) tf shuffle; doc frequency is a
+    second map-combinable groupBy over it and broadcasts (vocabulary-
+    sized); N is a one-scalar metadata job injected as a literal; norms
+    ride a doc-keyed groupBy of the SAME weight table. The self-join
+    carries terms as 60-bit hashed keys (8-byte shuffle keys, mirrored
+    bit-exactly by the DuckDB oracle — see
+    :func:`~alphastats_spark.functions.text.hash_key60`), drops df = 1
+    postings (a term in one document can never pair), and caps term df
+    at ``max_term_df`` (see :data:`TFIDF_PAIRS_MAX_TERM_DF`); norms stay
+    UNCAPPED on both sides, exactly like the containment join's sizes,
+    so the cosine denominator is exact and the cap only thins the
+    numerator's cheapest mass. Prefix filtering (the classic all-pairs
+    candidate bound) would thin it further at equal output — noted as
+    the next lever if the posting join ever dominates a profile.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(F.broadcast(doc_freq), "term").select(
+        F.col(id_col),
+        "term",
+        "df",
+        (
+            F.col("tf")
+            * (F.log(F.lit(1.0 + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0)
+        ).alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    join_side = w.where(F.col("df") >= 2)
+    if max_term_df is not None:
+        join_side = join_side.where(F.col("df") <= int(max_term_df))
+    posting = join_side.select(
+        F.col(id_col), hash_key60(F.col("term")).alias("__t"), "w"
+    )
+    a = posting.select(
+        F.col(id_col).alias("id_a"), "__t", F.col("w").alias("wa")
+    )
+    b = posting.select(
+        F.col(id_col).alias("id_b"), "__t", F.col("w").alias("wb")
+    )
+    dot = (
+        a.join(b, "__t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 7))
+        .where(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def top_terms_per_source(
     df: DataFrame,
     k: int = 10,

@@ -1502,9 +1502,10 @@ _ROUND13_WINDOW = [
     # so the whole family must re-prove cross-engine parity in the
     # driver's gate, not just the replica sweep. dedup_banding_recommend
     # re-gates for its oracle's integer-floor-division fix;
-    # doc_classifier_score is the one query REGISTERED this round (the
-    # fastText-style supervised quality scorer).
-    "doc_classifier_score",
+    # doc_classifier_score and doc_tfidf_pairs are the two queries
+    # REGISTERED this round (the fastText-style supervised quality
+    # scorer; the all-pairs TF-IDF cosine join).
+    "doc_classifier_score", "doc_tfidf_pairs",
     "dedup_minhash_signatures", "dedup_lsh_candidates",
     "dedup_streaming_candidates", "dedup_lsh_verified", "dedup_lsh_params",
     "dedup_banding_recommend", "dedup_corpus", "corpus_curation_pipeline",
@@ -1518,7 +1519,7 @@ _ROUND13_WINDOW = [
     "gain_to_pain_ratio", "kurtosis", "mtd", "one_year", "profit_factor",
     "recovery_factor", "serenity_index", "six_month", "skew", "ten_year",
     "three_month", "three_year", "ulcer_index", "win_rate", "ytd",
-    # Priority (e): 15 rotation slots over the r9-stale pool (4 of that
+    # Priority (e): 14 rotation slots over the r9-stale pool (4 of that
     # pool — lsh_candidates/lsh_verified/dedup_corpus/benchmark_leakage —
     # already re-gate above as family picks). Heavyweights first: the
     # three report string-parity queries, the as-of-join metric family,
@@ -1528,7 +1529,7 @@ _ROUND13_WINDOW = [
     "information_ratio", "max_drawdown", "to_drawdowns",
     "probabilistic_sharpe_ratio", "media_decode_jpeg",
     "multi_asset_metrics_long", "dedup_clusters", "dedup_exact_nulls",
-    "doc_substring_dedup", "event_retention", "event_transition_matrix",
+    "doc_substring_dedup", "event_retention",
 ]
 
 
@@ -3051,6 +3052,42 @@ SELECT doc_id, term, tf, ROUND(tf_idf, {ROUND}) AS tf_idf, rank FROM (
       PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS INTEGER) AS rank
   FROM scored
 ) t WHERE rank <= 5""")
+
+    # All-pairs TF-IDF cosine similarity (text.tfidf_similarity_pairs,
+    # Bayardo et al. 2007 all-pairs shape): sparse inverted-index
+    # self-join on 60-bit hashed terms, smoothed idf shared with
+    # doc_tfidf_topk, norms UNCAPPED while the join drops df=1 and
+    # df>cap postings — the oracle mirrors the guard structurally
+    # (dfreq bounds on the join CTE only), so parity holds at any sf.
+    add("doc_tfidf_pairs",
+        lambda spark, sf_dir: text.tfidf_similarity_pairs(
+            _docs(spark, sf_dir), threshold=0.5),
+        f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS dfv FROM tf GROUP BY 1),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term, dfreq.dfv,
+         tf.tf * (LN((1.0 + nn.n) / (1.0 + dfreq.dfv)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (term), nn
+),
+norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1),
+posting AS (
+  SELECT doc_id, CAST(CONCAT('0x', substr(md5(term), 1, 15)) AS BIGINT) AS t, w
+  FROM w WHERE dfv BETWEEN 2 AND {text.TFIDF_PAIRS_MAX_TERM_DF}
+),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+  FROM posting a JOIN posting b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), {ROUND}) AS cosine
+FROM dot
+JOIN norms na ON id_a = na.doc_id
+JOIN norms nb ON id_b = nb.doc_id
+WHERE ROUND(dot / (na.nrm * nb.nrm), {ROUND}) >= 0.5""")
 
     # Per-source vocabulary heavy hitters: top-10 normalized tokens per
     # provenance slice (boilerplate/template profiling ahead of dedup

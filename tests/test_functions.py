@@ -2242,6 +2242,59 @@ def test_streaming_dedup_defaults_follow_module(spark, monkeypatch):
     assert (seen["k"], seen["r"]) == (dedup.MINHASH_K, dedup.ROWS_PER_BAND)
 
 
+def test_tfidf_similarity_pairs(spark):
+    """Identical documents score rounded cosine 1.0; disjoint-vocabulary
+    documents produce NO pair (df=1 postings never join); a shared
+    ubiquitous term that exceeds max_term_df leaves the join but stays
+    in the norms, so the pair's cosine DROPS rather than the denominator
+    shrinking to compensate."""
+    from alphastats_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+            (4, "completely different words here entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_similarity_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in pairs), pairs
+
+    # shared term in EVERY doc: df=4; with cap 3 it leaves the join, so
+    # docs sharing only it never pair, while 1-2 (still sharing their
+    # distinctive terms) drop below 1.0 because the norms keep the
+    # capped term's weight
+    shared = spark.createDataFrame(
+        [
+            (1, "common alpha beta"),
+            (2, "common alpha beta"),
+            (3, "common zeta eta"),
+            (4, "common mu nu"),
+        ],
+        "doc_id bigint, text string",
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_similarity_pairs(
+            shared, threshold=0.01, max_term_df=3
+        ).collect()
+    }
+    assert set(capped) == {(1, 2)} and 0 < capped[(1, 2)] < 1.0
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in text.tfidf_similarity_pairs(
+            shared, threshold=0.01, max_term_df=None
+        ).collect()
+    }
+    assert uncapped[(1, 2)] == 1.0 and len(uncapped) == 6
+
+
 def test_classifier_score_paths_and_prior(spark, monkeypatch):
     """classifier_score's two physical paths (in-plan weight array vs
     explode + broadcast-join) produce IDENTICAL values; featureless
