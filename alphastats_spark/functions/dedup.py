@@ -86,6 +86,15 @@ MINHASH_PRIME = 2_147_483_647
 #: ``"md5"``: the pre-r13 family (``min(md5('seed{j}:' || shingle))``
 #: per j) — kept so indexes written before ``sig_family`` metadata
 #: existed keep admitting correctly against their stored bands.
+#:
+#: Design note for deployments that don't need the DuckDB oracle: the
+#: remaining md5 is now ONE digest per shingle, but Spark's builtin
+#: ``xxhash64`` is several times cheaper still — a future
+#: ``"xxh31"`` family (xxhash64 % p feeding the same affine
+#: transforms) would be a one-branch addition here, safe by
+#: construction because every index records its family in meta. Not
+#: shipped: it has no cross-engine oracle, and this repo's correctness
+#: story is value-hash parity.
 SIG_FAMILY = "affine31"
 
 
