@@ -256,7 +256,11 @@ def tf_idf_topk(
     tf = term_frequencies(df, id_col, text_col)
     n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(doc_freq), "term").withColumn(
+    # No broadcast hint: doc_freq is vocabulary-sized, which grows with the
+    # corpus (web-scale text has 1e8-1e9 distinct tokens — past the 8 GB
+    # broadcast cap). AQE broadcasts from the measured runtime size when it
+    # actually fits; past that the join falls back to a shuffle on term.
+    scored = tf.join(doc_freq, "term").withColumn(
         "tf_idf",
         F.col("tf")
         * (F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.col("df"))) + 1.0),
@@ -305,8 +309,11 @@ def tfidf_similarity_pairs(
     ``threshold``.
 
     Plan shape at 100 TB: one (doc, term) tf shuffle; doc frequency is a
-    second map-combinable groupBy over it and broadcasts (vocabulary-
-    sized); N is a one-scalar metadata job injected as a literal; norms
+    second map-combinable groupBy over it, joined back WITHOUT a broadcast
+    hint — the table is vocabulary-sized (unbounded in the corpus), so AQE
+    decides broadcast-vs-shuffle from its measured runtime size instead of
+    a forced hint that would hard-fail past the 8 GB broadcast cap;
+    N is a one-scalar metadata job injected as a literal; norms
     ride a doc-keyed groupBy of the SAME weight table. The self-join
     carries terms as 60-bit hashed keys (8-byte shuffle keys, mirrored
     bit-exactly by the DuckDB oracle — see
@@ -322,7 +329,10 @@ def tfidf_similarity_pairs(
     tf = term_frequencies(df, id_col, text_col)
     n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    w = tf.join(F.broadcast(doc_freq), "term").select(
+    # Hint-free for the same reason as tf_idf_topk: doc_freq is
+    # vocabulary-sized (unbounded in the corpus), so a forced broadcast is
+    # a hard failure at scale; AQE upgrades to broadcast when it fits.
+    w = tf.join(doc_freq, "term").select(
         F.col(id_col),
         "term",
         "df",

@@ -322,6 +322,28 @@ def test_corpus_stats_plans_scale(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tfidf_doc_freq_join_has_no_broadcast_hint(spark):
+    """The per-term document-frequency table is vocabulary-sized — it grows
+    with the corpus (1e8-1e9 distinct tokens at web scale), so a FORCED
+    broadcast hint on the tf⋈doc_freq join is a hard job failure past the
+    8 GB broadcast cap. The logical plan must carry NO broadcast hint on
+    that join; AQE upgrades to broadcast at runtime when the table fits
+    (which it does at test scale — the physical plan may legitimately show
+    a BroadcastHashJoin), so we pin the HINT's absence, not the strategy."""
+    from alphastats_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i}") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    for out in (
+        text.tf_idf_topk(docs, k=3),
+        text.tfidf_similarity_pairs(docs, threshold=0.0),
+    ):
+        logical = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in logical.lower(), logical
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts must
     join with no Exchange on either side (co-located scan -> sort-merge)."""
