@@ -98,26 +98,82 @@ MINHASH_PRIME = 2_147_483_647
 SIG_FAMILY = "affine31"
 
 
+#: The affine family's ``(a_j, b_j)`` coefficient table, FROZEN as a
+#: source literal. These values were originally drawn once from
+#: ``random.Random(0x5EED_1DEA).randrange`` (CPython 3.11), but Python
+#: only guarantees cross-version reproducibility for ``Random.random()``,
+#: not ``randrange`` — and stored affine31 dedup indexes bake these
+#: coefficients into their on-disk band signatures, so a runtime whose
+#: derivation drifted would hash every new batch into empty buckets
+#: (zero band collisions ⇒ every near-duplicate silently admitted).
+#: Freezing the table makes the family independent of any RNG forever;
+#: :func:`_affine_checksum` additionally stamps a digest of the first-k
+#: pairs into every index's meta so a reader on divergent source fails
+#: loudly instead. All ``a ∈ [1, p)``, ``b ∈ [0, p)`` — the bound the
+#: overflow-safety argument at :data:`MINHASH_PRIME` relies on.
+_AFFINE_TABLE: tuple = (
+    (727858806, 232035372), (1345411284, 1579678356),
+    (1106180182, 1552929674), (570449278, 2006954593),
+    (1859978919, 472525410), (1386342675, 157576154),
+    (1831321186, 1109725494), (443086535, 1894110165),
+    (159010004, 1994067923), (487521974, 277702078),
+    (1726454370, 91094345), (1507791528, 1211854824),
+    (2146014444, 1801769214), (1304469292, 2098659709),
+    (469072641, 1290718507), (1974345214, 960446610),
+    (1262316843, 1761650505), (719081888, 873411781),
+    (1255106413, 2030261922), (295547951, 90785937),
+    (1658419793, 1082856215), (1130340001, 123709883),
+    (931518581, 1908646141), (2030727395, 115791238),
+    (223698941, 547071444), (1988531086, 1715503839),
+    (952230741, 299035579), (89631817, 979809142),
+    (337127788, 1671611408), (819034108, 1596331093),
+    (421475249, 830274653), (399782168, 1316118609),
+    (473095027, 834960605), (1310325786, 504040614),
+    (1869714985, 1492593693), (821630699, 1041158981),
+    (158193676, 386918089), (326414831, 808967017),
+    (905647686, 277674460), (1469885354, 1836012622),
+    (562590474, 1238119590), (1907938347, 381219181),
+    (1877698631, 1018120013), (1136986158, 454904078),
+    (556973127, 542547647), (722375336, 590873023),
+    (1319505562, 1437312321), (1104286079, 264113026),
+    (1862544311, 457549094), (1952596572, 108128678),
+    (691151609, 66859824), (899601820, 404810406),
+    (252789203, 1813372327), (615068602, 1310413426),
+    (417105521, 925122437), (213292725, 1181132282),
+    (430287875, 579010410), (234245109, 1377096882),
+    (1501679725, 775745013), (567421100, 799971636),
+    (1408256349, 653340122), (780541812, 1857253462),
+    (1255585642, 651914583), (104539677, 1539026434),
+)
+
+
 def _affine_coeffs(k: int) -> tuple:
-    """Deterministic ``(a_j, b_j)`` coefficients of the affine family,
-    ``a_j ∈ [1, p)``, ``b_j ∈ [0, p)`` — seeded so the Spark expressions
-    and the DuckDB oracle SQL (harness ``_mh_sql`` embeds these same
-    values as literals) derive from one source. Module-level cache: the
-    list is rebuilt per (k) only once per process."""
-    import random
-
-    cached = _AFFINE_CACHE.get(k)
-    if cached is None:
-        rng = random.Random(0x5EED_1DEA)
-        cached = tuple(
-            (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
-            for _ in range(k)
+    """The first ``k`` frozen ``(a_j, b_j)`` pairs of the affine family
+    (:data:`_AFFINE_TABLE`) — one source for the Spark expressions AND
+    the DuckDB oracle SQL (harness ``_mh_sql`` embeds these same values
+    as literals). Prefix-stable: coefficients for k=8 are the first 8 of
+    the k=24 table, so growing k never re-keys existing hashes."""
+    if k > len(_AFFINE_TABLE):
+        raise ValueError(
+            f"affine MinHash family is frozen at {len(_AFFINE_TABLE)} "
+            f"hash functions; got k={k}. Extend _AFFINE_TABLE (append "
+            "only — existing indexes bake the current prefix into their "
+            "band signatures)."
         )
-        _AFFINE_CACHE[k] = cached
-    return cached
+    return _AFFINE_TABLE[:k]
 
 
-_AFFINE_CACHE: dict = {}
+def _affine_checksum(k: int) -> str:
+    """Digest of the first-k coefficient pairs, stamped into every
+    affine31 index's ``<path>/meta`` by :func:`write_dedup_index` and
+    FAILFAST-validated by :func:`_resolve_index_params` at read time —
+    a runtime whose coefficient table diverged from the one the index
+    was built with raises instead of silently hashing every batch into
+    empty buckets."""
+    import hashlib
+
+    payload = ",".join(f"{a}:{b}" for a, b in _affine_coeffs(k))
+    return hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
 def _grams_over(toks: Column, n: int) -> Column:
@@ -1987,9 +2043,16 @@ def write_dedup_index(
         # different parameters, resolving the stale row silently admits
         # every near-duplicate (the reader also fails loudly on multi-row
         # meta, so a pre-fix index raises instead of guessing)
+        # sig_coeffs: digest of the affine coefficient prefix this index's
+        # band signatures bake in — readers FAILFAST-validate it so a
+        # runtime with a divergent coefficient table raises instead of
+        # hashing into empty buckets (null for the coefficient-free md5
+        # family, and for pre-r14 affine indexes, which predate the stamp)
+        coeffs = _affine_checksum(int(k)) if family == "affine31" else None
         corpus_df.sparkSession.createDataFrame(
-            [(int(k), int(rows_per_band), int(n), 2, family)],
-            "k int, rows_per_band int, n int, version int, sig_family string",
+            [(int(k), int(rows_per_band), int(n), 2, family, coeffs)],
+            "k int, rows_per_band int, n int, version int, "
+            "sig_family string, sig_coeffs string",
         ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
 
 
@@ -2016,7 +2079,7 @@ def read_index_meta(spark, path: str):
         row = (
             spark.read.option("mode", "FAILFAST")
             .schema("k int, rows_per_band int, n int, version int, "
-                    "sig_family string")
+                    "sig_family string, sig_coeffs string")
             .json(f"{path}/meta")
             .collect()
         )
@@ -2085,13 +2148,19 @@ def _resolve_index_params(meta, k, rows_per_band, n, allow_defaults=False):
     value, or to the legacy ``"md5"`` family when the meta row predates
     the field (pre-r13 indexes were all md5-built).
 
-    A PRE-METADATA index (``meta is None``) with NO explicit parameters
-    raises: module defaults MOVE across releases (r12 flipped
-    (8, 2) → (24, 3); r13 flipped the hash family itself), and an index
-    whose build parameters are unrecorded resolved against NEW defaults
-    hashes into empty buckets — zero collisions, every near-duplicate
-    silently admitted. Callers who know how a legacy index was built
-    pass its parameters explicitly (legacy implies family "md5").
+    A PRE-METADATA index (``meta is None``) raises unless ALL of
+    ``k``/``rows_per_band``/``n`` are explicit: module defaults MOVE
+    across releases (r12 flipped (8, 2) → (24, 3); r13 flipped the hash
+    family itself), and an index whose build parameters are unrecorded
+    resolved against NEW defaults — wholly OR partially (an explicit k=8
+    with a defaulted rows_per_band is just as wrong) — hashes into empty
+    buckets: zero collisions, every near-duplicate silently admitted.
+    Callers who know how a legacy index was built pass its full
+    parameter set explicitly (legacy implies family "md5").
+
+    An affine31 meta row carrying a ``sig_coeffs`` stamp (r14+) is
+    validated against this runtime's frozen coefficient table
+    (:func:`_affine_checksum`); divergence raises.
     ``allow_defaults=True`` is the one deliberate exception — the
     no-``index_path`` streaming form, whose documented contract is
     lockstep with the CURRENT module defaults (family included): the
@@ -2099,16 +2168,25 @@ def _resolve_index_params(meta, k, rows_per_band, n, allow_defaults=False):
     """
     if (
         meta is None and not allow_defaults
-        and k is None and rows_per_band is None and n is None
+        and (k is None or rows_per_band is None or n is None)
     ):
+        # a PARTIAL explicit set is the same hazard as none: the missing
+        # parameters would fill from CURRENT module defaults, which move
+        # across releases (r12 flipped rows_per_band 2 → 3), so e.g. an
+        # explicit k=8 with a defaulted rows_per_band yields a wrong band
+        # table with no error — require all three or none-with-meta
+        given = {"k": k, "rows_per_band": rows_per_band, "n": n}
+        missing = [name for name, v in given.items() if v is None]
         raise ValueError(
-            "dedup index has no <path>/meta parameter record and no "
-            "explicit (k, rows_per_band, n) was given — module defaults "
-            "have changed across releases, and hashing with parameters "
-            "the index was not built with yields zero band collisions "
-            "(every near-duplicate admitted). Pass the index's build "
-            "parameters explicitly, or rebuild it with write_dedup_index "
-            "(which records them)."
+            "dedup index has no <path>/meta parameter record and "
+            f"({', '.join(missing)}) "
+            f"{'were' if len(missing) > 1 else 'was'} not given explicitly "
+            "— module defaults have changed across releases, and hashing "
+            "with parameters the index was not built with yields zero "
+            "band collisions (every near-duplicate admitted). Pass ALL of "
+            "the index's build parameters (k, rows_per_band, n) "
+            "explicitly, or rebuild it with write_dedup_index (which "
+            "records them)."
         )
     resolved = []
     for name, given, default in (
@@ -2129,7 +2207,27 @@ def _resolve_index_params(meta, k, rows_per_band, n, allow_defaults=False):
             resolved.append(int(given))
     if meta is not None:
         stored_family = getattr(meta, "sig_family", None)
-        resolved.append(stored_family if stored_family is not None else "md5")
+        family = stored_family if stored_family is not None else "md5"
+        stored_coeffs = getattr(meta, "sig_coeffs", None)
+        if family == "affine31" and stored_coeffs is not None:
+            # the index's band signatures bake the coefficient prefix in;
+            # a runtime whose _AFFINE_TABLE diverged (edited, truncated,
+            # reordered) would hash every batch into empty buckets — fail
+            # loudly instead. Pre-r14 affine meta has no stamp (null) and
+            # is valid by construction: the table is frozen source.
+            current = _affine_checksum(int(resolved[0]))
+            if stored_coeffs != current:
+                raise ValueError(
+                    f"dedup index records affine coefficient checksum "
+                    f"{stored_coeffs!r} but this runtime's frozen table "
+                    f"yields {current!r} for k={resolved[0]} — the "
+                    "coefficient source diverged from the one the index "
+                    "was built with, so banding would yield zero "
+                    "collisions (every near-duplicate admitted). Use a "
+                    "runtime with the original _AFFINE_TABLE or rebuild "
+                    "the index."
+                )
+        resolved.append(family)
     else:
         # no meta: an opted-out streaming caller bands with CURRENT module
         # code (SIG_FAMILY); a legacy stored index predates the affine

@@ -388,9 +388,35 @@ def streaming_index_candidates(
     ``dedup.MINHASH_K``/``dedup.ROWS_PER_BAND``/3 and
     ``dedup.SIG_FAMILY`` that ``write_dedup_index`` also uses, so the
     two stay in lockstep when a global constant changes.
+
+    .. warning:: That no-``index_path`` fallback means a bands frame
+       from an index built under OLDER defaults — notably any pre-r13
+       index, whose signatures are md5-family — never collides with the
+       stream's affine31 banding: zero candidates, every near-duplicate
+       admitted, no error. The r13 md5 → affine31 default flip makes
+       this a live migration hazard, so the call emits a ``UserWarning``
+       pointing at ``index_path`` (which resolves the stored family and
+       is the safe form for any materialized index).
     """
+    import warnings
+
     from alphastats_spark.functions import dedup
 
+    if index_path is None:
+        warnings.warn(
+            "streaming_index_candidates called with index_bands but no "
+            "index_path: the stream is banded with CURRENT module "
+            "defaults (signature family "
+            f"{dedup.SIG_FAMILY!r}, k={k if k is not None else dedup.MINHASH_K}, "
+            f"rows_per_band={rows_per_band if rows_per_band is not None else dedup.ROWS_PER_BAND}). "
+            "If the bands frame comes from an index built under "
+            "different parameters — any pre-r13 index is md5-family — "
+            "NO candidate ever fires and every near-duplicate is "
+            "silently admitted. Pass index_path to resolve the stored "
+            "parameters instead.",
+            UserWarning,
+            stacklevel=2,
+        )
     meta = (
         dedup.read_index_meta(stream_df.sparkSession, index_path)
         if index_path is not None

@@ -613,10 +613,15 @@ def run_cap_sweep(
                 F.col("doc_id").alias("id_b"),
                 hash_key60(F.col("shingle")).alias("shingle"),
             )
+            # through _sigs_over_shingles so the measured plan is the
+            # SHIPPED one-md5-per-shingle shape (inlining the base hash
+            # into each of the k min() inputs can cost up to k× the
+            # shipped signature-stage hashing — aggregate inputs don't
+            # reliably get subexpression elimination)
             sigs_sz = ordered.persist_tracked(
-                sh.groupBy("doc_id").agg(
-                    *dedup.minhash_signature_cols(k),
-                    F.count(F.lit(1)).alias("__nsh"),
+                dedup._sigs_over_shingles(
+                    sh, "doc_id", k,
+                    extra_aggs=(F.count(F.lit(1)).alias("__nsh"),),
                 )
             )
             sigs_sz.count()
@@ -854,9 +859,8 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
             dedup._exploded_shingles(docs, "doc_id", "text", 3)
         )
         stage("shingle_rows", sh.count)
-        sigs = sh.groupBy("doc_id").agg(
-            *dedup.minhash_signature_cols(dedup.MINHASH_K)
-        )
+        # shipped one-md5-per-shingle plan shape (see cap-sweep comment)
+        sigs = dedup._sigs_over_shingles(sh, "doc_id", dedup.MINHASH_K)
         # diagnostic-only pre-guard view of the band table: how many band
         # rows exist and how many sit in over-cap (boilerplate) buckets
         bands_raw = ordered.persist_tracked(
@@ -895,9 +899,9 @@ def _deep3_stages_body(spark, docs, out: dict) -> None:
             F.col("doc_id").alias("id_b"),
             hash_key60(F.col("shingle")).alias("shingle"),
         )
-        sigs_sz = sh.groupBy("doc_id").agg(
-            *dedup.minhash_signature_cols(dedup.MINHASH_K),
-            F.count(F.lit(1)).alias("__nsh"),
+        sigs_sz = dedup._sigs_over_shingles(
+            sh, "doc_id", dedup.MINHASH_K,
+            extra_aggs=(F.count(F.lit(1)).alias("__nsh"),),
         )
         cands_sz = ordered.persist_tracked(
             dedup._candidates_from_sigs(

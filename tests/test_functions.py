@@ -2177,6 +2177,33 @@ def test_recommend_banding(spark):
     assert [r["threshold"] for r in small] == [0.9]
 
 
+def test_affine_table_frozen_values():
+    """The affine coefficient table is a FROZEN source literal — stored
+    affine31 indexes bake these exact values into their on-disk band
+    signatures, so any drift (an edit, a re-derivation through a
+    different RNG) silently zeroes every band collision. Pin the table's
+    invariants and spot-pin the first/last pairs byte-for-byte; the full
+    table's digest is what write_dedup_index stamps into index meta."""
+    from alphastats_spark.functions import dedup
+
+    t = dedup._AFFINE_TABLE
+    assert len(t) == 64 and len(set(t)) == 64
+    assert all(
+        1 <= a < dedup.MINHASH_PRIME and 0 <= b < dedup.MINHASH_PRIME
+        for a, b in t
+    )
+    # byte-for-byte spot pins (original CPython 3.11 derivation,
+    # random.Random(0x5EED_1DEA).randrange — now authoritative as source)
+    assert t[0] == (727858806, 232035372)
+    assert t[23] == (2030727395, 115791238)
+    assert t[63] == (104539677, 1539026434)
+    # the checksum readers validate: k-prefix digest, stable across runs
+    assert dedup._affine_checksum(24) == dedup._affine_checksum(24)
+    assert dedup._affine_checksum(8) != dedup._affine_checksum(24)
+    with pytest.raises(ValueError, match="frozen at 64"):
+        dedup._affine_coeffs(65)
+
+
 def test_minhash_affine_family(spark):
     """The r13 affine family: coefficients are deterministic with the
     k-prefix property (k=12's coeffs are k=24's first 12, so banding

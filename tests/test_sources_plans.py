@@ -1186,10 +1186,83 @@ def test_metaless_index_requires_explicit_params(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no <path>/meta|explicit"):
         dedup.admit_against_index(batch, path)
+    # a PARTIAL explicit set is the same hazard: the missing parameters
+    # would fill from CURRENT module defaults, which move across releases
+    # (r12 flipped rows_per_band 2 → 3) — k=8 explicit + defaulted
+    # rows_per_band yields a wrong band table with no error
+    with pytest.raises(ValueError, match="rows_per_band, n"):
+        dedup.admit_against_index(batch, path, k=8)
+    with pytest.raises(ValueError, match="no <path>/meta"):
+        dedup.admit_against_index(batch, path, k=8, rows_per_band=2)
     row = dedup.admit_against_index(
         batch, path, k=8, rows_per_band=2, n=3
     ).collect()[0]
     assert not row["admitted"] and row["best_jaccard"] == 1.0
+
+
+def test_index_meta_coeffs_checksum(spark, tmp_path):
+    """write_dedup_index stamps a digest of the affine coefficient prefix
+    into meta; readers validate it against the runtime's frozen table and
+    fail LOUDLY on divergence (a divergent table hashes every batch into
+    empty buckets — zero collisions, every near-duplicate admitted). A
+    pre-r14 affine meta row WITHOUT the stamp (null) stays valid: the
+    table is frozen source, so its values are the build-time values."""
+    from alphastats_spark.functions import dedup
+
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "crc_idx")
+    dedup.write_dedup_index(docs, path, k=8, rows_per_band=2, n=3)
+    meta = dedup.read_index_meta(spark, path)
+    assert meta.sig_family == "affine31"
+    assert meta.sig_coeffs == dedup._affine_checksum(8)
+    # normal admit resolves and validates silently
+    assert dedup.admit_against_index(docs.limit(5), path).count() == 5
+
+    # tamper the stamp — simulate a runtime whose coefficient source
+    # diverged from the one the index was built with
+    spark.createDataFrame(
+        [(8, 2, 3, 2, "affine31", "deadbeefdeadbeef")],
+        "k int, rows_per_band int, n int, version int, "
+        "sig_family string, sig_coeffs string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    with pytest.raises(ValueError, match="coefficient checksum"):
+        dedup.admit_against_index(docs.limit(5), path)
+
+    # pre-r14 affine meta: sig_family present, no sig_coeffs field at all
+    spark.createDataFrame(
+        [(8, 2, 3, 2, "affine31")],
+        "k int, rows_per_band int, n int, version int, sig_family string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+    assert dedup.admit_against_index(docs.limit(5), path).count() == 5
+
+
+def test_streaming_index_bands_without_path_warns(spark, tmp_path):
+    """streaming_index_candidates with index_bands but NO index_path bands
+    the stream with CURRENT module defaults — against md5-era stored
+    bands that is zero collisions and silent admission of every
+    near-duplicate (the r13 family flip made this a live migration
+    hazard), so the opt-out form must emit a UserWarning naming
+    index_path as the safe alternative."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.streaming import streaming_index_candidates
+
+    path = str(tmp_path / "warn_idx")
+    dedup.write_dedup_index(_tiny_docs(spark), path, k=8, rows_per_band=2, n=3)
+    bands = spark.read.parquet(f"{path}/bands")
+    stream = (
+        spark.readStream.format("rate").load()
+        .selectExpr("value as doc_id", "cast(value as string) as text")
+    )
+    with pytest.warns(UserWarning, match="index_path"):
+        streaming_index_candidates(
+            stream, bands, k=8, rows_per_band=2, n=3
+        )
+    # the safe form stays silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        streaming_index_candidates(stream, bands, index_path=path)
 
 
 def test_affine_signature_plan_single_md5(spark):
