@@ -373,6 +373,132 @@ def tfidf_similarity_pairs(
     )
 
 
+#: Okapi BM25 defaults (Robertson & Zaragoza 2009, "The Probabilistic
+#: Relevance Framework: BM25 and Beyond" — the standard Lucene/Elastic
+#: values): ``k1`` bounds term-frequency saturation, ``b`` the
+#: document-length normalization strength.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k lexical retrieval over the corpus — the
+    sparse-retrieval complement of the ANN stack (RAG pipelines run BM25
+    and dense retrieval side by side). Score per document:
+
+    ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` over the
+    DISTINCT query terms, with the positive (Lucene-style) idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``. Output ``(id_col, bm25,
+    rank)``, score rounded to 7 decimals, ties broken by id ascending.
+
+    Plan shape at 100 TB — the :func:`~alphastats_spark.functions.
+    pipeline.classifier_score` zero-shuffle map shape, NOT a posting
+    join: the query's terms are a handful of literals, so per-document
+    (dl, per-term tf) is a pure array-expression projection over the
+    scan (``size``/``filter`` on the token array — no explode, no
+    (doc, term) shuffle); one tiny global aggregate over that projection
+    yields N, avgdl and each term's document frequency, re-injected as
+    literals (the same metadata-job-to-literal move as
+    :func:`tf_idf_topk`'s N); scoring is then a second pure map whose
+    per-term idf coefficients are plan literals, and the top-k cut is a
+    ``TakeOrderedAndProject`` — no global sort, nothing corpus-sized
+    ever shuffles. The query itself is tokenized through the SAME
+    normalize/tokens pipeline as the corpus via a one-row Spark job, so
+    query and corpus can never disagree on tokenization.
+    """
+    import math
+    from functools import reduce
+
+    spark = df.sparkSession
+    qtoks = spark.range(1).select(
+        tokens(normalize(F.lit(query))).alias("t")
+    ).first()["t"]
+    qterms = sorted(set(qtoks))
+    if not qterms:
+        raise ValueError(
+            f"BM25 query {query!r} normalizes to zero terms — nothing to "
+            "retrieve on"
+        )
+
+    # NOT `lambda t, q=q: ...`: PySpark dispatches higher-order-function
+    # lambdas on ARITY, so a 2-parameter lambda receives (element, index)
+    # and the default-arg capture would silently compare tokens against
+    # the array index — a proper closure keeps the lambda unary
+    def _is_term(q: str):
+        return lambda t: t == F.lit(q)
+
+    per_doc = df.select(
+        F.col(id_col),
+        tokens(normalize(F.col(text_col))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("__dl"),
+        *[
+            F.size(F.filter(F.col("__toks"), _is_term(q))).alias(f"__tf{i}")
+            for i, q in enumerate(qterms)
+        ],
+    )
+
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").alias("total"),
+        *[
+            F.count(F.when(F.col(f"__tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(qterms))
+        ],
+    ).first()
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        raise ValueError("BM25 over an empty corpus")
+    avgdl = float(stats["total"] or 0) / n_docs
+    idfs = [
+        math.log(
+            1.0
+            + (n_docs - int(stats[f"df{i}"]) + 0.5)
+            / (int(stats[f"df{i}"]) + 0.5)
+        )
+        for i in range(len(qterms))
+    ]
+
+    # left-associated sum in sorted-term order — the DuckDB oracle writes
+    # the same explicit chain, so the float summation order is identical
+    norm_len = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl)
+    )
+    contribs = [
+        F.lit(idfs[i])
+        * (F.col(f"__tf{i}") * F.lit(k1 + 1.0))
+        / (F.col(f"__tf{i}") + norm_len)
+        for i in range(len(qterms))
+    ]
+    score = reduce(lambda a_, b_: a_ + b_, contribs)
+    matched = reduce(
+        lambda a_, b_: a_ | b_,
+        [F.col(f"__tf{i}") > 0 for i in range(len(qterms))],
+    )
+    top = (
+        per_doc.where(matched)
+        .select(F.col(id_col), F.round(score, 7).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    # the rank window runs over the ALREADY-CUT ≤k rows, never the corpus
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(id_col, "bm25", "rank")
+
+
 def top_terms_per_source(
     df: DataFrame,
     k: int = 10,

@@ -3053,6 +3053,60 @@ SELECT doc_id, term, tf, ROUND(tf_idf, {ROUND}) AS tf_idf, rank FROM (
   FROM scored
 ) t WHERE rank <= 5""")
 
+    # Okapi BM25 top-k lexical retrieval (text.bm25_topk, Robertson &
+    # Zaragoza 2009): Spark scores via the zero-shuffle map shape
+    # (per-doc array-expression term counts, stats re-injected as
+    # literals, TakeOrderedAndProject cut); the oracle re-derives N,
+    # avgdl, per-term document frequency and the positive idf from the
+    # relational tf table, with the score written as the SAME
+    # left-associated sum over the sorted query terms so the float
+    # summation order matches. Query "spark window merge" tokenizes to
+    # itself under normalize(), so both engines score identical terms.
+    _bm25_q = ["merge", "spark", "window"]  # sorted, as bm25_topk sorts
+    _bm25_contrib = " + ".join(
+        f"(idf.i{i} * (q.tf{i} * {text.BM25_K1 + 1.0!r}) / "
+        f"(q.tf{i} + {text.BM25_K1!r} * ({1.0 - text.BM25_B!r} + "
+        f"{text.BM25_B!r} * q.dl / st.avgdl)))"
+        for i in range(len(_bm25_q))
+    )
+    add("doc_bm25_topk",
+        lambda spark, sf_dir: text.bm25_topk(
+            _docs(spark, sf_dir), "spark window merge", k=20),
+        f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+st AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n,
+         CAST((SELECT COALESCE(SUM(tf), 0) FROM tf) AS DOUBLE)
+           / (SELECT COUNT(DISTINCT doc_id) FROM documents) AS avgdl
+),
+dfreq AS (
+  SELECT {', '.join(f"(SELECT COUNT(*) FROM tf WHERE term = '{t}') AS d{i}"
+                    for i, t in enumerate(_bm25_q))}
+),
+idf AS (
+  SELECT {', '.join(f"LN(1.0 + (st.n - dfreq.d{i} + 0.5) / (dfreq.d{i} + 0.5)) AS i{i}"
+                    for i in range(len(_bm25_q)))}
+  FROM st, dfreq
+),
+q AS (
+  SELECT tf.doc_id, CAST(dl.dl AS DOUBLE) AS dl,
+         {', '.join(f"CAST(SUM(CASE WHEN term = '{t}' THEN tf ELSE 0 END) AS DOUBLE) AS tf{i}"
+                    for i, t in enumerate(_bm25_q))}
+  FROM tf JOIN dl USING (doc_id)
+  WHERE term IN ({', '.join(f"'{t}'" for t in _bm25_q)})
+  GROUP BY 1, 2
+)
+SELECT doc_id, bm25, CAST(ROW_NUMBER() OVER (
+    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+FROM (
+  SELECT q.doc_id, ROUND({_bm25_contrib}, {ROUND}) AS bm25
+  FROM q, st, idf
+) s
+ORDER BY bm25 DESC, doc_id LIMIT 20""")
+
     # All-pairs TF-IDF cosine similarity (text.tfidf_similarity_pairs,
     # Bayardo et al. 2007 all-pairs shape): sparse inverted-index
     # self-join on 60-bit hashed terms, smoothed idf shared with

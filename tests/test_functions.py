@@ -2322,6 +2322,68 @@ def test_tfidf_similarity_pairs(spark):
     assert uncapped[(1, 2)] == 1.0 and len(uncapped) == 6
 
 
+def test_bm25_topk(spark):
+    """BM25 against a hand-computed expectation (Robertson-Zaragoza form,
+    positive Lucene idf), plus contract edges: repeated query terms
+    collapse to distinct, normalization reaches the query (casing and
+    punctuation), non-matching docs never appear, ties break id-asc, and
+    an all-stopword-ish empty query raises."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge spark"),   # dl 4, tf(spark)=2
+            (2, "spark table scan row"),        # dl 4, tf(spark)=1
+            (3, "table scan row filter"),       # dl 4, no match
+            (4, "window"),                      # dl 1, tf(window)=1
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bm25_topk(docs, "Spark, window!", k=10).collect()}
+    assert set(out) == {1, 2, 4}
+
+    def idf(df_t, n=4):
+        return math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    k1, b, avgdl = 1.2, 0.75, 13 / 4
+    def contrib(tf, dl, df_t):
+        return idf(df_t) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = contrib(2, 4, 2) + contrib(1, 4, 2)           # spark + window
+    exp2 = contrib(1, 4, 2)                               # spark only
+    exp4 = contrib(1, 1, 2)                               # window only
+    assert out[1]["bm25"] == pytest.approx(exp1, abs=2e-7)
+    assert out[2]["bm25"] == pytest.approx(exp2, abs=2e-7)
+    assert out[4]["bm25"] == pytest.approx(exp4, abs=2e-7)
+    ranks = {r["doc_id"]: r["rank"] for r in out.values()}
+    assert ranks[1] == 1  # highest score first
+
+    # k cuts deterministically (score desc, id asc)
+    top1 = text.bm25_topk(docs, "spark window", k=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 1
+
+    with pytest.raises(ValueError, match="zero terms"):
+        text.bm25_topk(docs, "?!,.")
+
+
+def test_bm25_plan_zero_shuffle_scoring(spark):
+    """bm25_topk's 100-TB shape: per-doc term counts are pure array
+    expressions over the scan (no explode, no (doc, term) shuffle), the
+    top-k cut is a TakeOrderedAndProject (no global sort), and the plan
+    contains NO join — corpus statistics arrive as literals, not a
+    posting join."""
+    from alphastats_spark.plans.audit import explain_string
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta spark token{i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    plan = explain_string(text.bm25_topk(docs, "spark alpha", k=5), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+
+
 def test_classifier_score_paths_and_prior(spark, monkeypatch):
     """classifier_score's two physical paths (in-plan weight array vs
     explode + broadcast-join) produce IDENTICAL values; featureless
