@@ -1486,11 +1486,50 @@ SELECT Metric, Strategy FROM (
     # 23-name backlog whose only green row is r1/r2-era (18 r1 scalar
     # compositions + 5 r2 text queries) — after this window no registered
     # query's newest green row predates r3. (b)+(c)+(d) = 50 exactly.
-    front = [n for n in _ROUND13_WINDOW if n in q]
-    rest = [n for n in q if n not in _ROUND13_WINDOW]
+    front = [n for n in _ROUND14_WINDOW if n in q]
+    rest = [n for n in q if n not in _ROUND14_WINDOW]
     q = {n: q[n] for n in front + rest}
     o = {n: o[n] for n in front + rest if n in o}
     return q, o
+
+
+_ROUND14_WINDOW = [
+    # Round 14 window (50 slots). Priority (a) repaired fails: none — r13
+    # was 50/50. Priority (b): doc_bm25_topk, the one query REGISTERED
+    # this round (Okapi BM25 lexical retrieval, zero-shuffle map shape).
+    # Priority (c) implementation changed since last green: the two
+    # TF-IDF queries (the forced vocabulary-sized doc_freq broadcast
+    # became hint-free / AQE-decided — the r13 verdict's one weak item),
+    # and two representatives of the dedup index machinery whose meta
+    # write/read path gained the frozen-coefficient checksum stamp
+    # (dedup_index_admit exercises write+read, the streaming twin
+    # exercises the stream-side resolve; values are pinned unchanged —
+    # the frozen table equals the old derivation byte-for-byte).
+    "doc_bm25_topk", "doc_tfidf_topk", "doc_tfidf_pairs",
+    "dedup_index_admit", "dedup_streaming_index_candidates",
+    # Priority (d): the ENTIRE 31-name r9-stale pool (the r13 verdict
+    # item 3's exact list) — after this window no registered query's
+    # newest driver green predates r10.
+    "all_time", "avg_down_month", "avg_up_month", "best_day", "best_year",
+    "conditional_drawdown_at_risk", "corpus_cap_per_source",
+    "corpus_mix_sample", "corpus_top_docs_per_source",
+    "corpus_top_terms_per_source", "doc_fingerprint", "doc_lang_id",
+    "doc_lm_score", "event_attribution_decay", "event_attribution_linear",
+    "event_attribution_position", "event_session_streaming",
+    "event_transition_matrix", "expected_daily", "expected_shortfall",
+    "expected_yearly", "gain_to_pain_ratio_monthly", "geometric_mean",
+    "r2", "ror", "smart_sortino_sqrt2", "sortino_sqrt2", "win_days",
+    "win_year", "worst_day", "worst_month",
+    # Priority (e): 14 rotation slots over the oldest (r10-stale) pool —
+    # heavyweights and machinery diversity first: the ANN/embedding
+    # stack, the stateful streaming trio, then dedup/corpus fills. The
+    # remaining 32 r10-stale names front the r15 rotation.
+    "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+    "emb_label_centroids", "emb_near_dups_lsh", "emb_semdedup",
+    "streaming_drawdowns_keyed", "event_funnel_streaming",
+    "event_attribution_streaming", "dedup_exact", "corpus_hash_split",
+    "corpus_rollup_stats", "corpus_weighted_sample",
+]
 
 
 _ROUND13_WINDOW = [

@@ -688,6 +688,100 @@ def run_cap_sweep(
     return results
 
 
+def run_tfidf_pairs_probe(
+    spark,
+    sizes=(500_000, 1_000_000),
+    caps=(250, 1000, 4000),
+) -> dict:
+    """Scale probe for ``text.tfidf_similarity_pairs`` (r13 verdict item
+    2): every other all-pairs operator earned a measured candidate-growth
+    exponent before being trusted at scale; the TF-IDF inverted-index
+    join shipped with its ``max_term_df`` cap argued from first
+    principles only. At each corpus size and each cap this measures the
+    thresholded pair count and the end-to-end wall, plus — from ONE
+    vocabulary aggregate per size — the per-cap posting-table size and
+    the theoretical pre-threshold join volume ``Σ df·(df−1)/2`` (the
+    quantity the cap exists to bound: a term in D docs contributes D²
+    join rows, and the synthetic corpus's 25-token hot head sits at
+    df ≈ 0.75·n, which NO sane cap admits). Exponents are
+    doubling-normalized across the two sizes per cap.
+    """
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.functions import text as textmod
+
+    pts = []
+    for n_docs in sizes:
+        docs = synth_docs(spark, n_docs).persist()
+        docs.count()
+        point: dict = {"n_docs": n_docs, **load_stamp(), "caps": {}}
+        # one vocabulary pass: df histogram → per-cap posting rows and
+        # theoretical join volume (cheap relative to the join itself)
+        dfreq = (
+            textmod.term_frequencies(docs)
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        )
+        agg = dfreq.agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.max("df").alias("max_df"),
+            *[
+                F.sum(
+                    F.when(F.col("df").between(2, c), F.col("df"))
+                ).alias(f"post{c}")
+                for c in caps
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        F.col("df").between(2, c),
+                        F.col("df") * (F.col("df") - 1) / 2,
+                    )
+                ).cast("bigint").alias(f"vol{c}")
+                for c in caps
+            ],
+        ).first()
+        point["vocab"] = int(agg["vocab"])
+        point["max_df"] = int(agg["max_df"])
+        for cap in caps:
+            t0 = time.time()
+            n_pairs = textmod.tfidf_similarity_pairs(
+                docs, threshold=0.5, max_term_df=cap
+            ).count()
+            point["caps"][str(cap)] = {
+                "wall_s": round(time.time() - t0, 1),
+                "pairs": int(n_pairs),
+                "posting_rows": int(agg[f"post{cap}"] or 0),
+                "join_volume": int(agg[f"vol{cap}"] or 0),
+            }
+            print(
+                f"  tfidf_pairs[{n_docs}] cap={cap}: {n_pairs} pairs in "
+                f"{point['caps'][str(cap)]['wall_s']}s "
+                f"(postings {point['caps'][str(cap)]['posting_rows']}, "
+                f"join volume {point['caps'][str(cap)]['join_volume']})",
+                flush=True,
+            )
+        docs.unpersist()
+        pts.append(point)
+
+    def expn(va, vb):
+        if not va or not vb:
+            return None
+        return round(
+            math.log(vb / va) / math.log(pts[1]["n_docs"] / pts[0]["n_docs"]), 2
+        )
+
+    return {
+        "points": pts,
+        "exponents": {
+            str(c): {
+                k: expn(pts[0]["caps"][str(c)][k], pts[1]["caps"][str(c)][k])
+                for k in ("wall_s", "pairs", "posting_rows", "join_volume")
+            }
+            for c in caps
+        },
+    }
+
+
 def run_curation_probe(spark, sizes=(500_000, 1_000_000)) -> dict:
     """Composition-scale probe for ``pipeline.curate_corpus`` (r11 verdict
     item 5): the 9-stage pipeline is gated at sf0.01 and swept at sf0.1
@@ -980,8 +1074,10 @@ def main() -> None:
     cap_sweep = "--cap-sweep" in sys.argv  # r12: MAX_BAND_BUCKET sweep
     curation = "--curation" in sys.argv  # r12: curate_corpus probe 500k/1M
     sig_ab = "--signature-ab" in sys.argv  # r13: md5 vs affine31 at 2M/5M
+    tfidf_pairs = "--tfidf-pairs" in sys.argv  # r14: pairs join cap sweep
     stages = stages or deep4
-    deep3 = deep3 or stages or band_ab or curation or cap_sweep or sig_ab
+    deep3 = (deep3 or stages or band_ab or curation or cap_sweep or sig_ab
+             or tfidf_pairs)
     deep = deep or deep3
 
     # 16g driver heap: the 10x shingle/band self-joins spill-OOM local-mode's
@@ -1015,6 +1111,11 @@ def main() -> None:
 
     if cap_sweep:
         print(json.dumps({"cap_sweep": run_cap_sweep(spark),
+                          "stamp_presession": pre_stamp}))
+        return
+
+    if tfidf_pairs:
+        print(json.dumps({"tfidf_pairs": run_tfidf_pairs_probe(spark),
                           "stamp_presession": pre_stamp}))
         return
 
