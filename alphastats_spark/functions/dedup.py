@@ -87,14 +87,15 @@ MINHASH_PRIME = 2_147_483_647
 #: per j) — kept so indexes written before ``sig_family`` metadata
 #: existed keep admitting correctly against their stored bands.
 #:
-#: Design note for deployments that don't need the DuckDB oracle: the
-#: remaining md5 is now ONE digest per shingle, but Spark's builtin
-#: ``xxhash64`` is several times cheaper still — a future
-#: ``"xxh31"`` family (xxhash64 % p feeding the same affine
-#: transforms) would be a one-branch addition here, safe by
-#: construction because every index records its family in meta. Not
-#: shipped: it has no cross-engine oracle, and this repo's correctness
-#: story is value-hash parity.
+#: ``"xxh31"`` (opt-in, round 14): Spark's builtin ``xxhash64`` pmod
+#: the prime feeding the SAME frozen affine transforms — several times
+#: cheaper than even the one md5, for deployments that don't need the
+#: DuckDB oracle. It is NOT oracle-checkable (xxhash64 has no DuckDB
+#: twin), which is why affine31 stays the default in a repo whose
+#: correctness story is cross-engine value-hash parity; its min-wise
+#: estimator quality is pytest-pinned through the real signature path
+#: instead. Safe by construction: every index records its family (and
+#: its coefficient checksum) in meta, so mixed-family joins fail loudly.
 SIG_FAMILY = "affine31"
 
 
@@ -431,11 +432,24 @@ def recommend_banding(
     )
 
 
-def minhash_base_hash(col: Column) -> Column:
-    """The ONE per-shingle digest of the affine family: the canonical
-    60-bit md5 key (:func:`~alphastats_spark.functions.text.hash_key60`)
-    reduced mod :data:`MINHASH_PRIME`. Oracle mirror:
-    ``CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647``."""
+def minhash_base_hash(col: Column, family: str = "affine31") -> Column:
+    """The ONE per-shingle base hash feeding the affine transforms.
+
+    ``"affine31"``: the canonical 60-bit md5 key
+    (:func:`~alphastats_spark.functions.text.hash_key60`) reduced mod
+    :data:`MINHASH_PRIME`. Oracle mirror:
+    ``CAST(CONCAT('0x', substr(md5(x), 1, 15)) AS BIGINT) % 2147483647``.
+
+    ``"xxh31"``: Spark's builtin ``xxhash64`` (pmod'd non-negative) —
+    several times cheaper than even one md5, for deployments that don't
+    need the DuckDB oracle (xxhash64 has no DuckDB twin, so this family
+    is NOT oracle-checkable; see :data:`SIG_FAMILY`).
+
+    NOTE: keep calls inside higher-order-function lambdas UNARY
+    (``lambda s: minhash_base_hash(s, fam)``) — PySpark dispatches HOF
+    lambdas on parameter count, and this function now has two."""
+    if family == "xxh31":
+        return F.pmod(F.xxhash64(col), F.lit(MINHASH_PRIME))
     from alphastats_spark.functions.text import hash_key60
 
     return hash_key60(col) % F.lit(MINHASH_PRIME)
@@ -457,6 +471,10 @@ def minhash_signature_cols(
     left to codegen subexpression elimination; ``prehashed=True`` says
     ``src`` already holds the reduced base hash.
 
+    ``family="xxh31"``: same affine transforms over an ``xxhash64`` base
+    hash — cheaper still, but NOT oracle-checkable (see
+    :data:`SIG_FAMILY`).
+
     ``family="md5"``: the legacy k-independent-digests family, kept for
     dedup indexes written before ``sig_family`` metadata existed.
     """
@@ -466,9 +484,9 @@ def minhash_signature_cols(
             F.min(F.md5(F.concat(F.lit(f"seed{j}:"), col))).alias(f"mh{j}")
             for j in range(k)
         ]
-    if family != "affine31":
+    if family not in ("affine31", "xxh31"):
         raise ValueError(f"unknown MinHash signature family {family!r}")
-    h = col if prehashed else minhash_base_hash(col)
+    h = col if prehashed else minhash_base_hash(col, family)
     p = F.lit(MINHASH_PRIME)
     return [
         F.min((F.lit(a) * h + F.lit(b)) % p).alias(f"mh{j}")
@@ -495,7 +513,8 @@ def _sigs_over_shingles(
             *minhash_signature_cols(k, family), *extra_aggs
         )
     hashed = sh.select(
-        F.col(id_col), minhash_base_hash(F.col("shingle")).alias("__h")
+        F.col(id_col),
+        minhash_base_hash(F.col("shingle"), family).alias("__h"),
     )
     return hashed.groupBy(id_col).agg(
         *minhash_signature_cols(k, family, src="__h", prehashed=True),
@@ -565,7 +584,11 @@ def _hashed_shingles(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = MINHASH_K
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    family: str = SIG_FAMILY,
 ) -> DataFrame:
     """Per-document K min-hashes via explode + groupBy.
 
@@ -578,7 +601,7 @@ def minhash_signatures(
     faster plan at every scale tested.
     """
     exploded = _exploded_shingles(df, id_col, text_col)
-    return _sigs_over_shingles(exploded, id_col, k)
+    return _sigs_over_shingles(exploded, id_col, k, family)
 
 
 def _band_table(
@@ -1969,6 +1992,7 @@ def write_dedup_index(
     rows_per_band: int = ROWS_PER_BAND,
     n: int = 3,
     mode: str = "overwrite",
+    sig_family: str | None = None,
 ) -> None:
     """Materialize the corpus side of the incremental dedup as a stored
     index: ``<path>/bands`` (the MinHash band table, parquet PARTITIONED
@@ -1978,10 +2002,17 @@ def write_dedup_index(
     re-hashing the corpus — the production shape where the corpus is
     billions of documents and ingest cost must be O(batch).
 
+    ``sig_family``: ``None`` (default) builds with :data:`SIG_FAMILY`
+    for a fresh index and INHERITS the stored family on append;
+    ``"affine31"`` or ``"xxh31"`` selects explicitly (an explicit value
+    conflicting with an appended-to index raises — its rows would never
+    collide with the stored corpus's). ``"md5"`` is read-only legacy:
+    new indexes can't be built with it.
+
     ``<path>/meta`` records the hash parameters (k, rows_per_band, n,
-    sig_family) the index was built with: an admit pass hashed with
-    DIFFERENT parameters produces zero band collisions and silently
-    admits every near-duplicate, so the readers
+    sig_family, sig_coeffs) the index was built with: an admit pass
+    hashed with DIFFERENT parameters produces zero band collisions and
+    silently admits every near-duplicate, so the readers
     (:func:`admit_against_index`,
     :func:`alphastats_spark.streaming.streaming_index_candidates`) load
     these as defaults and fail loudly on an explicit mismatch. Written as
@@ -1989,7 +2020,14 @@ def write_dedup_index(
     Hadoop-compatible filesystem (no driver-local ``open()``)."""
     from alphastats_spark.operators import ordered
 
-    family = SIG_FAMILY
+    if sig_family is not None and sig_family not in ("affine31", "xxh31"):
+        raise ValueError(
+            f"cannot build a new index with sig_family={sig_family!r}: "
+            "'affine31' (oracle-checkable default) and 'xxh31' (cheaper, "
+            "no cross-engine oracle) are the writable families; 'md5' is "
+            "the read-only legacy family of pre-r13 indexes"
+        )
+    family = sig_family if sig_family is not None else SIG_FAMILY
     # an APPEND into an existing index must hash with the index's own
     # parameters: band rows hashed with different (k, rows_per_band, n)
     # — or a different signature FAMILY (the r13 md5 → affine31 default
@@ -2002,7 +2040,15 @@ def write_dedup_index(
     if mode == "append":
         existing = read_index_meta(corpus_df.sparkSession, path)
         if existing is not None:
-            _, _, _, family = _resolve_index_params(existing, k, rows_per_band, n)
+            _, _, _, stored = _resolve_index_params(existing, k, rows_per_band, n)
+            if sig_family is not None and sig_family != stored:
+                raise ValueError(
+                    f"sig_family={sig_family!r} does not match the index "
+                    f"(built with {stored!r}); mixed-family band rows "
+                    "never collide, silently admitting every "
+                    "near-duplicate of the stored corpus"
+                )
+            family = stored
         else:
             # a band table with NO meta is a pre-metadata (legacy) index:
             # its rows may be hashed with ANY parameters, and stamping
@@ -2048,7 +2094,7 @@ def write_dedup_index(
         # runtime with a divergent coefficient table raises instead of
         # hashing into empty buckets (null for the coefficient-free md5
         # family, and for pre-r14 affine indexes, which predate the stamp)
-        coeffs = _affine_checksum(int(k)) if family == "affine31" else None
+        coeffs = _affine_checksum(int(k)) if family != "md5" else None
         corpus_df.sparkSession.createDataFrame(
             [(int(k), int(rows_per_band), int(n), 2, family, coeffs)],
             "k int, rows_per_band int, n int, version int, "
@@ -2209,7 +2255,7 @@ def _resolve_index_params(meta, k, rows_per_band, n, allow_defaults=False):
         stored_family = getattr(meta, "sig_family", None)
         family = stored_family if stored_family is not None else "md5"
         stored_coeffs = getattr(meta, "sig_coeffs", None)
-        if family == "affine31" and stored_coeffs is not None:
+        if family in ("affine31", "xxh31") and stored_coeffs is not None:
             # the index's band signatures bake the coefficient prefix in;
             # a runtime whose _AFFINE_TABLE diverged (edited, truncated,
             # reordered) would hash every batch into empty buckets — fail

@@ -269,7 +269,8 @@ def _stream_banded(
     of the batch ``dedup._sigs_over_shingles`` structure.
     ``sig_family`` must match whatever built the table this stream joins
     against (``dedup.SIG_FAMILY`` default; ``"md5"`` for pre-r13
-    indexes — callers resolve it from the index meta)."""
+    indexes, ``"xxh31"`` for indexes built with the cheaper non-oracle
+    family — callers resolve it from the index meta)."""
     from alphastats_spark.functions import dedup as _dedup
     from alphastats_spark.functions.dedup import shingles
 
@@ -301,13 +302,19 @@ def _stream_banded(
                 )
             )
     else:
-        if sig_family != "affine31":
+        if sig_family not in ("affine31", "xxh31"):
             raise ValueError(f"unknown MinHash signature family {sig_family!r}")
-        # one md5 per shingle, projected once; each mh(j) is then k-cheap
-        # integer arithmetic over the SAME hashed array
+        # one base digest per shingle, projected once; each mh(j) is then
+        # k-cheap integer arithmetic over the SAME hashed array. The
+        # lambda must stay UNARY: minhash_base_hash takes a family
+        # parameter now, and F.transform passes the array index to a
+        # 2-parameter function
+        fam = sig_family
         base = base.select(
             "__id",
-            F.transform(F.col("__sh"), _dedup.minhash_base_hash).alias("__sh"),
+            F.transform(
+                F.col("__sh"), lambda s: _dedup.minhash_base_hash(s, fam)
+            ).alias("__sh"),
         )
         coeffs = _dedup._affine_coeffs(k)
         p = F.lit(_dedup.MINHASH_PRIME)

@@ -1236,6 +1236,77 @@ def test_index_meta_coeffs_checksum(spark, tmp_path):
     assert dedup.admit_against_index(docs.limit(5), path).count() == 5
 
 
+def test_xxh31_index_roundtrip(spark, tmp_path):
+    """The opt-in xxh31 family (xxhash64 base hash feeding the same
+    frozen affine transforms): an index built with it records the family
+    AND the coefficient checksum in meta, batch admit resolves the stored
+    family (exact copies collide in every band; novel docs admit), the
+    streaming reader threads the family through its banding, a
+    conflicting-family append raises, and 'md5' is read-only legacy."""
+    from alphastats_spark.functions import dedup
+    from alphastats_spark.streaming import streaming_index_candidates
+
+    corpus = _tiny_docs(spark).where("doc_id % 5 != 0")
+    path = str(tmp_path / "xxh_idx")
+    dedup.write_dedup_index(
+        corpus, path, k=8, rows_per_band=2, n=3, sig_family="xxh31"
+    )
+    meta = dedup.read_index_meta(spark, path)
+    assert meta.sig_family == "xxh31"
+    assert meta.sig_coeffs == dedup._affine_checksum(8)
+
+    batch = spark.createDataFrame(
+        [
+            (1001, " ".join(f"tok{(1 * 13 + j * 7) % 23}" for j in range(12))),
+            (1003, " ".join(f"novel{j}" for j in range(12))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.admit_against_index(batch, path, threshold=0.5).collect()
+    }
+    assert not out[1001]["admitted"] and out[1001]["best_jaccard"] == 1.0
+    assert out[1003]["admitted"]
+
+    # the streaming reader resolves the stored xxh31 family from meta
+    src = str(tmp_path / "xxh_stream_src")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    bands = spark.read.parquet(f"{path}/bands")
+    name = "xxh_idx_stream_q"
+    sq = (
+        streaming_index_candidates(stream, bands, index_path=path)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    sq.awaitTermination(120)
+    got = {
+        r["new_id"]
+        for r in spark.table(name).select("new_id").distinct().collect()
+    }
+    assert 1001 in got and 1003 not in got
+
+    # conflicting explicit family on append raises; md5 builds are legacy
+    with pytest.raises(ValueError, match="does not match the index"):
+        dedup.write_dedup_index(
+            corpus, path, k=8, rows_per_band=2, n=3,
+            mode="append", sig_family="affine31",
+        )
+    with pytest.raises(ValueError, match="read-only legacy"):
+        dedup.write_dedup_index(
+            corpus, str(tmp_path / "md5_idx"), sig_family="md5"
+        )
+    # signature values live in the same [0, p) universe but are a
+    # DIFFERENT hash family — they must not accidentally equal affine31's
+    aff = dedup.minhash_signatures(corpus.limit(3), k=4).collect()
+    xxh = dedup.minhash_signatures(corpus.limit(3), k=4, family="xxh31").collect()
+    assert all(
+        0 <= v < dedup.MINHASH_PRIME for r in xxh for v in tuple(r)[1:]
+    )
+    assert [tuple(r)[1:] for r in aff] != [tuple(r)[1:] for r in xxh]
+
+
 def test_streaming_index_bands_without_path_warns(spark, tmp_path):
     """streaming_index_candidates with index_bands but NO index_path bands
     the stream with CURRENT module defaults — against md5-era stored
