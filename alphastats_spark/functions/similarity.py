@@ -779,3 +779,118 @@ def quantize_embeddings(
         F.size("q").alias("n_dims"),
         err.alias("max_abs_err"),
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_cols: str | list[str] = "id",
+    out_id_col: str = "id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists (Cormack,
+    Clarke & Buettcher, SIGIR 2009): ``rrf(d) = Σ_lists 1/(c + rank_d)``
+    over the lists that contain document ``d``. The standard way a RAG
+    stack combines BM25 (:func:`~alphastats_spark.functions.text.
+    bm25_topk`) with dense retrieval (:func:`cosine_topk` / the IVF
+    stack) — rank-based, so no per-retriever score calibration needed.
+
+    Each input frame must carry an id column (``id_cols``: one name for
+    all, or one per frame) and an integer 1-based ``rank`` column.
+    Output ``(out_id_col, rrf, rank)``, score rounded to 7 decimals,
+    ties broken by id ascending.
+
+    Determinism across engines: the fused score is built as a
+    LEFT-ASSOCIATED chain of per-list contributions over an N-way
+    full-outer join (NOT a union + SUM, whose float accumulation order
+    Spark does not define) — an oracle that writes the same explicit
+    ``COALESCE(...) + COALESCE(...)`` chain reproduces the doubles
+    bit-for-bit.
+
+    Plan shape at 100 TB: the inputs are top-k lists — a few hundred
+    rows each regardless of corpus size — so the N-way join and the
+    final TakeOrderedAndProject never touch anything corpus-sized; the
+    heavy lifting stays in the upstream retrievers, which are scale-
+    audited on their own (bm25's zero-shuffle map, IVF's partition-
+    pruned probes).
+    """
+    from functools import reduce
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    if isinstance(id_cols, str):
+        id_cols = [id_cols] * len(ranked)
+    if len(id_cols) != len(ranked):
+        raise ValueError(
+            f"id_cols has {len(id_cols)} names for {len(ranked)} frames"
+        )
+    parts = [
+        df.select(
+            F.col(ic).alias(out_id_col),
+            (F.lit(1.0) / (F.lit(c) + F.col("rank").cast("double"))).alias(
+                f"__c{i}"
+            ),
+        )
+        for i, (df, ic) in enumerate(zip(ranked, id_cols))
+    ]
+    joined = reduce(
+        lambda a, b: a.join(b, on=out_id_col, how="full_outer"), parts
+    )
+    score = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"__c{i}"), F.lit(0.0)),
+        range(1, len(parts)),
+        F.coalesce(F.col("__c0"), F.lit(0.0)),
+    )
+    top = (
+        joined.select(F.col(out_id_col), F.round(score, 7).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(out_id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf"), F.asc(out_id_col))
+    # the rank window runs over the ALREADY-CUT <=k rows, never the inputs
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(out_id_col, "rrf", "rank")
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 20,
+    c: int = 60,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 top-``depth`` over ``docs``
+    and brute-force cosine top-``depth`` over ``embeddings`` (ids must
+    share a key space), fused with :func:`rrf_fuse` to the final top-k.
+    ``depth`` is the per-retriever candidate depth — the usual RAG shape
+    retrieves deeper than it returns (depth > k) so a document ranked
+    just outside one retriever's top-k can still win on the fused score.
+
+    Swap :func:`cosine_topk` for :func:`ivf_topk` / :func:`ivfpq_topk`
+    at index-backed scale by calling :func:`rrf_fuse` directly on their
+    outputs; this convenience wrapper keeps the oracle-checkable
+    brute-force baseline.
+    """
+    from alphastats_spark.functions.text import bm25_topk
+    from pyspark.sql import Window
+
+    bm = bm25_topk(
+        docs, query_text, k=depth, id_col=doc_id_col, text_col=text_col
+    )
+    dn = cosine_topk(
+        embeddings, query_vec, k=depth, id_col=vec_id_col, vec_col=vec_col
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(vec_id_col))
+    dn = dn.withColumn("rank", F.row_number().over(w).cast("int"))
+    return rrf_fuse(
+        [bm, dn], k=k, c=c, id_cols=[doc_id_col, vec_id_col], out_id_col="id"
+    )

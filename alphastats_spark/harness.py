@@ -1495,8 +1495,10 @@ SELECT Metric, Strategy FROM (
 
 _ROUND14_WINDOW = [
     # Round 14 window (50 slots). Priority (a) repaired fails: none — r13
-    # was 50/50. Priority (b): doc_bm25_topk, the one query REGISTERED
-    # this round (Okapi BM25 lexical retrieval, zero-shuffle map shape).
+    # was 50/50. Priority (b): the two queries REGISTERED this round —
+    # doc_bm25_topk (Okapi BM25 lexical retrieval, zero-shuffle map
+    # shape) and doc_hybrid_rrf (reciprocal-rank fusion of the BM25 and
+    # dense-cosine top-k lists).
     # Priority (c) implementation changed since last green: the two
     # TF-IDF queries (the forced vocabulary-sized doc_freq broadcast
     # became hint-free / AQE-decided — the r13 verdict's one weak item),
@@ -1505,7 +1507,7 @@ _ROUND14_WINDOW = [
     # (dedup_index_admit exercises write+read, the streaming twin
     # exercises the stream-side resolve; values are pinned unchanged —
     # the frozen table equals the old derivation byte-for-byte).
-    "doc_bm25_topk", "doc_tfidf_topk", "doc_tfidf_pairs",
+    "doc_bm25_topk", "doc_hybrid_rrf", "doc_tfidf_topk", "doc_tfidf_pairs",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (d): the ENTIRE 31-name r9-stale pool (the r13 verdict
     # item 3's exact list) — after this window no registered query's
@@ -1528,7 +1530,7 @@ _ROUND14_WINDOW = [
     "emb_label_centroids", "emb_near_dups_lsh", "emb_semdedup",
     "streaming_drawdowns_keyed", "event_funnel_streaming",
     "event_attribution_streaming", "dedup_exact", "corpus_hash_split",
-    "corpus_rollup_stats", "corpus_weighted_sample",
+    "corpus_rollup_stats",
 ]
 
 
@@ -3108,11 +3110,9 @@ SELECT doc_id, term, tf, ROUND(tf_idf, {ROUND}) AS tf_idf, rank FROM (
         f"{text.BM25_B!r} * q.dl / st.avgdl)))"
         for i in range(len(_bm25_q))
     )
-    add("doc_bm25_topk",
-        lambda spark, sf_dir: text.bm25_topk(
-            _docs(spark, sf_dir), "spark window merge", k=20),
-        f"""
-WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    # CTE chain shared verbatim by doc_bm25_topk and doc_hybrid_rrf so
+    # the fused oracle's lexical leg is byte-identical to the gated one.
+    _bm25_ctes = f"""norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
 toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
 dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
@@ -3137,14 +3137,66 @@ q AS (
   FROM tf JOIN dl USING (doc_id)
   WHERE term IN ({', '.join(f"'{t}'" for t in _bm25_q)})
   GROUP BY 1, 2
+),
+bm AS (
+  SELECT doc_id, bm25, CAST(ROW_NUMBER() OVER (
+      ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+  FROM (
+    SELECT q.doc_id, ROUND({_bm25_contrib}, {ROUND}) AS bm25
+    FROM q, st, idf
+  ) s
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+)"""
+
+    add("doc_bm25_topk",
+        lambda spark, sf_dir: text.bm25_topk(
+            _docs(spark, sf_dir), "spark window merge", k=20),
+        f"""
+WITH {_bm25_ctes}
+SELECT doc_id, bm25, rank FROM bm ORDER BY bm25 DESC, doc_id""")
+
+    # Hybrid lexical+dense retrieval fused with reciprocal-rank fusion
+    # (similarity.rrf_fuse / hybrid_topk; Cormack, Clarke & Buettcher,
+    # SIGIR 2009): BM25 top-20 over documents and brute-force cosine
+    # top-20 over embeddings (shared 0..N id space), fused as
+    # 1/(60+rank) contributions. Both engines build the fused score as
+    # the SAME left-associated COALESCE chain over a full-outer join —
+    # never a SUM whose float order is engine-defined — so the doubles
+    # match bit-for-bit before the shared 7dp round.
+    def _hybrid_query(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return similarity.hybrid_topk(
+            _docs(spark, sf_dir), emb, "spark window merge", qvec,
+            k=10, depth=20)
+
+    add("doc_hybrid_rrf", _hybrid_query, f"""
+WITH {_bm25_ctes},
+dq AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    ROUND(list_dot_product(embedding::DOUBLE[], qe)
+      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(qe, qe))), {ROUND}) AS cosine
+  FROM embeddings, dq
+),
+dn AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+  ) t WHERE rank <= 20
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, dn.vec_id) AS id,
+         ROUND(COALESCE(1.0 / (60 + bm.rank), 0.0)
+             + COALESCE(1.0 / (60 + dn.rank), 0.0), {ROUND}) AS rrf
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.vec_id
 )
-SELECT doc_id, bm25, CAST(ROW_NUMBER() OVER (
-    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
-FROM (
-  SELECT q.doc_id, ROUND({_bm25_contrib}, {ROUND}) AS bm25
-  FROM q, st, idf
-) s
-ORDER BY bm25 DESC, doc_id LIMIT 20""")
+SELECT id, rrf, CAST(ROW_NUMBER() OVER (
+    ORDER BY rrf DESC, id) AS INTEGER) AS rank
+FROM (SELECT * FROM fused ORDER BY rrf DESC, id LIMIT 10) f
+ORDER BY rrf DESC, id""")
 
     # All-pairs TF-IDF cosine similarity (text.tfidf_similarity_pairs,
     # Bayardo et al. 2007 all-pairs shape): sparse inverted-index

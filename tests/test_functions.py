@@ -3148,3 +3148,92 @@ def test_curate_corpus_lineage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="exact_dup stage"):
         pipeline.curate_corpus(df, bench, rules=[checks.unique("doc_id")])
+
+
+def test_rrf_fuse(spark):
+    """Reciprocal-rank fusion against hand-computed 1/(c+rank) sums:
+    docs in both lists outrank single-list docs, the fused score is the
+    exact two-term sum, ties break id-asc, and k cuts the fused list."""
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(12, 1), (13, 2), (10, 3)], "vec_id bigint, rank int"
+    )
+    out = {
+        r["id"]: r
+        for r in similarity.rrf_fuse(
+            [a, b], k=10, c=60, id_cols=["doc_id", "vec_id"]
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["rrf"] == pytest.approx(1 / 61 + 1 / 63, abs=2e-7)
+    assert out[12]["rrf"] == pytest.approx(1 / 63 + 1 / 61, abs=2e-7)
+    assert out[11]["rrf"] == pytest.approx(1 / 62, abs=2e-7)
+    assert out[13]["rrf"] == pytest.approx(1 / 62, abs=2e-7)
+    # 10 and 12 share the (commutative) two-term score — id-asc tiebreak
+    assert out[10]["rank"] == 1 and out[12]["rank"] == 2
+    # 11 and 13 tie on 1/62 — id-asc again
+    assert out[11]["rank"] == 3 and out[13]["rank"] == 4
+
+    top2 = similarity.rrf_fuse(
+        [a, b], k=2, c=60, id_cols=["doc_id", "vec_id"]
+    ).collect()
+    assert [r["id"] for r in top2] == [10, 12]
+
+    with pytest.raises(ValueError, match="at least one"):
+        similarity.rrf_fuse([], k=2)
+    with pytest.raises(ValueError, match="names for"):
+        similarity.rrf_fuse([a, b], id_cols=["doc_id"])
+
+
+def test_hybrid_topk(spark):
+    """hybrid_topk composes bm25_topk + cosine_topk + rrf_fuse with
+    hand-traced ranks. Lexical order (query "spark window merge"):
+    doc 1 > doc 2 > doc 4 (doc 3 matches no term, so only three BM25
+    rows even at depth 3). Dense order (query [1, 0]): vec 3 (cos 1.0)
+    > vec 2 (0.9938) > vec 1 (0.0); vec 4 (-1.0) falls outside
+    depth 3. Fused 1/(60+rank) sums follow exactly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window merge spark window"),  # lexical winner
+            (2, "spark window merge"),               # good in both
+            (3, "table scan filter"),                # dense only
+            (4, "window"),                           # lexical only
+        ],
+        "doc_id bigint, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),    # orthogonal to query — still dense rank 3
+            (2, [0.9, 0.1]),    # near query
+            (3, [1.0, 0.0]),    # dense winner
+            (4, [-1.0, 0.0]),   # anti-parallel — outside depth 3
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.hybrid_topk(
+        docs, embs, "spark window merge", [1.0, 0.0], k=4, depth=3
+    ).collect()
+    assert list(out[0].asDict()) == ["id", "rrf", "rank"]
+    got = {r["id"]: r for r in out}
+    assert got[1]["rrf"] == pytest.approx(1 / 61 + 1 / 63, abs=2e-7)
+    assert got[2]["rrf"] == pytest.approx(1 / 62 + 1 / 62, abs=2e-7)
+    assert got[3]["rrf"] == pytest.approx(1 / 61, abs=2e-7)
+    assert got[4]["rrf"] == pytest.approx(1 / 63, abs=2e-7)
+    # two-list docs beat single-list docs; 1/61+1/63 edges out 2/62
+    assert [got[i]["rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_plan_no_corpus_shuffle(spark):
+    """rrf_fuse's plan: the fused cut is a TakeOrderedAndProject (no
+    global sort) and the score is a join of the (tiny) ranked lists —
+    no aggregate, whose float accumulation order Spark leaves
+    engine-defined."""
+    from alphastats_spark.plans.audit import explain_string
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id bigint, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "id bigint, rank int")
+    plan = explain_string(similarity.rrf_fuse([a, b], k=5), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "HashAggregate" not in plan, plan
