@@ -755,3 +755,77 @@ def domain_stats(
             F.countDistinct(id_col).cast("bigint").alias("n_docs"),
         )
     )
+
+
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram distribution divergence between two corpus slices —
+    the drift / mixture diagnostic a training-data pipeline runs before
+    blending sources or after a scrape refresh (did the new crawl's
+    token distribution move?). Returns ONE row:
+
+    ``(kl_ab, kl_ba, js_divergence, vocab_union, tokens_a, tokens_b)``
+
+    with add-``alpha`` (Jelinek-style Laplace) smoothing over the UNION
+    vocabulary: ``p(t) = (c_a(t) + α) / (T_a + α·V)`` and symmetrically
+    for q, so every union term has positive mass on both sides and the
+    KLs are finite. ``js = ½·KL(P‖M) + ½·KL(Q‖M)`` with ``M = (P+Q)/2``
+    — symmetric and bounded by ln 2. Values rounded to 7 decimals; the
+    count columns are exact bigints.
+
+    Plan shape at 100 TB: two map-side-combinable token-count
+    aggregations (one per slice), one vocabulary-sized full-outer join
+    on term, the (T_a, T_b, V) totals crossed in as a one-row aggregate
+    (never a vocabulary broadcast — cf. the r13 TF-IDF fix), and a
+    single global aggregate. Nothing corpus-sized shuffles twice, no
+    collect, no driver-side vocabulary. Cross-engine float determinism:
+    each term's contribution is an exact-int-derived double and the
+    final sums tolerate any accumulation order at 7dp (per-term terms
+    are ~1/V, double round-off accumulates ~V·2⁻⁵³ ≪ 1e-7).
+    """
+
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(tokens(normalize(F.col(text_col)))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    j = (
+        _counts(df_a, "a")
+        .join(_counts(df_b, "b"), on="term", how="full_outer")
+        .select(
+            F.coalesce(F.col("c_a"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("c_b"), F.lit(0)).alias("cb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    p = (F.col("ca") + a) / (F.col("ta") + a * F.col("v"))
+    q = (F.col("cb") + a) / (F.col("tb") + a * F.col("v"))
+    m = (p + q) / F.lit(2.0)
+    return (
+        j.crossJoin(tot)  # 1-row totals frame — not a data cross join
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 7).alias("kl_ab"),
+            F.round(F.sum(q * F.log(q / p)), 7).alias("kl_ba"),
+            F.round(
+                F.lit(0.5) * F.sum(p * F.log(p / m))
+                + F.lit(0.5) * F.sum(q * F.log(q / m)),
+                7,
+            ).alias("js_divergence"),
+            F.max("v").alias("vocab_union"),
+            F.max("ta").alias("tokens_a"),
+            F.max("tb").alias("tokens_b"),
+        )
+    )

@@ -1495,10 +1495,11 @@ SELECT Metric, Strategy FROM (
 
 _ROUND14_WINDOW = [
     # Round 14 window (50 slots). Priority (a) repaired fails: none — r13
-    # was 50/50. Priority (b): the two queries REGISTERED this round —
+    # was 50/50. Priority (b): the three queries REGISTERED this round —
     # doc_bm25_topk (Okapi BM25 lexical retrieval, zero-shuffle map
-    # shape) and doc_hybrid_rrf (reciprocal-rank fusion of the BM25 and
-    # dense-cosine top-k lists).
+    # shape), doc_hybrid_rrf (reciprocal-rank fusion of the BM25 and
+    # dense-cosine top-k lists), and corpus_js_divergence (smoothed
+    # KL/JS drift diagnostic between two corpus slices).
     # Priority (c) implementation changed since last green: the two
     # TF-IDF queries (the forced vocabulary-sized doc_freq broadcast
     # became hint-free / AQE-decided — the r13 verdict's one weak item),
@@ -1507,7 +1508,8 @@ _ROUND14_WINDOW = [
     # (dedup_index_admit exercises write+read, the streaming twin
     # exercises the stream-side resolve; values are pinned unchanged —
     # the frozen table equals the old derivation byte-for-byte).
-    "doc_bm25_topk", "doc_hybrid_rrf", "doc_tfidf_topk", "doc_tfidf_pairs",
+    "doc_bm25_topk", "doc_hybrid_rrf", "corpus_js_divergence",
+    "doc_tfidf_topk", "doc_tfidf_pairs",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (d): the ENTIRE 31-name r9-stale pool (the r13 verdict
     # item 3's exact list) — after this window no registered query's
@@ -1530,7 +1532,6 @@ _ROUND14_WINDOW = [
     "emb_label_centroids", "emb_near_dups_lsh", "emb_semdedup",
     "streaming_drawdowns_keyed", "event_funnel_streaming",
     "event_attribution_streaming", "dedup_exact", "corpus_hash_split",
-    "corpus_rollup_stats",
 ]
 
 
@@ -3252,6 +3253,57 @@ SELECT source, term, n_occurrences, rank FROM (
       PARTITION BY source ORDER BY n_occurrences DESC, term) AS INTEGER) AS rank
   FROM c
 ) t WHERE rank <= 10""")
+
+    # Unigram-distribution divergence between two corpus slices
+    # (text.corpus_divergence): add-0.5 smoothed KL both ways + the
+    # bounded symmetric JS over the union vocabulary — the drift /
+    # mixture diagnostic run before blending sources. Slices: the
+    # first ten synthetic sources vs the other ten. Both engines
+    # compute per-term contributions from exact integer counts; the
+    # final sums tolerate any accumulation order at 7dp (terms are
+    # ~1/V, round-off accumulates ~V*2^-53).
+    _div_srcs = ", ".join(f"'src{i}'" for i in range(10))
+
+    def _divergence_query(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        in_a = F.col("source").isin([f"src{i}" for i in range(10)])
+        return text.corpus_divergence(d.where(in_a), d.where(~in_a))
+
+    add("corpus_js_divergence", _divergence_query, f"""
+WITH ca AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents WHERE source IN ({_div_srcs})
+  ) t WHERE term <> '' GROUP BY 1
+),
+cb AS (
+  SELECT term, COUNT(*) AS c FROM (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents WHERE source NOT IN ({_div_srcs})
+  ) t WHERE term <> '' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(ca.c, 0) AS cca, COALESCE(cb.c, 0) AS ccb
+  FROM ca FULL OUTER JOIN cb USING (term)
+),
+tot AS (
+  SELECT CAST(SUM(cca) AS BIGINT) AS ta, CAST(SUM(ccb) AS BIGINT) AS tb,
+         COUNT(*) AS v
+  FROM j
+),
+s AS (
+  SELECT (cca + 0.5) / (ta + 0.5 * v) AS p,
+         (ccb + 0.5) / (tb + 0.5 * v) AS q
+  FROM j, tot
+)
+SELECT ROUND(SUM(p * LN(p / q)), {ROUND}) AS kl_ab,
+       ROUND(SUM(q * LN(q / p)), {ROUND}) AS kl_ba,
+       ROUND(0.5 * SUM(p * LN(p / ((p + q) / 2.0)))
+           + 0.5 * SUM(q * LN(q / ((p + q) / 2.0))), {ROUND}) AS js_divergence,
+       (SELECT v FROM tot) AS vocab_union,
+       (SELECT ta FROM tot) AS tokens_a,
+       (SELECT tb FROM tot) AS tokens_b
+FROM s""")
 
     add("corpus_ngram_counts",
         lambda spark, sf_dir: text.ngram_counts(_docs(spark, sf_dir), n=2, min_count=2),

@@ -107,7 +107,8 @@ def main() -> None:
     for flag, key in (("--band-ab-file", "banding_ab"),
                       ("--cap-sweep-file", "cap_sweep"),
                       ("--signature-ab-file", "signature_ab"),
-                      ("--curation-file", "curation")):
+                      ("--curation-file", "curation"),
+                      ("--tfidf-pairs-file", "tfidf_pairs")):
         if flag in sys.argv:
             with open(sys.argv[sys.argv.index(flag) + 1]) as f:
                 loaded = json.load(f)

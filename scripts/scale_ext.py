@@ -233,6 +233,18 @@ def run_suite(spark, docs, ev) -> dict[str, float]:
                  ).alias("text"))
     t("edit_distance_join", lambda: dedup.edit_distance_join(
         keys, max_distance=1).count())
+
+    # round-14 additions: BM25 lexical retrieval (zero-shuffle per-doc
+    # map + one tiny stats aggregate — claim ~1.0, scan-bound) and the
+    # corpus drift diagnostic (two token-count aggs + one vocabulary-
+    # sized full-outer join; vocabulary grows with Heaps-law tail, so
+    # the claim is ~linear in tokens, never a broadcast)
+    from alphastats_spark.functions import text as textmod
+
+    t("bm25_topk", lambda: textmod.bm25_topk(
+        docs, "spark window merge", k=20).collect())
+    t("corpus_divergence", lambda: textmod.corpus_divergence(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")).collect())
     docs.unpersist(), ev.unpersist()
     return out
 

@@ -3237,3 +3237,53 @@ def test_rrf_fuse_plan_no_corpus_shuffle(spark):
     plan = explain_string(similarity.rrf_fuse([a, b], k=5), "simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_corpus_divergence(spark):
+    """KL/JS against a hand-replicated smoothed computation on a tiny
+    pair of slices, plus contracts: identical slices diverge by ~0,
+    the argument swap mirrors kl_ab/kl_ba and preserves js, and js is
+    bounded by ln 2."""
+    a = spark.createDataFrame([(1, "a a b")], "doc_id bigint, text string")
+    b = spark.createDataFrame([(2, "a c")], "doc_id bigint, text string")
+    row = text.corpus_divergence(a, b).first()
+
+    ca, cb = {"a": 2, "b": 1, "c": 0}, {"a": 1, "b": 0, "c": 1}
+    ta, tb, v, al = 3, 2, 3, 0.5
+    p = {t: (ca[t] + al) / (ta + al * v) for t in ca}
+    q = {t: (cb[t] + al) / (tb + al * v) for t in cb}
+    kl_ab = sum(p[t] * math.log(p[t] / q[t]) for t in ca)
+    kl_ba = sum(q[t] * math.log(q[t] / p[t]) for t in ca)
+    js = 0.5 * sum(p[t] * math.log(p[t] / ((p[t] + q[t]) / 2)) for t in ca) \
+        + 0.5 * sum(q[t] * math.log(q[t] / ((p[t] + q[t]) / 2)) for t in ca)
+    assert row["kl_ab"] == pytest.approx(kl_ab, abs=2e-7)
+    assert row["kl_ba"] == pytest.approx(kl_ba, abs=2e-7)
+    assert row["js_divergence"] == pytest.approx(js, abs=2e-7)
+    assert 0 < row["js_divergence"] < math.log(2)
+    assert (row["vocab_union"], row["tokens_a"], row["tokens_b"]) == (3, 3, 2)
+
+    swapped = text.corpus_divergence(b, a).first()
+    assert swapped["kl_ab"] == row["kl_ba"]
+    assert swapped["kl_ba"] == row["kl_ab"]
+    assert swapped["js_divergence"] == row["js_divergence"]
+
+    same = text.corpus_divergence(a, a).first()
+    assert same["kl_ab"] == 0.0 and same["js_divergence"] == 0.0
+
+
+def test_corpus_divergence_plan_no_broadcast_hint(spark):
+    """The term full-outer join is vocabulary-sized on BOTH sides — the
+    optimized logical plan must carry no forced broadcast hint (the r13
+    TF-IDF lesson: vocabulary grows with the corpus; AQE may still pick
+    a broadcast at runtime when a side fits)."""
+    a = spark.createDataFrame(
+        [(i, f"tok{i} shared") for i in range(40)], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(i, f"tok{i + 20} shared") for i in range(40)], "doc_id bigint, text string"
+    )
+    logical = (
+        text.corpus_divergence(a, b)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "broadcast" not in logical.lower(), logical
