@@ -1495,11 +1495,12 @@ SELECT Metric, Strategy FROM (
 
 _ROUND14_WINDOW = [
     # Round 14 window (50 slots). Priority (a) repaired fails: none — r13
-    # was 50/50. Priority (b): the three queries REGISTERED this round —
+    # was 50/50. Priority (b): the four queries REGISTERED this round —
     # doc_bm25_topk (Okapi BM25 lexical retrieval, zero-shuffle map
     # shape), doc_hybrid_rrf (reciprocal-rank fusion of the BM25 and
-    # dense-cosine top-k lists), and corpus_js_divergence (smoothed
-    # KL/JS drift diagnostic between two corpus slices).
+    # dense-cosine top-k lists), corpus_js_divergence (smoothed KL/JS
+    # drift diagnostic between two corpus slices), and ann_mmr_rerank
+    # (MMR diversity cut over the brute-force top-20).
     # Priority (c) implementation changed since last green: the two
     # TF-IDF queries (the forced vocabulary-sized doc_freq broadcast
     # became hint-free / AQE-decided — the r13 verdict's one weak item),
@@ -1509,7 +1510,7 @@ _ROUND14_WINDOW = [
     # exercises the stream-side resolve; values are pinned unchanged —
     # the frozen table equals the old derivation byte-for-byte).
     "doc_bm25_topk", "doc_hybrid_rrf", "corpus_js_divergence",
-    "doc_tfidf_topk", "doc_tfidf_pairs",
+    "ann_mmr_rerank", "doc_tfidf_topk", "doc_tfidf_pairs",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (d): the ENTIRE 31-name r9-stale pool (the r13 verdict
     # item 3's exact list) — after this window no registered query's
@@ -1531,7 +1532,7 @@ _ROUND14_WINDOW = [
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
     "emb_label_centroids", "emb_near_dups_lsh", "emb_semdedup",
     "streaming_drawdowns_keyed", "event_funnel_streaming",
-    "event_attribution_streaming", "dedup_exact", "corpus_hash_split",
+    "event_attribution_streaming", "dedup_exact",
 ]
 
 
@@ -4010,6 +4011,74 @@ scored AS (
   FROM embeddings, q
 )
 SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
+
+    # MMR diverse reranking (similarity.mmr_rerank; Carbonell &
+    # Goldstein 1998) over the brute-force top-20: the oracle UNROLLS
+    # the same greedy — one CTE per pick, each an argmax of
+    # ROUND(λ·rel − (1−λ)·GREATEST(rounded pairwise cosines), 7) with
+    # id-asc ties, the exact arithmetic (left-to-right dot folds,
+    # norm-product denominator, the Python double 1−0.7 spelled out)
+    # the driver-side greedy performs.
+    _mmr_lam, _mmr_k = 0.7, 5
+    _mmr_cos = (
+        "ROUND(list_dot_product(c.emb, p.emb)"
+        " / (sqrt(list_dot_product(c.emb, c.emb))"
+        f" * sqrt(list_dot_product(p.emb, p.emb))), {ROUND})"
+    )
+    _mmr_steps = []
+    for _i in range(1, _mmr_k + 1):
+        if _i == 1:
+            _expr = f"ROUND({_mmr_lam!r} * c.rel, {ROUND})"
+            _where = ""
+        else:
+            _sims = ", ".join(
+                f"(SELECT {_mmr_cos} FROM p{_j} p)" for _j in range(1, _i)
+            )
+            _expr = (
+                f"ROUND({_mmr_lam!r} * c.rel - {1.0 - _mmr_lam!r}"
+                f" * GREATEST({_sims}), {ROUND})"
+            )
+            _where = "WHERE c.id NOT IN (" + " UNION ALL ".join(
+                f"SELECT id FROM p{_j}" for _j in range(1, _i)
+            ) + ")"
+        _mmr_steps.append(
+            f"p{_i} AS (SELECT c.id, c.rel, c.emb, {_expr} AS mmr\n"
+            f"  FROM cand c {_where} ORDER BY mmr DESC, c.id LIMIT 1)"
+        )
+    _mmr_union = "\n  UNION ALL ".join(
+        f"SELECT id, mmr, {_i} AS rank FROM p{_i}"
+        for _i in range(1, _mmr_k + 1)
+    )
+
+    def _mmr_query(spark, sf_dir):
+        emb = _embs(spark, sf_dir)
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        cand = similarity.cosine_topk(emb, qvec, k=20).join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        )
+        return similarity.mmr_rerank(
+            cand, k=_mmr_k, lam=_mmr_lam,
+            id_col="vec_id", rel_col="cosine")
+
+    add("ann_mmr_rerank", _mmr_query, f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    ROUND(list_dot_product(embedding::DOUBLE[], qe)
+      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       * sqrt(list_dot_product(qe, qe))), {ROUND}) AS cosine
+  FROM embeddings, q
+),
+cand AS (
+  SELECT s.vec_id AS id, s.cosine AS rel, e.embedding::DOUBLE[] AS emb
+  FROM (SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT 20) s
+  JOIN embeddings e USING (vec_id)
+),
+{",".join(_mmr_steps)}
+SELECT id AS vec_id, mmr, CAST(rank AS INTEGER) AS rank FROM (
+  {_mmr_union}
+) ORDER BY rank""")
 
     # Per-label prototype vectors in long form: posexplode + one map-side-
     # combinable groupBy(label, pos) — the exchange carries |labels|·dim

@@ -3287,3 +3287,56 @@ def test_corpus_divergence_plan_no_broadcast_hint(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "broadcast" not in logical.lower(), logical
+
+
+def test_mmr_rerank(spark):
+    """MMR greedy against a hand-traced 3-candidate case: the
+    redundant near-copy of the first pick loses to a less-relevant but
+    orthogonal candidate; scores equal the rounded selection-time
+    lambda*rel - (1-lambda)*maxsim; k caps and k>n degrades to n."""
+    lam = 0.7
+    cand = spark.createDataFrame(
+        [
+            (1, 0.9, [1.0, 0.0]),     # most relevant
+            (2, 0.85, [0.999, 0.01]),  # near-copy of 1
+            (3, 0.5, [0.0, 1.0]),     # orthogonal
+        ],
+        "vec_id bigint, rel double, embedding array<double>",
+    )
+    out = similarity.mmr_rerank(cand, k=3, lam=lam, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["mmr"] == pytest.approx(lam * 0.9, abs=2e-7)
+    assert out[1]["mmr"] == pytest.approx(lam * 0.5, abs=2e-7)  # maxsim 0
+    cos12 = 0.999 / math.sqrt(0.999**2 + 0.01**2)
+    assert out[2]["mmr"] == pytest.approx(
+        lam * 0.85 - (1 - lam) * round(cos12, 7), abs=2e-7
+    )
+
+    top1 = similarity.mmr_rerank(cand, k=1, lam=lam, id_col="vec_id").collect()
+    assert len(top1) == 1 and top1[0]["vec_id"] == 1
+    all_rows = similarity.mmr_rerank(cand, k=9, lam=lam, id_col="vec_id").collect()
+    assert len(all_rows) == 3  # degrades to n when k > candidates
+
+    with pytest.raises(ValueError, match="max_candidates"):
+        similarity.mmr_rerank(cand, k=2, id_col="vec_id", max_candidates=2)
+
+
+def test_mmr_rerank_ties_and_zero_norm(spark):
+    """Equal scores break id-ascending (iteration is over sorted ids
+    with a strict > improvement), and zero-norm vectors take cosine 0
+    rather than dividing by zero."""
+    cand = spark.createDataFrame(
+        [
+            (7, 0.8, [1.0, 0.0]),
+            (4, 0.8, [1.0, 0.0]),   # identical to 7 — id 4 picked first
+            (9, 0.3, [0.0, 0.0]),   # zero vector: sim 0 to anything
+        ],
+        "vec_id bigint, rel double, embedding array<double>",
+    )
+    out = similarity.mmr_rerank(cand, k=3, lam=0.7, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in out] == [4, 7, 9]
+    # 7 second despite duplicating 4: 0.7*0.8 - 0.3*1.0 = 0.26 > 9's 0.21
+    assert out[1]["mmr"] == pytest.approx(0.7 * 0.8 - 0.3 * 1.0, abs=2e-7)
+    # zero-norm 9 last, with sim pinned to 0 (no division error)
+    assert out[2]["mmr"] == pytest.approx(0.7 * 0.3, abs=2e-7)
