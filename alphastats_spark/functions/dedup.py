@@ -2507,3 +2507,72 @@ def edit_distance_join(
         "text_b",
         F.levenshtein("text_a", "text_b").cast("int").alias("distance"),
     ).where(F.col("distance") <= max_distance)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every POSITIONAL token k-gram,
+    slide a window over ``window`` consecutive hashes, and keep each
+    window's minimum. The guarantee: any shared run of
+    ``k + window − 1`` tokens between two documents contributes at
+    least one shared fingerprint, at roughly ``2/(window+1)`` of the
+    full k-gram posting volume — the local, position-robust middle
+    ground between exact-substring dedup (every k-gram) and MinHash
+    (global, order-blind). Join the output on ``fingerprint`` (the
+    :func:`paragraph_duplicates` equi-join shape, df-capped) to get
+    candidate plagiarism/boilerplate pairs.
+
+    Output: DISTINCT ``(id_col, fingerprint)`` rows, fingerprint = the
+    canonical 60-bit md5 key (:func:`~alphastats_spark.functions.text.
+    hash_key60`) so the DuckDB oracle mirrors it verbatim. Documents
+    shorter than ``k`` tokens yield no rows; documents with fewer than
+    ``window`` k-grams yield the single global-minimum fingerprint
+    (the standard short-document degeneration).
+
+    Plan shape at 100 TB: three stateless array projections over the
+    scan (tokens → gram hashes → window minima, each bound in its OWN
+    select — interpreted HOF lambdas re-evaluate closed-over
+    subexpressions per element, see :func:`_grams_over`) and one
+    explode; no shuffle at all until the caller aggregates or joins the
+    fingerprint column."""
+    from alphastats_spark.functions.text import hash_key60, tokens
+
+    toksed = df.select(
+        F.col(id_col), tokens(normalize(F.col(text_col))).alias("__toks")
+    )
+    grams = toksed.select(
+        F.col(id_col),
+        F.when(
+            F.size("__toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                lambda i: hash_key60(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("__g"),
+    )
+    wins = grams.select(
+        F.col(id_col),
+        F.when(
+            F.size("__g") > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.lit(1), F.size("__g") - (window - 1)),
+                    ),
+                    lambda j: F.array_min(F.slice(F.col("__g"), j, window)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>")).alias("__f"),
+    )
+    return wins.select(
+        F.col(id_col), F.explode("__f").alias("fingerprint")
+    )

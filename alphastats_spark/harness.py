@@ -1495,12 +1495,13 @@ SELECT Metric, Strategy FROM (
 
 _ROUND14_WINDOW = [
     # Round 14 window (50 slots). Priority (a) repaired fails: none — r13
-    # was 50/50. Priority (b): the four queries REGISTERED this round —
+    # was 50/50. Priority (b): the five queries REGISTERED this round —
     # doc_bm25_topk (Okapi BM25 lexical retrieval, zero-shuffle map
     # shape), doc_hybrid_rrf (reciprocal-rank fusion of the BM25 and
     # dense-cosine top-k lists), corpus_js_divergence (smoothed KL/JS
-    # drift diagnostic between two corpus slices), and ann_mmr_rerank
-    # (MMR diversity cut over the brute-force top-20).
+    # drift diagnostic between two corpus slices), ann_mmr_rerank
+    # (MMR diversity cut over the brute-force top-20), and
+    # doc_winnow_fingerprints (MOSS winnowing local fingerprints).
     # Priority (c) implementation changed since last green: the two
     # TF-IDF queries (the forced vocabulary-sized doc_freq broadcast
     # became hint-free / AQE-decided — the r13 verdict's one weak item),
@@ -1510,7 +1511,8 @@ _ROUND14_WINDOW = [
     # exercises the stream-side resolve; values are pinned unchanged —
     # the frozen table equals the old derivation byte-for-byte).
     "doc_bm25_topk", "doc_hybrid_rrf", "corpus_js_divergence",
-    "ann_mmr_rerank", "doc_tfidf_topk", "doc_tfidf_pairs",
+    "ann_mmr_rerank", "doc_winnow_fingerprints",
+    "doc_tfidf_topk", "doc_tfidf_pairs",
     "dedup_index_admit", "dedup_streaming_index_candidates",
     # Priority (d): the ENTIRE 31-name r9-stale pool (the r13 verdict
     # item 3's exact list) — after this window no registered query's
@@ -1532,7 +1534,7 @@ _ROUND14_WINDOW = [
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
     "emb_label_centroids", "emb_near_dups_lsh", "emb_semdedup",
     "streaming_drawdowns_keyed", "event_funnel_streaming",
-    "event_attribution_streaming", "dedup_exact",
+    "event_attribution_streaming",
 ]
 
 
@@ -3536,6 +3538,42 @@ FROM documents GROUP BY 1"""
         r"trim(regexp_replace(regexp_replace(lower(para), '[^a-z0-9\s]',"
         r" ' ', 'g'), '\s+', ' ', 'g'))"
     )
+    # Winnowing fingerprints (dedup.winnow_fingerprints; Schleimer,
+    # Wilkerson & Aiken, SIGMOD 2003): positional k-gram 60-bit md5
+    # hashes, per-window minima, distinct per doc. Three stateless
+    # array projections + one explode — zero shuffle; the oracle
+    # mirrors the hash verbatim and the same window/short-doc
+    # degeneration (fewer than `window` grams -> the single global
+    # minimum; fewer than k tokens -> no rows).
+    _win_k, _win_w = 4, 3
+    add("doc_winnow_fingerprints",
+        lambda spark, sf_dir: dedup.winnow_fingerprints(
+            _docs(spark, sf_dir), k=_win_k, window=_win_w),
+        f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split(nt, ' '), t -> t <> '') AS toks
+  FROM norm
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {_win_k} THEN list_transform(
+      range(1, len(toks) - {_win_k} + 2),
+      i -> CAST(CONCAT('0x', substr(md5(
+             array_to_string(toks[i:i+{_win_k - 1}], ' ')), 1, 15))
+           AS BIGINT))
+    ELSE [] END AS gh
+  FROM tk
+),
+w AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(gh) - {_win_w - 1}, 1) + 1),
+    j -> list_min(gh[j:j+{_win_w - 1}]))) AS fps
+  FROM g WHERE len(gh) > 0
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w""")
+
     add("doc_paragraph_dedup", _para_dedup, rf"""
 WITH inj AS (
   SELECT doc_id,

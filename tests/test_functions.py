@@ -3340,3 +3340,68 @@ def test_mmr_rerank_ties_and_zero_norm(spark):
     assert out[1]["mmr"] == pytest.approx(0.7 * 0.8 - 0.3 * 1.0, abs=2e-7)
     # zero-norm 9 last, with sim pinned to 0 (no division error)
     assert out[2]["mmr"] == pytest.approx(0.7 * 0.3, abs=2e-7)
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing against exact hashlib-computed 60-bit gram hashes on a
+    6-token doc (3 grams, 1 window -> the single global minimum), plus
+    the scheme's contracts: sub-k docs yield nothing, exactly-k docs
+    yield their one gram hash, and two docs sharing a k+window-1 token
+    run share at least one fingerprint."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # 3 grams, window covers all -> 1 fp
+            (2, "a b c"),           # < k tokens -> no rows
+            (3, "p q r s"),         # exactly k -> its single gram hash
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.winnow_fingerprints(docs, k=4, window=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    exp1 = min(h60("a b c d"), h60("b c d e"), h60("c d e f"))
+    assert got[1] == {exp1}
+    assert 2 not in got
+    assert got[3] == {h60("p q r s")}
+
+    # shared-run guarantee: k + window - 1 = 6 common tokens
+    run = "u v w x y z"
+    pair = spark.createDataFrame(
+        [(10, f"one two three {run}"), (11, f"{run} four five six")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.winnow_fingerprints(pair, k=4, window=3).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[10] & fps[11], "shared 6-token run must share a fingerprint"
+
+    # winnowing compresses: a long doc keeps fewer fingerprints than grams
+    long_doc = spark.createDataFrame(
+        [(20, " ".join(f"t{i}" for i in range(60)))],
+        "doc_id bigint, text string",
+    )
+    n_grams = 60 - 4 + 1
+    n_fps = dedup.winnow_fingerprints(long_doc, k=4, window=3).count()
+    assert 0 < n_fps < n_grams
+
+
+def test_winnow_fingerprints_plan_no_shuffle(spark):
+    """Three array projections + explode over the scan — the plan must
+    contain no Exchange and no Join (fingerprinting is a pure map; the
+    shuffle belongs to whatever joins/aggregates the output)."""
+    from alphastats_spark.plans.audit import explain_string
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    plan = explain_string(dedup.winnow_fingerprints(docs), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
