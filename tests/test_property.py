@@ -528,3 +528,146 @@ def test_affine_minhash_estimator_quality(spark, family):
     # near E|err| ≈ 0.8σ — 0.2 is ~4 standard errors above that
     assert mean_err < 0.2, (mean_err, sorted(errs)[-5:])
     assert max(errs) < 0.45, sorted(errs)[-5:]
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta theta".split()),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_fingerprints_matches_python(spark, docs):
+    """Exact-parity property: Spark's winnow_fingerprints equals a
+    straight Python re-computation (hashlib 60-bit md5 gram hashes,
+    sliding-window minima, distinct per doc) on random token docs —
+    including the sub-k and sub-window degenerations."""
+    import hashlib
+
+    from alphastats_spark.functions import dedup as dd
+
+    k, w = 3, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got: dict[int, set] = {}
+    for r in dd.winnow_fingerprints(df, k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, toks in enumerate(docs):
+        grams = [
+            h60(" ".join(toks[j:j + k])) for j in range(len(toks) - k + 1)
+        ]
+        if not grams:
+            exp = set()
+        else:
+            exp = {
+                min(grams[j:j + w])
+                for j in range(max(1, len(grams) - w + 1))
+            }
+        assert got.get(i, set()) == exp, (i, toks)
+
+
+@given(
+    n_a=st.integers(min_value=1, max_value=8),
+    n_b=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=10, deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fuse_matches_python(spark, n_a, n_b, seed):
+    """Exact-parity property: rrf_fuse equals the Python 1/(c+rank)
+    two-list fusion on random overlapping ranked lists, including the
+    rank-column contract (rank = dense 1..k over score desc, id asc)."""
+    import random as _random
+
+    from alphastats_spark.functions import similarity as sim
+
+    rng = _random.Random(seed)
+    ids = list(range(12))
+    a_ids = rng.sample(ids, n_a)
+    b_ids = rng.sample(ids, n_b)
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(a_ids)], "id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(b_ids)], "id bigint, rank int"
+    )
+    k, c = 6, 60
+    got = [
+        (r["id"], r["rrf"], r["rank"])
+        for r in sim.rrf_fuse([a, b], k=k, c=c).collect()
+    ]
+
+    scores = {}
+    for r, i in enumerate(a_ids):
+        scores[i] = scores.get(i, 0.0) + 1.0 / (c + (r + 1))
+    for r, i in enumerate(b_ids):
+        scores[i] = scores.get(i, 0.0) + 1.0 / (c + (r + 1))
+    exp_order = sorted(scores, key=lambda i: (-round(scores[i], 7), i))[:k]
+    assert [g[0] for g in got] == exp_order
+    for rank, (i, rrf, got_rank) in enumerate(got, start=1):
+        assert got_rank == rank
+        assert rrf == pytest.approx(round(scores[i], 7), abs=1e-9)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("red blue green gold gray pink".split()),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_corpus_divergence_properties(spark, docs):
+    """Distribution-divergence invariants on random corpora split in
+    half: KLs non-negative, JS within [0, ln 2], swap mirrors the KLs
+    and preserves JS, and the whole row matches a pure-Python
+    recomputation of the smoothed formulas."""
+    from alphastats_spark.functions import text as tx
+
+    half = max(1, len(docs) // 2)
+    rows_a = [(i, " ".join(t)) for i, t in enumerate(docs[:half])]
+    rows_b = [(i, " ".join(t)) for i, t in enumerate(docs[half:] or docs[:1])]
+    a = spark.createDataFrame(rows_a, "doc_id bigint, text string")
+    b = spark.createDataFrame(rows_b, "doc_id bigint, text string")
+    row = tx.corpus_divergence(a, b).first()
+
+    from collections import Counter
+
+    ca = Counter(t for _, txt in rows_a for t in txt.split())
+    cb = Counter(t for _, txt in rows_b for t in txt.split())
+    vocab = sorted(set(ca) | set(cb))
+    ta, tb, v, al = sum(ca.values()), sum(cb.values()), len(vocab), 0.5
+    p = {t: (ca.get(t, 0) + al) / (ta + al * v) for t in vocab}
+    q = {t: (cb.get(t, 0) + al) / (tb + al * v) for t in vocab}
+    kl_ab = sum(p[t] * math.log(p[t] / q[t]) for t in vocab)
+    kl_ba = sum(q[t] * math.log(q[t] / p[t]) for t in vocab)
+    js = 0.5 * sum(p[t] * math.log(2 * p[t] / (p[t] + q[t])) for t in vocab) \
+        + 0.5 * sum(q[t] * math.log(2 * q[t] / (p[t] + q[t])) for t in vocab)
+    assert row["kl_ab"] == pytest.approx(kl_ab, abs=1e-6)
+    assert row["kl_ba"] == pytest.approx(kl_ba, abs=1e-6)
+    assert row["js_divergence"] == pytest.approx(js, abs=1e-6)
+    assert row["kl_ab"] >= 0 and row["kl_ba"] >= 0
+    assert -1e-7 <= row["js_divergence"] <= math.log(2) + 1e-7
+    assert (row["vocab_union"], row["tokens_a"], row["tokens_b"]) == (v, ta, tb)
+
+    swapped = tx.corpus_divergence(b, a).first()
+    assert swapped["kl_ab"] == row["kl_ba"]
+    assert swapped["js_divergence"] == row["js_divergence"]
