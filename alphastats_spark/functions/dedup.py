@@ -2540,9 +2540,33 @@ def winnow_fingerprints(
     select — interpreted HOF lambdas re-evaluate closed-over
     subexpressions per element, see :func:`_grams_over`) and one
     explode; no shuffle at all until the caller aggregates or joins the
-    fingerprint column."""
+    fingerprint column.
+
+    Two physical guards (round-14 profile: this operator measured >27
+    MINUTES at sf0.1 against ~1 s after):
+
+    * the explode is ``explode_outer`` + an ``IS NOT NULL`` filter on
+      the GENERATED column, not a plain ``explode`` of the projected
+      array: for a bare-attribute child, ``InferFiltersFromGenerate``
+      injects ``size(__f) > 0`` under the Generate and predicate
+      pushdown then substitutes the WHOLE winnow expression chain into
+      that filter through every projection — the full tokenize → gram →
+      window pipeline re-evaluated per row inside an interpreted
+      filter, with the nested lambdas re-running ``normalize`` per
+      element (the :func:`_grams_over` trap, squared). An outer
+      generate infers no filter, and the null-filter sits above the
+      Generate where nothing can substitute into it; fingerprints are
+      md5-derived and never legitimately null, so only the empty/short
+      documents the inner explode dropped anyway are removed.
+    * the small-scan spread guard of :func:`_exploded_shingles`: a small
+      parquet corpus arrives as one partition and would serialize the
+      whole interpreted gram-hash compute onto one core.
+    """
     from alphastats_spark.functions.text import hash_key60, tokens
 
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
     toksed = df.select(
         F.col(id_col), tokens(normalize(F.col(text_col))).alias("__toks")
     )
@@ -2574,5 +2598,5 @@ def winnow_fingerprints(
         ).otherwise(F.array().cast("array<bigint>")).alias("__f"),
     )
     return wins.select(
-        F.col(id_col), F.explode("__f").alias("fingerprint")
-    )
+        F.col(id_col), F.explode_outer("__f").alias("fingerprint")
+    ).where(F.col("fingerprint").isNotNull())

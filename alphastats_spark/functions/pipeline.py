@@ -406,8 +406,15 @@ def repetition_stats(
     toks = text.tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n"))
 
+    # explode_outer + null-filter on the GENERATED column: a plain explode
+    # of a bare projected array triggers InferFiltersFromGenerate, whose
+    # pushed-down size() filter re-inlines the whole tokenize chain and
+    # evaluates it a second time per row (see winnow_fingerprints for the
+    # pathological form of the same trap). Tokens are never null, so the
+    # result set is unchanged.
     uni = (
-        base.select(id_col, F.explode("__toks").alias("__g"))
+        base.select(id_col, F.explode_outer("__toks").alias("__g"))
+        .where(F.col("__g").isNotNull())
         .groupBy(id_col, "__g")
         .count()
         .groupBy(id_col)
@@ -490,8 +497,11 @@ def lm_score(
     toks = text.tokens(text.normalize(F.col(text_col)))
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
+    # explode_outer + null-filter: see repetition_stats — avoids the
+    # inferred size() filter re-evaluating the tokenize chain per row
     uni = (
-        base.select(F.explode("__toks").alias("__tok"))
+        base.select(F.explode_outer("__toks").alias("__tok"))
+        .where(F.col("__tok").isNotNull())
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c1"))
     )
@@ -625,7 +635,9 @@ def classifier_score(
     sig = lambda z: F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)  # noqa: E731
 
     if n_buckets <= CLASSIFIER_PLAN_WEIGHTS_MAX:
-        warr = F.array(*[F.lit(float(w)) for w in weights])
+        from alphastats_spark.functions.similarity import lit_double_array
+
+        warr = lit_double_array(weights)
         total = F.aggregate(
             F.col("__f"),
             F.lit(0.0),
@@ -641,8 +653,12 @@ def classifier_score(
     wdf = df.sparkSession.createDataFrame(
         [(b, float(w)) for b, w in enumerate(weights)], "__b int, __w double"
     )
-    exploded = base.select(F.col(id_col), F.explode("__f").alias("__feat")).select(
-        F.col(id_col), bucket_of(F.col("__feat")).alias("__b")
+    # explode_outer + null-filter: see repetition_stats — avoids the
+    # inferred size() filter re-evaluating the feature-bag chain per row
+    exploded = (
+        base.select(F.col(id_col), F.explode_outer("__f").alias("__feat"))
+        .where(F.col("__feat").isNotNull())
+        .select(F.col(id_col), bucket_of(F.col("__feat")).alias("__b"))
     )
     per_doc = (
         exploded.join(F.broadcast(wdf), "__b")
@@ -838,9 +854,13 @@ def dsir_weights(
     """
     toks = text.tokens(text.normalize(F.col(text_col)))
     base = df.select(F.col(id_col), target.alias("__t"), toks.alias("__toks"))
-    stream = base.select(
-        id_col, "__t", F.explode("__toks").alias("__tok")
-    ).select(id_col, "__t", hash_bucket(F.col("__tok"), n_buckets).alias("__bk"))
+    # explode_outer + null-filter: see repetition_stats — avoids the
+    # inferred size() filter re-evaluating the tokenize chain per row
+    stream = (
+        base.select(id_col, "__t", F.explode_outer("__toks").alias("__tok"))
+        .where(F.col("__tok").isNotNull())
+        .select(id_col, "__t", hash_bucket(F.col("__tok"), n_buckets).alias("__bk"))
+    )
 
     counts = stream.groupBy("__bk").agg(
         F.count(F.when(F.col("__t"), F.lit(1))).alias("__ct"),
@@ -991,7 +1011,7 @@ def chunk_shards(
     planes = similarity.hyperplanes(n_buckets, n_planes, seed)
     dots = [
         F.sum(
-            F.col("__c") * F.get(F.array(*[F.lit(float(x)) for x in p]), F.col("__bk"))
+            F.col("__c") * F.get(similarity.lit_double_array(p), F.col("__bk"))
         ).alias(f"__d{t}")
         for t, p in enumerate(planes)
     ]

@@ -14,8 +14,30 @@ shipped as literal arrays — deterministic across runs and engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def lit_double_array(values) -> Column:
+    """Literal ``array<double>`` built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in values])`` pays one py4j round-trip per
+    element (~0.7 ms each): a 16-centroid × 64-dim IVF quantizer costs
+    ~1k round-trips ≈ 0.7 s of pure driver latency *per expression
+    build*, serialized ahead of any Spark job. A single ``F.expr`` ships
+    the whole array in one round-trip and parses JVM-side (measured 57×
+    faster for 16×64). Value-exact: ``repr(float)`` emits the shortest
+    digits that round-trip to the same IEEE-754 double, and Spark's SQL
+    parser reads a ``...D`` literal back to identical bits (pinned in
+    tests/test_functions.py). Non-finite values can't be spelled as SQL
+    double literals, so any nan/inf falls back to the per-element path.
+    """
+    vals = [float(x) for x in values]
+    if not vals or not all(map(math.isfinite, vals)):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -53,7 +75,7 @@ def infer_dim(df: DataFrame, vec_col: str) -> int:
 
 def cosine_similarity(vec: Column, query: list[float]) -> Column:
     """Cosine similarity against a literal query vector (JVM-side)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     v = _as_double(vec)
     qnorm = sum(x * x for x in query) ** 0.5
     return _safe_cos(_dot(v, q), _norm(v) * F.lit(qnorm))
@@ -87,7 +109,7 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     v = _as_double(vec)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = lit_double_array(p)
         bit = F.when(_dot(v, plane) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit
     return bucket
@@ -415,7 +437,7 @@ def _sqdist(vec: Column, cent: list[float]) -> Column:
     16-dim distance allocates 32 fresh arrays per row, while zip_with
     binds its array arguments once and iterates (measured 12s → 37s on the
     IVF-PQ query when flattened, reverted)."""
-    c = F.array(*[F.lit(float(x)) for x in cent])
+    c = lit_double_array(cent)
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -477,8 +499,19 @@ def write_ivf_index(
     reader filtering ``ivf_list IN (probes)`` prunes to ``nprobe`` of the
     ``n_centroids`` partition directories at the scan, so each query
     reads ~nprobe/n_centroids of the index bytes regardless of corpus
-    size (pruning pinned by tests/test_sources_plans.py)."""
-    ivf_index(df, centroids, vec_col).write.partitionBy("ivf_list").mode(mode).parquet(path)
+    size (pruning pinned by tests/test_sources_plans.py).
+
+    The frame is re-clustered by ``ivf_list`` before the write: without
+    it every one of the N upstream hash partitions opens a writer per
+    list it touches — N × n_lists small files per write (512 at the
+    bench's 32×16, each paying open/commit overhead twice: once writing,
+    once at every future scan's planning). Clustered, a list's rows land
+    in one task → one right-sized file per list per write; at scale the
+    per-file row cap (``spark.sql.files.maxRecordsPerFile``) or
+    :func:`compact_ivf_index` handles lists that outgrow one file."""
+    ivf_index(df, centroids, vec_col).repartition(F.col("ivf_list")).write.partitionBy(
+        "ivf_list"
+    ).mode(mode).parquet(path)
 
 
 def append_to_ivf_index(
@@ -495,8 +528,11 @@ def append_to_ivf_index(
     re-clustering is a periodic offline rebuild, not an ingest step. Pass
     the SAME centroids the index was built with — assignment against a
     different quantizer splits a list across directories and silently
-    halves recall."""
-    ivf_index(df, centroids, vec_col).write.partitionBy("ivf_list").mode("append").parquet(path)
+    halves recall. Clustered by list before the write for the same
+    one-file-per-list-per-batch layout as :func:`write_ivf_index`."""
+    ivf_index(df, centroids, vec_col).repartition(F.col("ivf_list")).write.partitionBy(
+        "ivf_list"
+    ).mode("append").parquet(path)
 
 
 def compact_ivf_index(
@@ -670,7 +706,7 @@ def ivfpq_topk(
     )
     score = None
     for s_i, row in enumerate(lut):
-        lut_arr = F.array(*[F.lit(float(x)) for x in row])
+        lut_arr = lit_double_array(row)
         term = F.get(lut_arr, F.element_at("__code", s_i + 1))
         score = term if score is None else score + term
     scored = cand.select(

@@ -549,8 +549,17 @@ def ngram_counts(
     explode(n-grams) → groupBy(ngram) — one shuffle with map-side partial
     counts; ``min_count`` prunes the heavy tail before it leaves the
     aggregation.
+
+    The token array is projected into its OWN select before the gram
+    transform: the transform lambda closes over the token expression, and
+    interpreted higher-order functions re-evaluate a non-trivial
+    closed-over subexpression once PER ELEMENT — inlining
+    ``tokens(normalize(text))`` here re-ran the whole
+    normalize+tokenize chain per gram, O(len²) per document (the 25×
+    trap documented at ``dedup._grams_over``; this site measured 16.6 s
+    → ~1 s at the sf0.1 profile).
     """
-    toks = tokens(normalize(F.col(text_col)))
+    toks = F.col("__toks")
     # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
     grams = F.when(
         F.size(toks) >= n,
@@ -560,7 +569,8 @@ def ngram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(tokens(normalize(F.col(text_col))).alias("__toks"))
+        .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)

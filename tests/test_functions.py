@@ -3405,3 +3405,30 @@ def test_winnow_fingerprints_plan_no_shuffle(spark):
     plan = explain_string(dedup.winnow_fingerprints(docs), "simple")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_lit_double_array_value_exact(spark):
+    """The one-round-trip SQL literal array must be bit-identical to the
+    per-element F.lit path for every representable double, including
+    shortest-repr edge cases; non-finite values fall back per-element."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.1 + 0.2, 1e-17, -3.9999999999999996, 123456789.123456789,
+        5e-324, 1.7976931348623157e308, -0.0, 0.0, 2.0,
+    ]
+    df = spark.range(1)
+    row = df.select(
+        similarity.lit_double_array(vals).alias("fast"),
+        F.array(*[F.lit(float(v)) for v in vals]).alias("slow"),
+    ).first()
+    import struct
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731 — -0.0 == 0.0 hides sign
+    assert [bits(v) for v in row["fast"]] == [bits(v) for v in row["slow"]]
+
+    nan_inf = [float("nan"), float("inf"), 1.0]
+    row2 = df.select(similarity.lit_double_array(nan_inf).alias("a")).first()
+    assert math.isnan(row2["a"][0]) and math.isinf(row2["a"][1])
+    assert row2["a"][2] == 1.0
+
+    assert df.select(similarity.lit_double_array([]).alias("e")).first()["e"] == []
