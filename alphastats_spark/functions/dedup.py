@@ -1136,34 +1136,26 @@ def _prepared_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _pairwise_cosine(
-    vecs: DataFrame,
-    id_col: str,
-    threshold: float,
-    join_extra: list[str] | None = None,
-    dim: int | None = None,
+    vecs: DataFrame, id_col: str, threshold: float, join_extra: list[str] | None = None
 ) -> DataFrame:
     """All-pairs cosine over ``vecs``; equi-join keys in ``join_extra`` (if
     any) turn the quadratic nested-loop compare into a per-bucket hash join.
 
-    When ``dim`` is known the per-pair dot uses the flat codegen-able sum
-    (``similarity.dot_flat`` — 2.1× faster than the interpreted HOF fold
-    at join-pair volume, bit-identical; the zero-norm ``when`` guard below
-    means degenerate empty-array rows never read the dot, so the two forms
-    agree on every row this filter can emit)."""
-    from alphastats_spark.functions import similarity
-
+    The per-pair dot is the zip_with/aggregate HOF fold on purpose: a flat
+    unrolled ``try_element_at`` sum is bit-identical but measured 2.7×
+    SLOWER inside a join stage's whole-stage codegen (the method outgrows
+    the JIT — see the note above ``similarity._dot``), so the round-14
+    flat-dot experiment was reverted here."""
     a = vecs.alias("a")
     b = vecs.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for key in join_extra or []:
         cond = cond & (F.col(f"a.{key}") == F.col(f"b.{key}"))
-    dot = similarity.dot_flat("a.`v`", "b.`v`", dim)
-    if dot is None:
-        dot = F.aggregate(
-            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(b, cond)
         .withColumn(
@@ -1199,12 +1191,22 @@ def embedding_near_dup_pairs_lsh(
 
     Random-hyperplane LSH: each of ``n_tables`` independent plane sets maps
     every vector to a sign-bit bucket; candidate pairs are generated by a
-    per-table *equi-join on the bucket id* (hash join — the shuffle key is
+    *equi-join on the (table, bucket) id* (hash join — the shuffle key is
     the bucket, so the quadratic compare runs only within buckets of
-    expected size n/2^planes). Tables are unioned and deduped before the
-    exact cosine filter, so output pairs are exact-scored; only recall is
+    expected size n/2^planes). Candidates are deduped before the exact
+    cosine filter, so output pairs are exact-scored; only recall is
     approximate (a pair at cosine θ collides per table with
     P = (1 − arccos(θ)/π)^planes, missed by all tables with (1−P)^tables).
+
+    Plan shape (round 14, guide §2.3/§8 — decide with small rows, attach
+    the payload once): all ``n_tables`` bucket ids are computed in ONE
+    projection and exploded to (id, table, bucket) rows, so ONE id-only
+    self-join on (table, bucket) replaces ``n_tables`` separate joins
+    that each carried both vectors; the distinct (id_a, id_b) candidates
+    then re-attach vectors via two id equi-joins and each pair pays the
+    interpreted 64-dim dot exactly ONCE (before, a pair colliding in m
+    of the tables was scored m times and deduped after). Measured at
+    sf0.1 (12 tables): 18.2 s → 5.1 s, identical rows.
     """
     from alphastats_spark.functions import similarity
 
@@ -1212,20 +1214,55 @@ def embedding_near_dup_pairs_lsh(
         dim = similarity.infer_dim(df, vec_col)
     vecs = _prepared_vectors(df, id_col, vec_col)
 
-    tables = []
-    for t in range(n_tables):
-        planes = similarity.hyperplanes(dim, n_planes, seed + t)
-        bucketed = vecs.withColumn("lsh_bucket", similarity.bucket_expr(F.col("v"), planes))
-        tables.append(
-            _pairwise_cosine(
-                bucketed, id_col, threshold, join_extra=["lsh_bucket"], dim=dim
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                similarity.bucket_expr(
+                    F.col("v"), similarity.hyperplanes(dim, n_planes, seed + t)
+                ).alias("b"),
             )
-        )
+            for t in range(n_tables)
+        ]
+    )
+    light = vecs.select(
+        F.col(id_col).alias("__id"), F.explode(buckets).alias("tb")
+    ).select("__id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a = light.select(F.col("__id").alias("id_a"), "t", "b")
+    b = light.select(F.col("__id").alias("id_b"), "t", "b")
+    cands = (
+        a.join(b, ["t", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.unionByName(t)
-    return out.dropDuplicates(["id_a", "id_b"])
+    aside = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    bside = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(aside, "id_a")
+        .join(bside, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(
+                    F.col("na") * F.col("nb") != 0, dot / (F.col("na") * F.col("nb"))
+                ).otherwise(F.lit(0.0)),
+                7,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def semdedup_drop_list(
@@ -1257,10 +1294,7 @@ def semdedup_drop_list(
     vecs = _prepared_vectors(df, id_col, vec_col).withColumn(
         "ivf_list", similarity._centroid_id_expr(F.col("v"), centroids)
     )
-    pairs = _pairwise_cosine(
-        vecs, id_col, threshold, join_extra=["ivf_list"],
-        dim=len(centroids[0]) if centroids else None,
-    )
+    pairs = _pairwise_cosine(vecs, id_col, threshold, join_extra=["ivf_list"])
     return pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.max("cosine").alias("max_cosine")
     )

@@ -44,37 +44,18 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-#: Above this dimensionality the flat unrolled dot falls back to the HOF
-#: fold — a 4096-term expression tree buys nothing once the JIT splits
-#: the generated method, and parse/analyze cost grows with the tree.
-DOT_FLAT_MAX_DIM = 256
-
-
-def dot_flat(a_sql: str, b_sql: str, dim: int) -> Column | None:
-    """Codegen-able dot product of two BOUND array<double> attributes,
-    referenced by SQL name — or None when ``dim`` is unknown/too large
-    (callers fall back to :func:`_dot`).
-
-    ``aggregate``/``zip_with`` lambdas run on the interpreted
-    HigherOrderFunction path (no whole-stage codegen), which measured 2.1×
-    slower than this flat left-associated sum on a knn_join-sized pair
-    volume (scripts/bench_dot_flat.py: 26.1 s → 12.5 s over 2M 64-dim
-    pairs, 0 bitwise mismatches). The leading ``0.0D`` reproduces the
-    aggregate fold's exact accumulation order, so results are
-    bit-identical. ``try_element_at`` (not ``element_at``) keeps the HOF's
-    null semantics under ANSI mode: an index past a short array yields
-    null — exactly what zip_with's null padding feeds the fold — instead
-    of aborting the job. Only valid for BOUND attributes: inlining an
-    unbound *expression* per term re-evaluates it ``dim`` times (the
-    measured 6× regression documented at :func:`_sqdist`).
-    """
-    if dim is None or dim > DOT_FLAT_MAX_DIM:
-        return None
-    terms = "+".join(
-        f"(try_element_at({a_sql},{i})*try_element_at({b_sql},{i}))"
-        for i in range(1, int(dim) + 1)
-    )
-    return F.expr(f"(0.0D+{terms})")
+# NOTE on the per-pair dot (round-14 measured): a flat unrolled
+# ``try_element_at(a,1)*try_element_at(b,1) + ...`` sum IS bit-identical
+# to the zip_with/aggregate fold and measured 2.1× FASTER over a
+# persisted columnar scan (scripts/bench_dot_flat.py) — but 2.7× SLOWER
+# when the same expression sits in the projection of a bucket self-JOIN
+# (49.1 s vs 18.0 s over the knn_join's 2M-pair volume): the join stage's
+# whole-stage-codegen method grows past what the JIT compiles, and a
+# 64-term expression evaluated in interpreted generated code loses to the
+# single interpreted HOF loop. Chunked partial sums stay JIT-friendly but
+# change the addition order (1.18M/2M pre-round mismatches — not
+# bit-identical, dead). So every pair-scoring site keeps the HOF fold;
+# the real lever is scoring each DISTINCT pair once (see knn_join).
 
 
 def _as_double(vec: Column) -> Column:
@@ -290,12 +271,17 @@ def knn_join(
     negative mining, near-dup graph construction) — the per-query
     :func:`lsh_topk` answers one probe; this answers all n at once.
 
-    Plan shape (the 100 TB path): per table, an equi-join of the corpus
-    with itself ON THE BUCKET ID — a hash-partitioned shuffle whose
-    candidate count is Σ|bucket|² ≈ n²/2^planes, not n²; tables union;
-    duplicate pairs collapse with one more (qid, nid) groupBy; ranking is a
-    window PARTITIONED BY query id (parallel across vectors, no global
-    sort). Recall scales with ``n_tables`` exactly as in :func:`lsh_topk`.
+    Plan shape (the 100 TB path): per table, an equi-join of the corpus's
+    (id, bucket) projection with itself ON THE BUCKET ID — a
+    hash-partitioned shuffle of id pairs whose candidate count is
+    Σ|bucket|² ≈ n²/2^planes, not n², and whose shuffled rows carry NO
+    vector payload; tables union; duplicate undirected candidates collapse
+    with one dropDuplicates; vectors attach to the deduped pairs via two
+    id equi-joins and each pair is scored exactly once, then mirrored
+    (the candidate relation is symmetric — see the inline note); ranking
+    is a window PARTITIONED BY query id (parallel across vectors, no
+    global sort). Recall scales with ``n_tables`` exactly as in
+    :func:`lsh_topk`.
 
     ``n_planes=None`` (the default) auto-sizes from the corpus via
     :func:`knn_join_planes`: one bare, column-pruned counting job — no
@@ -348,18 +334,37 @@ def knn_join(
 
     from pyspark.sql import Window
 
-    pair_tables = []
+    # Candidate generation carries IDS ONLY (guide §2.3 / §8: decide with
+    # small rows, attach the payload once). The old shape carried both
+    # 64-dim vectors through every bucket exchange and scored EVERY
+    # directed collision — a pair colliding in both tables (and its
+    # mirror image) paid the interpreted 64-dim dot up to 4×. The
+    # candidate set is symmetric by construction — ``home(n) ∈ probes(q)
+    # ⟺ hamming(home(q), home(n)) ≤ multiprobe ⟺ home(q) ∈ probes(n)``,
+    # and the mega-bucket guard tests HOME buckets on both sides — so
+    # generating only ``qid < nid``, deduping across tables, scoring each
+    # undirected pair ONCE and mirroring the scored row reproduces the
+    # directed output exactly (the dot is a left fold over elementwise
+    # products, commutative per term → bit-identical both directions).
+    # Measured at sf0.1 (2k vectors, 2M directed collisions): 51.2 s →
+    # 8.9 s, identical rows.
+    cand_tables = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed + t)
-        with_b = base.withColumn("__b", bucket_expr(F.col("__v"), planes))
+        # vectors and norms are dropped BEFORE the bucket exchange: the
+        # guard window + self-join shuffle (id, bucket) pairs, not
+        # payloads — Catalyst also prunes the norm compute off this branch
+        light = base.select(
+            F.col("__id"), bucket_expr(F.col("__v"), planes).alias("__b")
+        )
         if max_bucket is not None:
             # mega-bucket guard fused into the table's own partitioning
             # (same shape as dedup._candidates_from_sigs): the window's
             # exchange on __b IS the self-join's key, so the guard costs
             # no extra shuffle on either side
             wb = Window.partitionBy("__b")
-            with_b = (
-                with_b.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            light = (
+                light.withColumn("__bn", F.count(F.lit(1)).over(wb))
                 .where(F.col("__bn") <= int(max_bucket))
                 .drop("__bn")
             )
@@ -370,52 +375,54 @@ def knn_join(
                     F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
                 ],
             )
-            left = with_b.select(
+            left = light.select(
                 F.explode(probe_buckets).alias("__b"),
                 F.col("__id").alias("qid"),
-                F.col("__v").alias("qv"),
-                F.col("__nrm").alias("qn"),
             )
         else:
-            left = with_b.select(
-                F.col("__b"),
-                F.col("__id").alias("qid"),
-                F.col("__v").alias("qv"),
-                F.col("__nrm").alias("qn"),
-            )
-        right = with_b.select(
-            F.col("__b"),
-            F.col("__id").alias("nid"),
-            F.col("__v").alias("nv"),
-            F.col("__nrm").alias("nn"),
-        )
-        pairs = left.join(right, "__b").where(F.col("qid") != F.col("nid"))
-        # per-PAIR dot over the join's bound attributes: the flat unrolled
-        # sum codegens (the HOF fold interprets — 2.1× slower at this
-        # volume, scripts/bench_dot_flat.py), bit-identical accumulation
-        pair_dot = dot_flat("`qv`", "`nv`", dim)
-        if pair_dot is None:
-            pair_dot = _dot(F.col("qv"), F.col("nv"))
-        pair_tables.append(
-            pairs.select(
-                "qid",
-                "nid",
-                F.round(
-                    _safe_cos(pair_dot, F.col("qn") * F.col("nn")), 7
-                ).alias("cosine"),
-            )
+            left = light.select(F.col("__b"), F.col("__id").alias("qid"))
+        right = light.select(F.col("__b"), F.col("__id").alias("nid"))
+        cand_tables.append(
+            left.join(right, "__b")
+            .where(F.col("qid") < F.col("nid"))
+            .select("qid", "nid")
         )
 
-    allp = pair_tables[0]
-    for p in pair_tables[1:]:
-        allp = allp.unionByName(p)
-    # a pair found by several tables has the identical rounded cosine —
-    # collapse duplicates with a grouped first() keyed like the join
-    dedup = allp.groupBy("qid", "nid").agg(F.first("cosine").alias("cosine"))
+    cands = cand_tables[0]
+    for c in cand_tables[1:]:
+        cands = cands.unionByName(c)
+    cands = cands.dropDuplicates(["qid", "nid"])
+
+    # attach both payloads to the deduped undirected pair — the only
+    # place vectors meet the candidate stream — and score once
+    qside = base.select(
+        F.col("__id").alias("qid"), F.col("__v").alias("qv"),
+        F.col("__nrm").alias("qn"),
+    )
+    nside = base.select(
+        F.col("__id").alias("nid"), F.col("__v").alias("nv"),
+        F.col("__nrm").alias("nn"),
+    )
+    scored = (
+        cands.join(qside, "qid")
+        .join(nside, "nid")
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _safe_cos(_dot(F.col("qv"), F.col("nv")), F.col("qn") * F.col("nn")), 7
+            ).alias("cosine"),
+        )
+    )
+    mirrored = scored.unionByName(
+        scored.select(
+            F.col("nid").alias("qid"), F.col("qid").alias("nid"), "cosine"
+        )
+    )
 
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
-        dedup.withColumn("rank", F.row_number().over(w))
+        mirrored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias(id_col),

@@ -2,7 +2,21 @@
 
 Proves (a) the flat form is bit-identical (leading 0.0D reproduces the
 aggregate fold's sum order; per-ELEMENT cast replicates _as_double's
-widening), and (b) how much faster it is on a knn_join-sized pair volume.
+widening), and (b) its wall delta on a knn_join-sized pair volume.
+
+MEASURED CAVEAT (round 14): the flat form's 2.1× win here (26.1 s →
+12.5 s over persisted 2M×64-dim pairs) DOES NOT TRANSFER to a join
+stage. The same expression in the projection of the knn_join's bucket
+self-join measured 2.7× SLOWER than the HOF fold (49.1 s vs 18.0 s over
+the same 2M pairs): the join's whole-stage-codegen method grows past the
+JIT's compile limit and the 64-term expression runs in interpreted
+generated code. Chunked partial sums keep methods small but change the
+addition order (1.18M/2M pre-round bitwise mismatches — not identical).
+Every production pair-scoring site therefore keeps the HOF fold; the
+shipped optimization is scoring each DISTINCT pair once
+(similarity.knn_join / dedup.embedding_near_dup_pairs_lsh, round 14).
+This script is kept as the record of WHERE the flat form is valid: a
+projection over a materialized (persisted/scan) input.
 """
 
 from __future__ import annotations

@@ -3407,55 +3407,130 @@ def test_winnow_fingerprints_plan_no_shuffle(spark):
     assert "Join" not in plan, plan
 
 
-def test_dot_flat_bit_identical(spark):
-    """The flat unrolled dot (codegen path for per-pair cosine) must be
-    bit-identical to the interpreted zip_with/aggregate fold — same
-    left-associated accumulation from a 0.0 seed — including the null
-    semantics of ragged/null arrays, and must decline (None) past the
-    unroll cap."""
-    from pyspark.sql import functions as F
-
-    df = spark.createDataFrame(
-        [
-            ([0.1, 0.2, 0.3], [1e-17, -3.5, 2.0]),
-            ([5e-324, 1.0, -0.0], [1.7976931348623157e308, 0.3, 7.0]),
-            ([1.0, 2.0], [3.0, 4.0, 5.0]),  # ragged: fold yields null
-            (None, [1.0, 2.0, 3.0]),        # null array: null
-        ],
-        "a array<double>, b array<double>",
-    )
-    hof = F.aggregate(
-        F.zip_with("a", "b", lambda x, y: x * y), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    rows = df.select(
-        hof.alias("h"), similarity.dot_flat("`a`", "`b`", 3).alias("f")
-    ).collect()
-    import struct
-    for r in rows:
-        if r["h"] is None:
-            assert r["f"] is None
-        else:
-            assert struct.pack("<d", r["h"]) == struct.pack("<d", r["f"])
-
-    assert similarity.dot_flat("`a`", "`b`", None) is None
-    assert similarity.dot_flat("`a`", "`b`", similarity.DOT_FLAT_MAX_DIM + 1) is None
-
-
-def test_knn_join_matches_hof_scoring(spark):
-    """knn_join's flat-dot pair scoring returns the same rows as forcing
-    the HOF fallback (dim past the unroll cap is the same code path)."""
+def test_knn_join_matches_directed_reference(spark):
+    """The round-14 score-once-and-mirror knn_join must reproduce the
+    directed reference shape exactly: per table score EVERY directed
+    bucket collision, union, collapse duplicates, rank. Random vectors,
+    multiprobe on and off, including zero-norm rows (cosine 0.0 both
+    directions by the _safe_cos convention)."""
     import numpy as np
+    from pyspark.sql import Window
 
     rng = np.random.default_rng(11)
-    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
-    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
-    flat = similarity.knn_join(df, k=3, n_planes=3, dim=8).collect()
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)]
+    rows.append((60, [0.0] * 8))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
-    import unittest.mock as mock
-    with mock.patch.object(similarity, "DOT_FLAT_MAX_DIM", 0):
-        hof = similarity.knn_join(df, k=3, n_planes=3, dim=8).collect()
-    assert sorted(map(tuple, flat)) == sorted(map(tuple, hof))
+    def directed_reference(k, n_planes, n_tables, multiprobe, max_bucket):
+        norm = similarity._norm(similarity._as_double(F.col("embedding")))
+        base = df.select(
+            F.col("vec_id").alias("__id"),
+            similarity._as_double(F.col("embedding")).alias("__v"),
+            norm.alias("__nrm"),
+        )
+        pair_tables = []
+        for t in range(n_tables):
+            planes = similarity.hyperplanes(8, n_planes, 42 + t)
+            with_b = base.withColumn(
+                "__b", similarity.bucket_expr(F.col("__v"), planes)
+            )
+            if max_bucket is not None:
+                wb = Window.partitionBy("__b")
+                with_b = (
+                    with_b.withColumn("__bn", F.count(F.lit(1)).over(wb))
+                    .where(F.col("__bn") <= int(max_bucket))
+                    .drop("__bn")
+                )
+            if multiprobe:
+                probes = F.array(
+                    F.col("__b"),
+                    *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+                )
+                left = with_b.select(
+                    F.explode(probes).alias("__b"),
+                    F.col("__id").alias("qid"),
+                    F.col("__v").alias("qv"),
+                    F.col("__nrm").alias("qn"),
+                )
+            else:
+                left = with_b.select(
+                    F.col("__b"), F.col("__id").alias("qid"),
+                    F.col("__v").alias("qv"), F.col("__nrm").alias("qn"),
+                )
+            right = with_b.select(
+                F.col("__b"), F.col("__id").alias("nid"),
+                F.col("__v").alias("nv"), F.col("__nrm").alias("nn"),
+            )
+            pairs = left.join(right, "__b").where(F.col("qid") != F.col("nid"))
+            pair_tables.append(
+                pairs.select(
+                    "qid", "nid",
+                    F.round(
+                        similarity._safe_cos(
+                            similarity._dot(F.col("qv"), F.col("nv")),
+                            F.col("qn") * F.col("nn"),
+                        ), 7,
+                    ).alias("cosine"),
+                )
+            )
+        allp = pair_tables[0]
+        for p in pair_tables[1:]:
+            allp = allp.unionByName(p)
+        dd = allp.groupBy("qid", "nid").agg(F.first("cosine").alias("cosine"))
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+        return (
+            dd.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                F.col("qid").alias("vec_id"), F.col("nid").alias("neighbor_id"),
+                "cosine", "rank",
+            )
+        )
+
+    for mp, mb in ((1, 1024), (0, None)):
+        got = similarity.knn_join(
+            df, k=3, n_planes=3, dim=8, n_tables=2, multiprobe=mp, max_bucket=mb
+        ).collect()
+        want = directed_reference(
+            k=3, n_planes=3, n_tables=2, multiprobe=mp, max_bucket=mb
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (mp, mb)
+
+
+def test_emb_lsh_pairs_match_per_table_reference(spark):
+    """The round-14 single-join LSH near-dup (one exploded (table, bucket)
+    candidate join, score each distinct pair once) must reproduce the
+    per-table reference exactly: n_tables separate bucketed pairwise
+    passes unioned and deduped."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(80)]
+    # a few exact duplicates so real near-dup pairs exist
+    rows += [(80 + j, list(rows[j][1])) for j in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    got = dedup.embedding_near_dup_pairs_lsh(
+        df, threshold=0.3, n_planes=3, n_tables=4, dim=8
+    ).collect()
+
+    vecs = dedup._prepared_vectors(df, "vec_id", "embedding")
+    tables = []
+    for t in range(4):
+        planes = similarity.hyperplanes(8, 3, 42 + t)
+        bucketed = vecs.withColumn(
+            "lsh_bucket", similarity.bucket_expr(F.col("v"), planes)
+        )
+        tables.append(
+            dedup._pairwise_cosine(bucketed, "vec_id", 0.3, join_extra=["lsh_bucket"])
+        )
+    want = tables[0]
+    for t in tables[1:]:
+        want = want.unionByName(t)
+    want = want.dropDuplicates(["id_a", "id_b"]).collect()
+
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
 
 
 def test_lit_double_array_value_exact(spark):
