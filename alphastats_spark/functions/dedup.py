@@ -500,6 +500,7 @@ def _sigs_over_shingles(
     k: int,
     family: str = SIG_FAMILY,
     extra_aggs: tuple = (),
+    base60_col: str | None = None,
 ) -> DataFrame:
     """``sh.groupBy(id).agg(*signature cols, *extra_aggs)`` with the
     affine family's base hash projected ONCE below the aggregate — the
@@ -507,15 +508,32 @@ def _sigs_over_shingles(
     however large k is (inlining the digest into each of the k min()
     inputs would leave de-duplication to codegen subexpression
     elimination, which aggregate inputs don't reliably get).
-    ``extra_aggs`` ride the same shuffle (row counts etc.)."""
+    ``extra_aggs`` ride the same shuffle (row counts etc.).
+
+    ``base60_col`` (affine31 only): name of a column that ALREADY holds
+    the canonical 60-bit key (:func:`~alphastats_spark.functions.text.
+    hash_key60` of the shingle) — the base hash is then the cached key
+    mod p, and this function performs no hashing at all. This is how
+    :func:`lsh_verified_pairs` shares ONE md5 per shingle row between
+    the signature branch and the verify joins (round 14)."""
     if family == "md5":
         return sh.groupBy(id_col).agg(
             *minhash_signature_cols(k, family), *extra_aggs
         )
-    hashed = sh.select(
-        F.col(id_col),
-        minhash_base_hash(F.col("shingle"), family).alias("__h"),
-    )
+    if base60_col is not None:
+        if family != "affine31":
+            raise ValueError(
+                f"base60_col only applies to the affine31 family, not {family!r}"
+            )
+        hashed = sh.select(
+            F.col(id_col),
+            (F.col(base60_col) % F.lit(MINHASH_PRIME)).alias("__h"),
+        )
+    else:
+        hashed = sh.select(
+            F.col(id_col),
+            minhash_base_hash(F.col("shingle"), family).alias("__h"),
+        )
     return hashed.groupBy(id_col).agg(
         *minhash_signature_cols(k, family, src="__h", prehashed=True),
         *extra_aggs,
@@ -1461,11 +1479,66 @@ def lsh_verified_pairs(
     registry so the interpreted shingle construction executes once, not
     per branch (``ordered.persist_tracked`` — callers that fully
     materialize release it via ``release_pass_caches``).
+
+    Round 14: under the default affine31 family the persisted table
+    carries ``(id, hash_key60(shingle))`` — 16-byte rows — instead of the
+    raw gram strings. The signature base hash is the cached key mod p and
+    the verify joins use the cached key directly, so each shingle row
+    pays exactly ONE md5 for the WHOLE pipeline where the previous shape
+    paid three (signature branch + both join-side ``hash_key60``
+    projections over the cached raw strings), and the cache itself
+    shrinks several-fold. Values are unchanged by construction — both
+    consumers were already derived from the same ``hash_key60``.
     """
     from alphastats_spark.operators import ordered
 
     from alphastats_spark.functions.text import hash_key60
 
+    if SIG_FAMILY == "affine31":
+        sh = ordered.persist_tracked(
+            _exploded_shingles(df, id_col, text_col, n).select(
+                F.col(id_col), hash_key60(F.col("shingle")).alias("__h60")
+            )
+        )
+        sigs = _sigs_over_shingles(
+            sh, id_col, k,
+            extra_aggs=(F.count(F.lit(1)).alias("__nsh"),),
+            base60_col="__h60",
+        )
+        cands = ordered.persist_tracked(
+            _candidates_from_sigs(
+                sigs, id_col, k, rows_per_band, max_band_bucket,
+                size_col="__nsh", size_ratio=threshold,
+            ).select("id_a", "id_b", "size_a", "size_b")
+        )
+        a = sh.select(
+            F.col(id_col).alias("id_a"), F.col("__h60").alias("shingle")
+        )
+        b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("__h60").alias("shingle")
+        )
+        common = (
+            cands.select("id_a", "id_b")
+            .join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        return (
+            common.join(cands, ["id_a", "id_b"])
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                    7,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # legacy md5 / xxh31 families: signatures need the raw shingle string
     sh = ordered.persist_tracked(_exploded_shingles(df, id_col, text_col, n))
     # the per-doc set size rides the SAME aggregate that builds the
     # minhash signature (one shuffle) and then the band table itself
@@ -1737,8 +1810,36 @@ def incremental_near_dups(
     """
     from alphastats_spark.operators import ordered
 
+    from alphastats_spark.functions.text import hash_key60
+
     # one exploded shingle table per side feeds signatures, sizes and the
-    # verify joins (see lsh_verified_pairs)
+    # verify joins (see lsh_verified_pairs) — under the default affine31
+    # family both persisted tables carry the 60-bit key instead of the
+    # raw gram string, so each shingle row pays ONE md5 for the whole
+    # admit (signatures + verify join + sizes; round 14, same sharing as
+    # lsh_verified_pairs)
+    if SIG_FAMILY == "affine31":
+        sh_n = ordered.persist_tracked(
+            _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
+            .select(F.col("new_id"), hash_key60(F.col("shingle")).alias("__h60"))
+        )
+        sh_o = ordered.persist_tracked(
+            _exploded_shingles(corpus_df, id_col, text_col, n, out_id="match_id")
+            .select(F.col("match_id"), hash_key60(F.col("shingle")).alias("__h60"))
+        )
+        bn = ordered.persist_tracked(_band_table(
+            _sigs_over_shingles(sh_n, "new_id", k, base60_col="__h60"),
+            "new_id", k, rows_per_band
+        ))
+        bo = ordered.persist_tracked(_band_table(
+            _sigs_over_shingles(sh_o, "match_id", k, base60_col="__h60"),
+            "match_id", k, rows_per_band
+        ))
+        return _verified_matches(
+            bn, bo, sh_n, sh_o, threshold,
+            sh_n_hashed_col="__h60", sh_o_hashed_col="__h60",
+        )
+
     sh_n = ordered.persist_tracked(
         _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
     )
@@ -1766,6 +1867,8 @@ def _verified_matches(
     sh_o: DataFrame,
     threshold: float,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
+    sh_n_hashed_col: str | None = None,
+    sh_o_hashed_col: str | None = None,
 ) -> DataFrame:
     """Band-collision candidates verified by exact shingle Jaccard —
     shared by the frame-to-frame incremental path and the materialized
@@ -1776,6 +1879,10 @@ def _verified_matches(
     :func:`_hashed_shingles` for the width/collision reasoning) — for the
     index path that hashing is a scan-side projection over the stored raw
     shingle table, so the index format is unchanged.
+    ``sh_n_hashed_col``/``sh_o_hashed_col`` name a column that ALREADY
+    holds the 60-bit key (a caller that persisted the hashed table so the
+    signature branch shares the one md5 — see :func:`lsh_verified_pairs`,
+    round 14); the join then reads it directly instead of re-hashing.
 
     ``max_band_bucket`` is the corpus-side twin of the self-join's
     mega-bucket guard: a boilerplate (band, sig) bucket holding D corpus
@@ -1807,10 +1914,14 @@ def _verified_matches(
         .distinct()
     )
     hn = sh_n.select(
-        "new_id", hash_key60(F.col("shingle")).alias("shingle")
+        "new_id",
+        (F.col(sh_n_hashed_col) if sh_n_hashed_col
+         else hash_key60(F.col("shingle"))).alias("shingle"),
     )
     ho = sh_o.select(
-        "match_id", hash_key60(F.col("shingle")).alias("shingle")
+        "match_id",
+        (F.col(sh_o_hashed_col) if sh_o_hashed_col
+         else hash_key60(F.col("shingle"))).alias("shingle"),
     )
     common = (
         cands.join(hn, "new_id")
@@ -2379,6 +2490,25 @@ def admit_against_index(
     )
     bo = spark.read.parquet(f"{index_path}/bands")
     sh_o = spark.read.parquet(f"{index_path}/shingles")
+    if family == "affine31":
+        # batch side persists the 60-bit key: one md5 per batch shingle
+        # for signatures + verify join + sizes (round 14). The STORED
+        # corpus side stays raw — the index format is unchanged and its
+        # hashing remains a scan-side projection.
+        from alphastats_spark.functions.text import hash_key60
+
+        sh_n = ordered.persist_tracked(
+            _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
+            .select(F.col("new_id"), hash_key60(F.col("shingle")).alias("__h60"))
+        )
+        bn = _band_table(
+            _sigs_over_shingles(sh_n, "new_id", k, family, base60_col="__h60"),
+            "new_id", k, rows_per_band,
+        )
+        matches = _verified_matches(
+            bn, bo, sh_n, sh_o, threshold, sh_n_hashed_col="__h60"
+        )
+        return _admit_rank(new_df, matches, id_col)
     sh_n = ordered.persist_tracked(
         _exploded_shingles(new_df, id_col, text_col, n, out_id="new_id")
     )
