@@ -1310,7 +1310,7 @@ def semdedup_drop_list(
     from alphastats_spark.functions import similarity
 
     vecs = _prepared_vectors(df, id_col, vec_col).withColumn(
-        "ivf_list", similarity._centroid_id_expr(F.col("v"), centroids)
+        "ivf_list", similarity._centroid_id_expr("v", centroids)
     )
     pairs = _pairwise_cosine(vecs, id_col, threshold, join_extra=["ivf_list"])
     return pairs.groupBy(F.col("id_b").alias(id_col)).agg(

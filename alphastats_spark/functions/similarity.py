@@ -34,10 +34,62 @@ def lit_double_array(values) -> Column:
     tests/test_functions.py). Non-finite values can't be spelled as SQL
     double literals, so any nan/inf falls back to the per-element path.
     """
+    sql = _double_array_sql(values)
+    if sql is None:
+        return F.array(*[F.lit(float(x)) for x in values])
+    return F.expr(sql)
+
+
+def _double_array_sql(values) -> str | None:
+    """SQL text of a literal ``array<double>`` (see :func:`lit_double_array`
+    for the value-exactness argument), or None when a non-finite value
+    can't be spelled as a SQL literal and the caller must fall back to the
+    per-element Column path."""
     vals = [float(x) for x in values]
     if not vals or not all(map(math.isfinite, vals)):
-        return F.array(*[F.lit(v) for v in vals])
-    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+        return None
+    return "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+
+
+def _quote(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+# --- SQL-text twins of the vector expression builders (round 14) -----------
+#
+# The Column-DSL builders below pay one py4j round-trip per zip_with/
+# aggregate LAMBDA (~13 ms each — _create_lambda ships the function to the
+# JVM eagerly): a 16-centroid argmin is 32 lambdas ≈ 0.8 s and a 4×16 PQ
+# encoder 128 ≈ 2.1 s of pure DRIVER latency per query build, serialized
+# ahead of any Spark job. Rendering the whole expression as ONE SQL string
+# parses JVM-side in a single round-trip (measured 0.003 s for either) and
+# yields the SAME expression tree — pinned bit-identical in
+# tests/test_functions.py::test_sql_text_builders_identical and by every
+# ANN oracle query. Each builder takes the source as a COLUMN NAME; call
+# sites that hold an arbitrary Column keep the legacy DSL path.
+
+def _as_double_sql(vec_sql: str) -> str:
+    return f"transform({vec_sql},xd->CAST(xd AS DOUBLE))"
+
+
+def _dot_sql(vec_sql: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_sql},{arr_sql},(x,y)->x*y),"
+        "0.0D,(acc,x)->acc+x)"
+    )
+
+
+def _sqdist_sql(vec_sql: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_sql},{arr_sql},(x,y)->(x-y)*(x-y)),"
+        "0.0D,(acc,x)->acc+x)"
+    )
+
+
+def _argmin_sql(dists: list[str]) -> str:
+    ds = "array(" + ",".join(dists) + ")"
+    return f"CAST((array_position({ds},array_min({ds})) - 1) AS INT)"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -118,8 +170,25 @@ def hyperplanes(dim: int, n_planes: int = 6, seed: int = 42) -> list[list[float]
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for a vector column given literal hyperplanes."""
+def bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for a vector column given literal hyperplanes.
+
+    Pass the COLUMN NAME (str) where possible: the expression then renders
+    as one SQL string — one py4j round-trip instead of two eager lambda
+    round-trips per plane (see the SQL-text twins note above)."""
+    if isinstance(vec, str):
+        sqls = [_double_array_sql(p) for p in planes]
+        if all(s is not None for s in sqls):
+            v = _as_double_sql(_quote(vec))
+            terms = [
+                f"(CASE WHEN {_dot_sql(v, s)} >= 0 THEN CAST({2 ** i} AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END)"
+                for i, s in enumerate(sqls)
+            ]
+            return F.expr(
+                "(" + " + ".join(["CAST(0 AS BIGINT)"] + terms) + ")"
+            )
+        vec = F.col(vec)
     v = _as_double(vec)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -141,7 +210,7 @@ def lsh_buckets(
     if dim is None:
         dim = infer_dim(df, vec_col)
     planes = hyperplanes(dim, n_planes, seed)
-    return df.withColumn("lsh_bucket", bucket_expr(F.col(vec_col), planes))
+    return df.withColumn("lsh_bucket", bucket_expr(vec_col, planes))
 
 
 def query_bucket(query: list[float], planes: list[list[float]]) -> int:
@@ -206,7 +275,7 @@ def lsh_topk(
         planes = hyperplanes(len(query), n_planes, seed + t)
         qbucket = query_bucket(query, planes)
         candidates = probe_set(qbucket, n_planes, radius)
-        member = bucket_expr(F.col(vec_col), planes).isin(candidates)
+        member = bucket_expr(vec_col, planes).isin(candidates)
         cond = member if cond is None else cond | member
 
     scored = df.where(cond).select(
@@ -355,7 +424,7 @@ def knn_join(
         # guard window + self-join shuffle (id, bucket) pairs, not
         # payloads — Catalyst also prunes the norm compute off this branch
         light = base.select(
-            F.col("__id"), bucket_expr(F.col("__v"), planes).alias("__b")
+            F.col("__id"), bucket_expr("__v", planes).alias("__b")
         )
         if max_bucket is not None:
             # mega-bucket guard fused into the table's own partitioning
@@ -498,7 +567,17 @@ def _centroid_id_expr(vec: Column, centroids: list[list[float]]) -> Column:
     through the chained comparisons, O(centroids²) interpreted
     re-evaluation per row (measured 6.8s → 1.7s for 16 centroids over a
     2k×64-d corpus). First-occurrence tie-break is preserved
-    (strict-less chain ≡ array_position of the min)."""
+    (strict-less chain ≡ array_position of the min).
+
+    Pass the COLUMN NAME (str) where possible — the whole argmin renders
+    as one SQL string (0.8 s → 3 ms of driver build time for 16×64,
+    identical tree; see the SQL-text twins note)."""
+    if isinstance(vec, str):
+        sqls = [_double_array_sql(c) for c in centroids]
+        if all(s is not None for s in sqls):
+            v = _as_double_sql(_quote(vec))
+            return F.expr(_argmin_sql([_sqdist_sql(v, s) for s in sqls]))
+        vec = F.col(vec)
     v = _as_double(vec)
     return _argmin_expr([_sqdist(v, c) for c in centroids])
 
@@ -530,7 +609,7 @@ def ivf_index(
     target = df.sparkSession.sparkContext.defaultParallelism
     if id_col in df.columns and df.rdd.getNumPartitions() < target:
         df = df.repartition(target, F.col(id_col))
-    return df.withColumn("ivf_list", _centroid_id_expr(F.col(vec_col), centroids))
+    return df.withColumn("ivf_list", _centroid_id_expr(vec_col, centroids))
 
 
 def write_ivf_index(
@@ -675,9 +754,23 @@ def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """PQ code as ``array<int>`` (one entry per subspace) — a JVM-side
     argmin over squared distances to the literal codebook centroids, the
     per-subspace twin of :func:`_centroid_id_expr`. First-occurrence
-    tie-break, replicated exactly by the oracle's ``list_position`` form."""
-    v = _as_double(vec)
+    tie-break, replicated exactly by the oracle's ``list_position`` form.
+
+    Pass the COLUMN NAME (str) where possible — one SQL parse instead of
+    2×m×n_codes eager lambda round-trips (2.1 s → 3 ms for a 4×16 book;
+    see the SQL-text twins note)."""
     sub = len(codebooks[0][0])
+    if isinstance(vec, str):
+        sqls = [[_double_array_sql(c) for c in cb] for cb in codebooks]
+        if all(s is not None for cb in sqls for s in cb):
+            v = _as_double_sql(_quote(vec))
+            parts = []
+            for s_i, cb in enumerate(sqls):
+                sv = f"slice({v},{s_i * sub + 1},{sub})"
+                parts.append(_argmin_sql([_sqdist_sql(sv, s) for s in cb]))
+            return F.expr("array(" + ",".join(parts) + ")")
+        vec = F.col(vec)
+    v = _as_double(vec)
     parts = []
     for s_i, cb in enumerate(codebooks):
         sv = F.slice(v, s_i * sub + 1, sub)
@@ -748,7 +841,7 @@ def ivfpq_topk(
     lut = pq_adc_lut(query, codebooks)
 
     cand = base.where(F.col("ivf_list").isin(probe)).withColumn(
-        "__code", pq_encode_expr(F.col(vec_col), codebooks)
+        "__code", pq_encode_expr(vec_col, codebooks)
     )
     score = None
     for s_i, row in enumerate(lut):

@@ -3533,6 +3533,60 @@ def test_emb_lsh_pairs_match_per_table_reference(spark):
     assert len(got) > 0
 
 
+def test_sql_text_builders_identical(spark):
+    """The SQL-text fast paths of bucket_expr / _centroid_id_expr /
+    pq_encode_expr (one parse instead of eager per-lambda py4j round
+    trips) must produce values identical to the Column-DSL forms on the
+    same data — including a column name needing backtick quoting."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    planes = similarity.hyperplanes(8, 4, 9)
+    cents = [[float(x) for x in rng.standard_normal(8)] for _ in range(5)]
+    books = [
+        [[float(x) for x in rng.standard_normal(4)] for _ in range(3)]
+        for _ in range(2)
+    ]
+
+    for col_form, sql_form in (
+        (
+            similarity.bucket_expr(F.col("embedding"), planes),
+            similarity.bucket_expr("embedding", planes),
+        ),
+        (
+            similarity._centroid_id_expr(F.col("embedding"), cents),
+            similarity._centroid_id_expr("embedding", cents),
+        ),
+        (
+            similarity.pq_encode_expr(F.col("embedding"), books),
+            similarity.pq_encode_expr("embedding", books),
+        ),
+    ):
+        bad = (
+            df.select((~col_form.eqNullSafe(sql_form)).alias("m"))
+            .where("m")
+            .count()
+        )
+        assert bad == 0
+
+    # weird column name round-trips through _quote
+    odd = df.withColumnRenamed("embedding", "emb ed`ding")
+    got = odd.select(
+        similarity.bucket_expr("emb ed`ding", planes).alias("b")
+    ).collect()
+    want = odd.select(
+        similarity.bucket_expr(F.col("`emb ed``ding`"), planes).alias("b")
+    ).collect()
+    assert [r["b"] for r in got] == [r["b"] for r in want]
+
+    # non-finite literals fall back to the Column path instead of breaking
+    nf = similarity._centroid_id_expr("embedding", [[float("nan")] * 8, [0.0] * 8])
+    assert nf is not None
+
+
 def test_lit_double_array_value_exact(spark):
     """The one-round-trip SQL literal array must be bit-identical to the
     per-element F.lit path for every representable double, including
