@@ -272,7 +272,6 @@ def _stream_banded(
     indexes, ``"xxh31"`` for indexes built with the cheaper non-oracle
     family — callers resolve it from the index meta)."""
     from alphastats_spark.functions import dedup as _dedup
-    from alphastats_spark.functions.dedup import shingles
 
     if sig_family is None:
         sig_family = _dedup.SIG_FAMILY
@@ -284,12 +283,45 @@ def _stream_banded(
             f"{id_col} must be an integral type to band against a stored "
             f"long-keyed index, got {id_type}"
         )
+    # Spread the banding compute across the session's cores BEFORE the
+    # per-row projections — the streaming twin of _exploded_shingles's
+    # small-scan guard. A single-file micro-batch arrives as ONE source
+    # partition, and the interpreted per-row signature arithmetic
+    # (~k passes over the shingle array) then serializes on one core:
+    # measured 21 s single-task vs <1 s spread for a 5k-doc batch at
+    # sf0.1. The exchange moves only the micro-batch's (id, text) rows —
+    # orders of magnitude cheaper than the compute it parallelizes — and
+    # hash-partitioning by id is deterministic (no rand key, safe under
+    # task retry). Candidate-pair SETS are partition-order independent,
+    # so downstream state-fold results are unchanged.
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    # Token array projected in its OWN select before the gram transform —
+    # the _grams_over closure trap: the gram lambda's slice() closes over
+    # its token argument, and an interpreted lambda re-evaluates a
+    # closed-over EXPRESSION per element, so the inline shingles(text)
+    # form re-ran the whole lower/regexp/split chain once per gram
+    # position per row. Worse, the size(__sh) > 0 filter pushed to the
+    # scan carried the same gram transform and paid the chain again per
+    # element INSIDE the filter. The filter is therefore re-stated on the
+    # token count — ``size(__toks) >= n ⟺ size(__sh) > 0`` exactly
+    # (n or more tokens ⇒ the gram sequence is non-empty, and concat_ws
+    # never yields null) — which pushes down as ONE chain evaluation with
+    # no lambda. Measured on the sf0.1 5k-doc micro-batch: the banding
+    # projection fell from ~650 CPU-seconds to ~8 (24 s → 0.9 s wall on
+    # 32 cores, identical rows).
+    from alphastats_spark.functions.text import normalize as _text_normalize
+
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
-        shingles(F.col(text_col), n).alias("__sh"),
+        F.split(_text_normalize(F.col(text_col)), r" ").alias("__toks"),
     # null ids (null in source, or un-castable despite the integral-TYPE
     # check) would crash int() in the stateful fold and poison the stream
-    ).where(F.col("__id").isNotNull() & (F.size("__sh") > 0))
+    ).where(F.col("__id").isNotNull() & (F.size("__toks") >= n))
+    base = base.select(
+        F.col("__id"), _dedup._grams_over(F.col("__toks"), n).alias("__sh")
+    )
 
     if sig_family == "md5":
         def mh(j: int) -> Column:
@@ -533,9 +565,21 @@ def streaming_dedup_candidates(
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         stored: list[int] = list(state.get[0]) if state.exists else []
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        new_ids = sorted(int(x) for x in batch["__id"].unique())
-        band = int(batch["__band"].iloc[0]) if len(batch) else 0
+        # ~1 group per (band, sig) signature value ⇒ group count scales
+        # with the corpus, so per-group constant costs dominate this
+        # operator's wall. Skip the pd.concat for the common single-chunk
+        # group and pull plain numpy arrays instead of pandas indexing.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        if len(chunks) == 1:
+            ids = chunks[0]["__id"].values
+            band = int(chunks[0]["__band"].values[0])
+        else:
+            batch = pd.concat(chunks, ignore_index=True)
+            ids = batch["__id"].values
+            band = int(batch["__band"].values[0])
+        new_ids = sorted({int(x) for x in ids})
         pairs = []
         for nid in new_ids:
             if nid in stored:
