@@ -242,3 +242,36 @@ def test_duplicate_clusters_edges_released_by_scope(spark):
         }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert len(sc._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_daily_pct_change_matches_two_phase_lag(spark):
+    """The harness loaders' bounded-series fast path (plain global-order
+    lag over the per-day aggregate) must return exactly the rows the
+    general two-phase lag machinery returns on the same daily table."""
+    from pyspark.sql import functions as F
+
+    from alphastats_spark import harness
+    from alphastats_spark.operators import ordered
+
+    sf_dir = "/root/testdata/sf0.001"
+    fast = harness.load_returns(spark, sf_dir).orderBy("d").collect()
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    mark = ordered.pass_cache_mark()
+    try:
+        two = ordered.add_lag_columns(ordered.with_order(daily, "d"), {"__prev": "rev"})
+        slow = (
+            two.withColumn("r", F.col("rev") / F.col("__prev") - 1)
+            .where(F.col("r").isNotNull())
+            .select("d", "r")
+            .orderBy("d")
+            .collect()
+        )
+    finally:
+        ordered.release_pass_caches(mark)
+
+    assert len(fast) > 0
+    assert fast == slow
