@@ -177,6 +177,28 @@ def _affine_checksum(k: int) -> str:
     return hashlib.md5(payload.encode()).hexdigest()[:16]
 
 
+#: Session-scoped memo of reusable Column TREES for the build-hot dedup
+#: pipelines. A PySpark Column is an immutable, name-bound expression
+#: tree, so one tree serves every frame carrying those column names — but
+#: BUILDING it costs one py4j round-trip per node, and the shingle /
+#: signature / band builders construct hundreds of nodes per call
+#: (measured ~1.1 s of pure driver time per lsh_verified_pairs plan
+#: build; the bench pays it on every run). Keyed by the py4j gateway so
+#: a fresh JVM can never be served another gateway's object refs; within
+#: one JVM, expression objects outlive any SparkContext stop/start.
+_COLUMN_MEMO: dict = {}
+
+
+def _memo_col(key: tuple, build):
+    from pyspark import SparkContext
+
+    k = (id(SparkContext._gateway), key)
+    c = _COLUMN_MEMO.get(k)
+    if c is None:
+        c = _COLUMN_MEMO[k] = build()
+    return c
+
+
 def _grams_over(toks: Column, n: int) -> Column:
     """Distinct n-gram shingle array over an ALREADY-PROJECTED token array
     column. Higher-order array functions run interpreted, and an
@@ -486,12 +508,18 @@ def minhash_signature_cols(
         ]
     if family not in ("affine31", "xxh31"):
         raise ValueError(f"unknown MinHash signature family {family!r}")
-    h = col if prehashed else minhash_base_hash(col, family)
-    p = F.lit(MINHASH_PRIME)
-    return [
-        F.min((F.lit(a) * h + F.lit(b)) % p).alias(f"mh{j}")
-        for j, (a, b) in enumerate(_affine_coeffs(k))
-    ]
+
+    def build() -> list:
+        h = col if prehashed else minhash_base_hash(col, family)
+        p = F.lit(MINHASH_PRIME)
+        return [
+            F.min((F.lit(a) * h + F.lit(b)) % p).alias(f"mh{j}")
+            for j, (a, b) in enumerate(_affine_coeffs(k))
+        ]
+
+    # k Column trees of ~8 nodes each per call — memoized per
+    # (k, family, src): the trees are pure functions of those three
+    return _memo_col(("sigcols", k, family, src, prehashed), build)
 
 
 def _sigs_over_shingles(
@@ -527,12 +555,18 @@ def _sigs_over_shingles(
             )
         hashed = sh.select(
             F.col(id_col),
-            (F.col(base60_col) % F.lit(MINHASH_PRIME)).alias("__h"),
+            _memo_col(
+                ("sig_modp", base60_col),
+                lambda: (F.col(base60_col) % F.lit(MINHASH_PRIME)).alias("__h"),
+            ),
         )
     else:
         hashed = sh.select(
             F.col(id_col),
-            minhash_base_hash(F.col("shingle"), family).alias("__h"),
+            _memo_col(
+                ("sig_base", family),
+                lambda: minhash_base_hash(F.col("shingle"), family).alias("__h"),
+            ),
         )
     return hashed.groupBy(id_col).agg(
         *minhash_signature_cols(k, family, src="__h", prehashed=True),
@@ -561,14 +595,21 @@ def _exploded_shingles(
     """
     name = out_id or id_col
     base = df.select(
-        F.col(id_col).alias(name),
-        F.split(normalize(F.col(text_col)), r" ").alias("__toks"),
+        _memo_col(("expl_id", id_col, name), lambda: F.col(id_col).alias(name)),
+        _memo_col(
+            ("expl_toks", text_col),
+            lambda: F.split(normalize(F.col(text_col)), r" ").alias("__toks"),
+        ),
     )
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         base = base.repartition(target, F.col(name))
     return base.select(
-        F.col(name), F.explode(_grams_over(F.col("__toks"), n)).alias("shingle")
+        F.col(name),
+        _memo_col(
+            ("expl_grams", n),
+            lambda: F.explode(_grams_over(F.col("__toks"), n)).alias("shingle"),
+        ),
     )
 
 
@@ -597,7 +638,11 @@ def _hashed_shingles(
     from alphastats_spark.functions.text import hash_key60
 
     return _exploded_shingles(df, id_col, text_col, n).select(
-        F.col(id_col), hash_key60(F.col("shingle")).alias("shingle")
+        F.col(id_col),
+        _memo_col(
+            ("h60_shingle_self",),
+            lambda: hash_key60(F.col("shingle")).alias("shingle"),
+        ),
     )
 
 
@@ -643,10 +688,9 @@ def _band_table(
             "trailing min-hashes silently)"
         )
     n_bands = k // rows_per_band
-    return sigs.select(
-        F.col(id_col),
-        *[F.col(c) for c in extra],
-        F.explode(
+
+    def build_explode() -> Column:
+        return F.explode(
             F.array(
                 *[
                     F.struct(
@@ -662,7 +706,14 @@ def _band_table(
                     for b in range(n_bands)
                 ]
             )
-        ).alias("bs"),
+        ).alias("bs")
+
+    return sigs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        # ~6 nodes per band × n_bands per call — memoized (pure function
+        # of the banding geometry; mh column names are fixed)
+        _memo_col(("band_explode", k, rows_per_band), build_explode),
     ).select(
         id_col, *extra,
         F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
@@ -822,18 +873,15 @@ def _candidates_from_sigs(
     bands = ordered.persist_tracked(bands)
     left = bands.alias("l")
     right = bands.alias("r")
-    cond = (
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.sig") == F.col("r.sig"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-    )
-    keys = [
-        F.col(f"l.{id_col}").alias("id_a"),
-        F.col(f"r.{id_col}").alias("id_b"),
-    ]
-    if size_col is not None:
-        la, rb = F.col(f"l.{size_col}"), F.col(f"r.{size_col}")
-        if size_ratio:
+
+    def build_cond() -> Column:
+        cond = (
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        )
+        if size_col is not None and size_ratio:
+            la, rb = F.col(f"l.{size_col}"), F.col(f"r.{size_col}")
             # softened by the downstream rounding margin: the final filter
             # admits pairs via round(jaccard, 7) >= t, i.e. true J down to
             # t - 5e-8, while this bound works on the UNROUNDED ratio — a
@@ -847,9 +895,25 @@ def _candidates_from_sigs(
                 F.least(la, rb)
                 >= F.lit(float(size_ratio) - 1e-7) * F.greatest(la, rb)
             )
-        # sizes are functions of the ids — adding them to the grouping
-        # keys carries them through without a second aggregate or join
-        keys += [la.alias("size_a"), rb.alias("size_b")]
+        return cond
+
+    def build_keys() -> list:
+        keys = [
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        ]
+        if size_col is not None:
+            # sizes are functions of the ids — adding them to the grouping
+            # keys carries them through without a second aggregate or join
+            keys += [
+                F.col(f"l.{size_col}").alias("size_a"),
+                F.col(f"r.{size_col}").alias("size_b"),
+            ]
+        return keys
+
+    ratio_key = float(size_ratio) if size_ratio else None
+    cond = _memo_col(("cand_cond", id_col, size_col, ratio_key), build_cond)
+    keys = _memo_col(("cand_keys", id_col, size_col), build_keys)
     return (
         left.join(right, cond)
         .groupBy(*keys)
@@ -1325,6 +1389,7 @@ def duplicate_clusters(
     max_iters: int = 30,
     stats: dict | None = None,
     reliable_checkpoint: bool = False,
+    assume_distinct_pairs: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
@@ -1337,6 +1402,15 @@ def duplicate_clusters(
     smallest label among itself and its neighbors. Each iteration is one
     shuffle (edges ⋈ labels, groupBy); the driver loop stops at fixpoint —
     iterations needed = graph diameter, which for near-dup graphs is tiny.
+    Round 1 is fused to a single groupBy over the edge set (labels start
+    as the identity map, so the first round is just ``min(self,
+    min(neighbors))`` — no separate node-set pass, no join).
+    ``assume_distinct_pairs=True`` additionally skips the edge-set
+    ``distinct()`` (a full shuffle); pass it when the pair frame is known
+    duplicate-free with ``a != b`` (every pipeline ending in a
+    ``groupBy(id_a, id_b)`` qualifies). Propagation stays CORRECT under
+    duplicate edges either way — the distinct only bounds data volume for
+    duplicate-heavy callers.
     Frames are persisted per-iteration and checkpoint-free: the lineage is
     re-rooted by localCheckpoint every few rounds so plans don't grow
     unboundedly on adversarial graphs.
@@ -1378,23 +1452,49 @@ def duplicate_clusters(
     # docstring for the localCheckpoint fault-tolerance caveat and the
     # reliable_checkpoint alternative; both forms are tracked for
     # explicit block release.
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    # ``assume_distinct_pairs`` skips the edge-set distinct — a full
+    # shuffle of every edge. The internal pipelines (deduplicate,
+    # dedup_corpus) qualify by construction: lsh_verified_pairs ends in a
+    # groupBy(id_a, id_b), so the symmetrized union is already
+    # duplicate-free. Min-label propagation is CORRECT under duplicate
+    # edges either way (a repeated neighbor only repeats the same min) —
+    # the distinct is purely a data-volume optimization for callers with
+    # duplicate-heavy pair frames, so it stays the public default.
+    if not assume_distinct_pairs:
+        edges = edges.distinct()
     if reliable_checkpoint:
         edges = edges.checkpoint(eager=True)
     else:
         edges = _ordered.local_checkpoint_tracked(edges, eager=True)
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("cluster_id", F.col("id")).persist()
+    # Iteration 1 fused: labels₀ is the identity map, so the first
+    # propagation round is just min(self, min-over-neighbors) — ONE
+    # groupBy over the edge set, no nodes.distinct() pass and no
+    # edges⋈labels / labels⋈neighbor_min joins. The node set is exactly
+    # groupBy(src) because symmetrization makes every node a src. The
+    # __chg flag keeps the same meaning (some neighbor beat the own
+    # label), so an empty or self-loop-only graph converges here.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("nmin")).alias("cluster_id"),
+            (F.col("nmin") < F.col("src")).alias("__chg"),
+        )
+        .persist()
+    )
     if stats is not None:
         stats["n_edges"] = edges.count()
         stats["n_nodes"] = labels.count()
 
-    iters_run = 0
-    for it in range(max_iters):
+    iters_run = 1
+    changed = labels.where(F.col("__chg")).limit(1).count()
+    for it in range(1, max_iters):
+        if changed == 0:
+            break
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -1426,10 +1526,8 @@ def duplicate_clusters(
         labels.unpersist()
         labels = new_labels
         iters_run = it + 1
-        if changed == 0:
-            break
-    else:
-        # exiting by range exhaustion means labels are NOT a fixpoint:
+    if changed != 0:
+        # exiting with changes pending means labels are NOT a fixpoint:
         # one duplicate cluster would surface under several cluster_ids
         # and deduplicate() would keep multiple "representatives" of the
         # same cluster — silent under-deduplication. A near-dup graph
@@ -1497,7 +1595,11 @@ def lsh_verified_pairs(
     if SIG_FAMILY == "affine31":
         sh = ordered.persist_tracked(
             _exploded_shingles(df, id_col, text_col, n).select(
-                F.col(id_col), hash_key60(F.col("shingle")).alias("__h60")
+                F.col(id_col),
+                _memo_col(
+                    ("h60_shingle",),
+                    lambda: hash_key60(F.col("shingle")).alias("__h60"),
+                ),
             )
         )
         sigs = _sigs_over_shingles(
@@ -1640,7 +1742,7 @@ def deduplicate(
         df, id_col, text_col, k=k, rows_per_band=rows_per_band,
         threshold=threshold, max_band_bucket=max_band_bucket,
     )
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, assume_distinct_pairs=True)
     if not lineage:
         drop = clusters.where(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(id_col)

@@ -3884,7 +3884,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")
     # in DuckDB — a full value oracle for an iterative distributed algorithm.
     add("dedup_clusters",
         lambda spark, sf_dir: dedup.duplicate_clusters(
-            dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+            dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5),
+            assume_distinct_pairs=True,
         ),
         _SHINGLE_HASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
