@@ -363,6 +363,264 @@ def add_lag_columns(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     return add_ordered_columns(df, lags=cols)
 
 
+def _drawdown_fused(
+    df: DataFrame,
+    cols: dict[str, str],
+    extra_sums: dict,
+    extra_lags: dict,
+) -> DataFrame:
+    """ONE-machinery-pass drawdown enrichment for the plain (no peak
+    position) case — see :func:`add_drawdown_columns`.
+
+    The two-pass decomposition (prefix sums, then a SECOND two-phase pass
+    for the running peak over wealth) paid a second persist, bucket
+    aggregate and broadcast join per call. This fuses the peak into the
+    FIRST pass, bit-exactly, using monotonicity instead of re-scaling:
+
+    true wealth is ``w_j = sign_j · exp(L_b + a_j)`` where ``a_j`` is the
+    in-bucket running log-sum, ``L_b`` the bucket's exclusive offset, and
+    ``sign_j`` flips with the TOTAL negative-factor parity (bucket offset
+    ``N_b`` + in-bucket count). Within a bucket, partition the non-null,
+    non-collapsed rows by IN-BUCKET parity and track running max/min of
+    ``a_j`` per class (4 extra window expressions riding the SAME sort —
+    no second exchange). Because IEEE ``+L`` and a correctly-rounded
+    ``exp`` are both weakly monotone, ``max_j exp(L + a_j) ==
+    exp(L + max_j a_j)`` as DOUBLES, so the running peak is exactly
+    ``greatest(exp(L+maxPos), 0-if-collapsed-row-seen, -exp(L+minNeg))``
+    with the pos/neg classes chosen by ``N_b``'s parity — the same
+    doubles the legacy second pass maxes over, hence bit-identical
+    drawdowns (pinned by tests/test_operators.py over sign-flip /
+    collapse-to-zero / null / all-null-bucket series). The equal-value
+    POSITION tie-break of ``with_peak_pos`` (ties on the exp VALUE, which
+    collides for distinct log-sums at ulp distance) is not recoverable
+    from in-bucket quantities, so that variant keeps the legacy two-pass
+    shape.
+
+    Cross-bucket, the per-bucket true peak is computed on the tiny bucket
+    table from the same four totals (suppressed entirely when a PRIOR
+    bucket collapsed the product to zero), and its exclusive running max
+    joins back with the sums offsets in ONE broadcast join."""
+    o, b = _q(ORDER_COL), _q(BUCKET_COL)
+
+    # ---- stage the extra Column values (same contract as the machinery)
+    staged: list[Column] = []
+
+    def sql_of(out: str, val, kind: str) -> str:
+        if isinstance(val, str):
+            return val
+        tmp = f"__st_{kind}_{out}"
+        staged.append(val.alias(tmp))
+        return _q(tmp)
+
+    xsums_sql = {out: sql_of(out, v, "s") for out, v in extra_sums.items()}
+    xlags_sql = {out: _q(src) for out, src in extra_lags.items()}
+    if staged:
+        df = df.select("*", *staged)
+
+    # ---- ONE windowed select: drawdown prefix sums, the four per-parity
+    # log-extrema, the collapse/non-null markers, and the extras
+    win1 = []
+    for out, src in cols.items():
+        factor = f"(CAST({_q(src)} AS double) + 1)"
+        ls = f"CASE WHEN {factor} = 0 THEN 0.0D ELSE ln(abs({factor})) END"
+        neg = f"CAST(({factor} < 0) AS bigint)"
+        zero = f"CAST(({factor} = 0) AS bigint)"
+        win1.append(f"sum({ls}) {_W_CUM} AS {_q(out + '__ls__in')}")
+        win1.append(f"sum({neg}) {_W_CUM} AS {_q(out + '__neg__in')}")
+        win1.append(f"sum({zero}) {_W_CUM} AS {_q(out + '__zero__in')}")
+    for out, e in xsums_sql.items():
+        win1.append(f"sum({e}) {_W_CUM} AS {_q(out + '__in')}")
+    for out, e in xlags_sql.items():
+        win1.append(f"lag({e}) {_W_PLAIN} AS {_q(out + '__in')}")
+    if extra_lags:
+        win1.append(f"row_number() {_W_PLAIN} AS __as_rn")
+    df = df.selectExpr("*", *win1)
+
+    # second windowed select over the FIRST one's outputs — same window
+    # spec, so the planner adds no exchange and no sort (plan-pinned)
+    win2 = []
+    for out, src in cols.items():
+        nn = f"{_q(src)} IS NOT NULL"
+        live = f"{nn} AND {_q(out + '__zero__in')} = 0"
+        even = f"({_q(out + '__neg__in')} % 2) = 0"
+        a = _q(out + "__ls__in")
+        win2.append(
+            f"max(CASE WHEN {live} AND {even} THEN {a} END) {_W_CUM} "
+            f"AS {_q(out + '__mxe')}"
+        )
+        win2.append(
+            f"min(CASE WHEN {live} AND {even} THEN {a} END) {_W_CUM} "
+            f"AS {_q(out + '__mne')}"
+        )
+        win2.append(
+            f"max(CASE WHEN {live} AND NOT ({even}) THEN {a} END) {_W_CUM} "
+            f"AS {_q(out + '__mxo')}"
+        )
+        win2.append(
+            f"min(CASE WHEN {live} AND NOT ({even}) THEN {a} END) {_W_CUM} "
+            f"AS {_q(out + '__mno')}"
+        )
+        # a collapsed (wealth = 0) row seen so far / any non-null row seen
+        win2.append(
+            f"max(CASE WHEN {nn} AND {_q(out + '__zero__in')} > 0 THEN 1 END) "
+            f"{_W_CUM} AS {_q(out + '__zc')}"
+        )
+        win2.append(
+            f"max(CASE WHEN {nn} THEN 1 END) {_W_CUM} AS {_q(out + '__na')}"
+        )
+    df = _persist_pass(df.selectExpr("*", *win2))
+
+    # ---- ONE bucket aggregate (sums totals + peak-class totals + extras)
+    aggs = []
+    for out in cols:
+        for part in ("ls", "neg", "zero"):
+            aggs.append(
+                F.expr(f"max_by({_q(out + '__' + part + '__in')}, {o})").alias(
+                    f"{out}__{part}t"
+                )
+            )
+        aggs.append(F.expr(f"max({_q(out + '__mxe')})").alias(f"{out}__mxet"))
+        aggs.append(F.expr(f"min({_q(out + '__mne')})").alias(f"{out}__mnet"))
+        aggs.append(F.expr(f"max({_q(out + '__mxo')})").alias(f"{out}__mxot"))
+        aggs.append(F.expr(f"min({_q(out + '__mno')})").alias(f"{out}__mnot"))
+        aggs.append(F.expr(f"max({_q(out + '__zc')})").alias(f"{out}__zct"))
+        aggs.append(F.expr(f"max({_q(out + '__na')})").alias(f"{out}__nat"))
+    for out in xsums_sql:
+        aggs.append(F.expr(f"max_by({_q(out + '__in')}, {o})").alias(f"{out}__t"))
+    for out, e in xlags_sql.items():
+        aggs.append(F.expr(f"max_by({e}, {o})").alias(f"{out}__b"))
+    totals = df.groupBy(BUCKET_COL).agg(*aggs)
+
+    # offsets + per-bucket true peak + its exclusive running max: three
+    # chained selects on the one-row-per-bucket table, zero extra jobs
+    off1 = ["*"]
+    for out in cols:
+        for part in ("ls", "neg", "zero"):
+            off1.append(
+                f"sum({_q(out + '__' + part + 't')}) {_WB_EXCL} "
+                f"AS {_q(out + '__' + part + '__off')}"
+            )
+    for out in xsums_sql:
+        off1.append(f"sum({_q(out + '__t')}) {_WB_EXCL} AS {_q(out + '__off')}")
+    for out in xlags_sql:
+        off1.append(f"lag({_q(out + '__b')}) {_WB_LAG} AS {_q(out + '__off')}")
+    totals = totals.selectExpr(*off1)
+
+    def _c_parts(out: str) -> tuple[str, str, str]:
+        return (
+            f"coalesce({_q(out + '__ls__off')}, 0.0D)",
+            f"coalesce({_q(out + '__neg__off')}, 0L)",
+            f"coalesce({_q(out + '__zero__off')}, 0L)",
+        )
+
+    def _peak_sql(out: str, mxe: str, mne: str, mxo: str, mno: str,
+                  zc: str, na: str) -> str:
+        """Exact running/bucket peak from the four per-parity log extrema.
+
+        With the bucket sign parity N: the positive-wealth class is the
+        in-bucket-even rows when N is even, the odd rows otherwise; its
+        peak candidate is exp(L + max a); the negative class contributes
+        -exp(L + min a); a collapsed row contributes 0.0. greatest()
+        skips null candidates, and a prior-bucket collapse (Z > 0) zeroes
+        every non-null row instead."""
+        L, N, Z = _c_parts(out)
+        pos = f"CASE WHEN ({N} % 2) = 0 THEN {mxe} ELSE {mxo} END"
+        neg = f"CASE WHEN ({N} % 2) = 0 THEN {mno} ELSE {mne} END"
+        return (
+            f"CASE WHEN {Z} > 0 THEN "
+            f"(CASE WHEN {na} IS NULL THEN CAST(NULL AS double) ELSE 0.0D END) "
+            f"ELSE greatest("
+            f"CASE WHEN ({pos}) IS NOT NULL THEN exp({L} + ({pos})) END, "
+            f"CASE WHEN {zc} IS NOT NULL THEN 0.0D END, "
+            f"CASE WHEN ({neg}) IS NOT NULL THEN -exp({L} + ({neg})) END) END"
+        )
+
+    tb_cols = [
+        _peak_sql(
+            out, _q(out + "__mxet"), _q(out + "__mnet"), _q(out + "__mxot"),
+            _q(out + "__mnot"), _q(out + "__zct"), _q(out + "__nat"),
+        ) + f" AS {_q(out + '__tb')}"
+        for out in cols
+    ]
+    totals = totals.selectExpr("*", *tb_cols)
+
+    keep_off = [b]
+    for out in cols:
+        for part in ("ls", "neg", "zero"):
+            keep_off.append(_q(out + "__" + part + "__off"))
+    keep_off += [_q(out + "__off") for out in xsums_sql]
+    keep_off += [_q(out + "__off") for out in xlags_sql]
+    offsets = totals.selectExpr(
+        *keep_off,
+        *[f"max({_q(out + '__tb')}) {_WB_EXCL} AS {_q(out + '__pko')}" for out in cols],
+    )
+
+    df = df.join(F.broadcast(offsets), on=BUCKET_COL, how="left")
+
+    # ---- final wealth, peak and extra outputs
+    d_cols = []
+    for out, src in cols.items():
+        L, N, Z = _c_parts(out)
+        sign = (
+            f"CASE WHEN (({N} + {_q(out + '__neg__in')}) % 2) = 1 "
+            "THEN -1.0D ELSE 1.0D END"
+        )
+        d_cols.append(
+            f"CASE WHEN {_q(src)} IS NULL THEN CAST(NULL AS double) "
+            f"WHEN ({Z} + {_q(out + '__zero__in')}) > 0 THEN 0.0D "
+            f"ELSE exp({L} + {_q(out + '__ls__in')}) * ({sign}) END "
+            f"AS {_q(out + '__w')}"
+        )
+        m_in = _peak_sql(
+            out, _q(out + "__mxe"), _q(out + "__mne"), _q(out + "__mxo"),
+            _q(out + "__mno"), _q(out + "__zc"), _q(out + "__na"),
+        )
+        d_cols.append(f"greatest({m_in}, {_q(out + '__pko')}) AS {_q(out + '__peak')}")
+    for out in xsums_sql:
+        a, p = _q(out + "__in"), _q(out + "__off")
+        d_cols.append(f"coalesce({a} + {p}, {a}, {p}) AS {_q(out)}")
+    for out in xlags_sql:
+        a, p = _q(out + "__in"), _q(out + "__off")
+        d_cols.append(f"CASE WHEN __as_rn = 1 THEN {p} ELSE {a} END AS {_q(out)}")
+    df = df.selectExpr("*", *d_cols)
+
+    # ---- the drawdown projection — BYTE-IDENTICAL expressions to the
+    # legacy two-pass path (only the peak's derivation differs)
+    dd_cols = []
+    for out in cols:
+        w, p = _q(out + "__w"), _q(out + "__peak")
+        ratio = (
+            f"(CASE WHEN {w} IS NULL OR ({p}) IS NULL THEN NULL "
+            f"WHEN ({p}) != 0 THEN {w} / ({p}) "
+            f"WHEN isnan({w}) OR {w} = 0 THEN double('NaN') "
+            f"WHEN {w} > 0 THEN double('Infinity') "
+            f"ELSE double('-Infinity') END - 1)"
+        )
+        dd_cols.append(
+            f"CASE WHEN {w} IS NULL THEN CAST(NULL AS double) "
+            f"WHEN isnan({ratio}) THEN double('NaN') "
+            f"ELSE least({ratio}, 0.0D) END AS {_q(out)}"
+        )
+    helper = set()
+    for out in cols:
+        for part in ("ls", "neg", "zero"):
+            helper.add(f"{out}__{part}__in")
+            helper.add(f"{out}__{part}__off")
+        for suffix in (
+            "__mxe", "__mne", "__mxo", "__mno", "__zc", "__na",
+            "__pko", "__w", "__peak",
+        ):
+            helper.add(f"{out}{suffix}")
+    for out in list(xsums_sql) + list(xlags_sql):
+        helper.add(f"{out}__in")
+        helper.add(f"{out}__off")
+    helper.add("__as_rn")
+    keep = [
+        _q(c) for c in df.columns if c not in helper and not c.startswith("__st_")
+    ]
+    return df.selectExpr(*keep, *dd_cols)
+
+
 def add_drawdown_columns(
     df: DataFrame,
     cols: dict[str, str],
@@ -401,7 +659,21 @@ def add_drawdown_columns(
     columns) fuse them here instead of chaining dedicated passes; an
     ``extra_maxes`` expression may reference any ``extra_sums`` output,
     which exists by the time the second pass selects it.
+
+    Without ``extra_maxes`` or ``with_peak_pos`` the whole enrichment
+    runs as ONE fused machinery pass (:func:`_drawdown_fused` — one
+    persist, one bucket aggregate, one broadcast join; the peak windows
+    share the sums pass's sort, bit-exactly via log-extrema
+    monotonicity). ``extra_maxes`` expressions may reference arbitrary
+    offset-adjusted sum outputs, and ``with_peak_pos``'s equal-VALUE
+    position tie-break needs comparisons on the final exp'd doubles —
+    neither is recoverable from in-bucket quantities, so those cases
+    keep the legacy two-pass shape below.
     """
+    if not extra_maxes and not with_peak_pos:
+        return _drawdown_fused(
+            df, cols, dict(extra_sums or {}), dict(extra_lags or {})
+        )
     sums: dict = dict(extra_sums or {})
     for out, src in cols.items():
         factor = f"(CAST({_q(src)} AS double) + 1)"

@@ -275,3 +275,90 @@ def test_daily_pct_change_matches_two_phase_lag(spark):
 
     assert len(fast) > 0
     assert fast == slow
+
+
+def test_drawdown_fused_matches_legacy_two_pass(spark):
+    """The fused single-pass drawdown (plain peak) must be BIT-identical
+    to the legacy two-pass decomposition on adversarial series: sign
+    flips (r < -1), collapse-to-zero (r = -1), nulls, leading nulls,
+    all-null frames, exact peak retraces, and multi-bucket spans."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from alphastats_spark.operators import ordered
+
+    def legacy(df, cols):
+        sums = {}
+        for out, src in cols.items():
+            factor = f"(CAST(`{src}` AS double) + 1)"
+            sums[f"{out}__ls"] = (
+                f"CASE WHEN {factor} = 0 THEN 0.0D ELSE ln(abs({factor})) END"
+            )
+            sums[f"{out}__neg"] = f"CAST(({factor} < 0) AS bigint)"
+            sums[f"{out}__zero"] = f"CAST(({factor} = 0) AS bigint)"
+        df = ordered.add_ordered_columns(df, sums=sums)
+        wealth = []
+        for out, src in cols.items():
+            sign = f"CASE WHEN (`{out}__neg` % 2) = 1 THEN -1.0D ELSE 1.0D END"
+            wealth.append(
+                f"CASE WHEN `{src}` IS NULL THEN CAST(NULL AS double) "
+                f"WHEN `{out}__zero` > 0 THEN 0.0D "
+                f"ELSE exp(`{out}__ls`) * ({sign}) END AS `{out}__w`"
+            )
+        df = df.selectExpr("*", *wealth)
+        df = ordered.add_ordered_columns(
+            df, maxes={f"{out}__peak": f"`{out}__w`" for out in cols}
+        )
+        dd_cols = []
+        for out in cols:
+            w, p = f"`{out}__w`", f"`{out}__peak`"
+            ratio = (
+                f"(CASE WHEN {w} IS NULL OR ({p}) IS NULL THEN NULL "
+                f"WHEN ({p}) != 0 THEN {w} / ({p}) "
+                f"WHEN isnan({w}) OR {w} = 0 THEN double('NaN') "
+                f"WHEN {w} > 0 THEN double('Infinity') "
+                f"ELSE double('-Infinity') END - 1)"
+            )
+            dd_cols.append(
+                f"CASE WHEN {w} IS NULL THEN CAST(NULL AS double) "
+                f"WHEN isnan({ratio}) THEN double('NaN') "
+                f"ELSE least({ratio}, 0.0D) END AS `{out}`"
+            )
+        helper = {
+            f"{out}{s}"
+            for out in cols
+            for s in ("__ls", "__neg", "__zero", "__w", "__peak")
+        }
+        keep = [f"`{c}`" for c in df.columns if c not in helper]
+        return df.selectExpr(*keep, *dd_cols)
+
+    series = {
+        "normal": [0.01, -0.02, 0.03, -0.05, 0.08, -0.01, 0.0, 0.02],
+        "nulls": [0.01, None, -0.02, None, 0.05, -0.5, None, 0.3],
+        "zero_collapse": [0.05, -1.0, 0.02, 0.03, -0.01],
+        "neg_factor": [0.05, -2.5, 0.1, -1.5, 0.2, 0.3],
+        "neg_and_zero": [0.1, -2.0, -1.0, 0.5, -3.0, 0.2],
+        "all_null": [None, None, None],
+        "retrace": [0.5, -1.0 / 3.0, 0.5, -1.0 / 3.0, 0.5],
+        "single": [0.07],
+    }
+    mark = ordered.pass_cache_mark()
+    try:
+        for name, rs in series.items():
+            rows = [
+                (dt.date(2020, 1, 1) + dt.timedelta(days=10 * i), r)
+                for i, r in enumerate(rs)
+            ]
+            df = spark.createDataFrame(rows, "d date, r double")
+            base = ordered.with_order(df, "d")
+            got = (
+                ordered.add_drawdown_columns(base, {"dd": "r"})
+                .orderBy("d").select("r", "dd").collect()
+            )
+            want = (
+                legacy(base, {"dd": "r"}).orderBy("d").select("r", "dd").collect()
+            )
+            assert [tuple(r) for r in got] == [tuple(r) for r in want], name
+    finally:
+        ordered.release_pass_caches(mark)
