@@ -750,7 +750,11 @@ def streaming_attribution(
     )
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        t_us, t_id, t_type = (state.get if state.exists else (-1, -1, "none"))
+        import numpy as np
+
+        init_us, init_id, init_type = (
+            state.get if state.exists else (-1, -1, "none")
+        )
         batch = pd.concat(list(pdfs), ignore_index=True)
         # touches sort BEFORE conversions at the same instant (__conv:
         # False < True), later touches win, id breaks exact ties — the
@@ -759,25 +763,46 @@ def streaming_attribution(
         batch = batch.sort_values(
             [us_col, "__conv", id_col], kind="mergesort"
         )
-        out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-        for us, et, eid in zip(
-            batch[us_col].astype("int64"),
-            batch[type_col],
-            batch[id_col].astype("int64"),
-        ):
-            if et in touch_set:
-                t_us, t_id, t_type = int(us), int(eid), str(et)
-                continue
-            ok = t_us >= 0 and us - t_us <= win
-            out[id_col].append(int(eid))
-            out[user_col].append(int(key[0]))
-            out[us_col].append(int(us))
-            out["touch_event_id"].append(t_id if ok else -1)
-            out["touch_type"].append(t_type if ok else "none")
-            out["gap_us"].append(int(us - t_us) if ok else -1)
-            out["attributed"].append(bool(ok))
-        state.update((int(t_us), int(t_id), str(t_type)))
-        yield pd.DataFrame(out)
+        # Vectorized last-touch frontier (guide §4.2 — this was the one
+        # per-row interpreted loop left in the streaming folds): in the
+        # sorted order, a conversion's frontier is the LAST touch row
+        # before it, which maximum.accumulate over touch positions finds
+        # for every row at once (-1 = no batch touch yet ⇒ the carried-in
+        # state frontier applies). Row values are identical to the old
+        # loop's: same sort, same frontier rule, same sentinels.
+        us_a = batch[us_col].to_numpy(dtype="int64")
+        id_a = batch[id_col].to_numpy(dtype="int64")
+        types = batch[type_col].to_numpy()
+        conv = batch["__conv"].to_numpy(dtype=bool)
+        pos = np.arange(len(us_a))
+        last_touch = np.maximum.accumulate(np.where(conv, -1, pos))
+        touch_any = bool((~conv).any())
+        if touch_any:
+            j = int(pos[~conv][-1])
+            state.update((int(us_a[j]), int(id_a[j]), str(types[j])))
+        else:
+            state.update((int(init_us), int(init_id), str(init_type)))
+        if not conv.any():
+            return
+        lt = last_touch[conv]
+        in_batch = lt >= 0
+        src = np.maximum(lt, 0)
+        fr_us = np.where(in_batch, us_a[src], init_us)
+        fr_id = np.where(in_batch, id_a[src], init_id)
+        fr_type = np.where(in_batch, types[src], init_type)
+        c_us = us_a[conv]
+        ok = (fr_us >= 0) & (c_us - fr_us <= win)
+        yield pd.DataFrame(
+            {
+                id_col: id_a[conv],
+                user_col: int(key[0]),
+                us_col: c_us,
+                "touch_event_id": np.where(ok, fr_id, -1),
+                "touch_type": np.where(ok, fr_type, "none"),
+                "gap_us": np.where(ok, c_us - fr_us, -1),
+                "attributed": ok,
+            }
+        )
 
     return (
         df.where(F.col(type_col).isin(participating))
@@ -862,21 +887,37 @@ def streaming_url_dedup(
     state_schema = T.StructType([T.StructField("first_id", T.LongType())])
 
     def fold(key_, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = batch[id_col].astype("int64")
+        import numpy as np
+
+        # One group per DISTINCT canonical URL ⇒ group count scales with
+        # the crawl, so per-group constant cost IS this operator's wall
+        # (guide §4.2). The sorted frame was only ever used to pick the
+        # min id and flag one winner; argmin over the raw numpy array
+        # does both without pd.concat / sort_values / astype copies.
+        # Output row ORDER differs from the old sorted form, but the row
+        # MULTISET is identical: first_id is the same min, and exactly
+        # one row — one with id == first — is admitted either way.
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        ids = (
+            chunks[0][id_col].values
+            if len(chunks) == 1
+            else np.concatenate([c[id_col].values for c in chunks])
+        )
+        admitted = np.zeros(len(ids), dtype=bool)
         if state.exists:
             first = int(state.get[0])
-            admitted = [False] * len(ids)
         else:
-            first = int(ids.iloc[0])
-            admitted = [i == 0 for i in range(len(ids))]
+            j = int(ids.argmin())
+            first = int(ids[j])
+            admitted[j] = True
             state.update((first,))
         yield pd.DataFrame(
             {
                 id_col: ids,
-                "canonical_url": [key_[0]] * len(ids),
-                "first_id": [first] * len(ids),
+                "canonical_url": key_[0],
+                "first_id": first,
                 "admitted": admitted,
             }
         )
@@ -931,19 +972,32 @@ def streaming_exact_dedup(
     state_schema = T.StructType([T.StructField("first_id", T.LongType())])
 
     def fold(key_, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = batch[id_col].astype("int64")
+        import numpy as np
+
+        # One group per DISTINCT content fingerprint ⇒ group count scales
+        # with the corpus, so per-group constant cost IS this operator's
+        # wall (guide §4.2). argmin over the raw numpy id array replaces
+        # pd.concat + mergesort + astype — the sorted order only ever
+        # selected the min id and flagged one winner, and the output row
+        # MULTISET is unchanged (first_id is the same min; exactly one
+        # row, one whose id == first, is admitted either way).
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        ids = (
+            chunks[0][id_col].values
+            if len(chunks) == 1
+            else np.concatenate([c[id_col].values for c in chunks])
+        )
+        admitted = np.zeros(len(ids), dtype=bool)
         if state.exists:
             first = int(state.get[0])
-            admitted = [False] * len(ids)
         else:
-            first = int(ids.iloc[0])
-            admitted = [i == 0 for i in range(len(ids))]
+            j = int(ids.argmin())
+            first = int(ids[j])
+            admitted[j] = True
             state.update((first,))
-        yield pd.DataFrame(
-            {id_col: ids, "first_id": [first] * len(ids), "admitted": admitted}
-        )
+        yield pd.DataFrame({id_col: ids, "first_id": first, "admitted": admitted})
 
     return (
         df.select(key.alias("__fp"), F.col(id_col).cast("long"))

@@ -633,3 +633,87 @@ def test_streaming_url_dedup_cross_batch(spark, tmp_path):
     assert canon[10] == "https://site.example/p/1"
     for d in (3, 4, 12, 13):
         assert canon[d] is None
+
+
+def test_streaming_attribution_in_batch_interleaving(spark, tmp_path):
+    """The vectorized frontier (maximum.accumulate over touch positions)
+    must reproduce the sequential machine WITHIN one micro-batch:
+    touch→conv→touch→conv alternation re-credits each conversion to the
+    touch immediately before it, a conversion BEFORE any batch touch uses
+    the carried-in (empty) state frontier, and duplicate-instant touches
+    resolve by event id (later id wins — the batch window's tie order)."""
+    from alphastats_spark.streaming.metrics import streaming_attribution
+
+    src = str(tmp_path / "attr_inter")
+    M = 1_000_000
+    rows = [
+        (1, 5 * M, "purchase", 50),    # before ANY touch -> sentinels
+        (1, 10 * M, "click", 100),
+        (1, 20 * M, "purchase", 101),  # -> click 100
+        (1, 30 * M, "view", 102),
+        (1, 31 * M, "view", 103),      # same-user later touch overrides
+        (1, 40 * M, "purchase", 104),  # -> view 103
+        (1, 41 * M, "purchase", 105),  # frontier NOT consumed -> view 103
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, us bigint, event_type string, event_id bigint"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id bigint, us bigint, event_type string, event_id bigint"
+    ).parquet(src)
+    sq = (
+        streaming_attribution(stream, window_us=60 * M)
+        .writeStream.format("memory")
+        .queryName("attr_inter_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    out = {r["event_id"]: r for r in spark.sql("select * from attr_inter_test").collect()}
+    assert set(out) == {50, 101, 104, 105}
+    assert not out[50]["attributed"] and out[50]["touch_event_id"] == -1
+    assert out[50]["gap_us"] == -1 and out[50]["touch_type"] == "none"
+    assert out[101]["touch_event_id"] == 100 and out[101]["gap_us"] == 10 * M
+    assert out[104]["touch_event_id"] == 103 and out[104]["gap_us"] == 9 * M
+    assert out[105]["touch_event_id"] == 103 and out[105]["gap_us"] == 10 * M
+    assert all(out[i]["attributed"] for i in (101, 104, 105))
+
+
+def test_streaming_exact_dedup_duplicate_ids_one_batch(spark, tmp_path):
+    """The argmin fast path must admit EXACTLY one row when the minimum id
+    appears twice in a group's micro-batch (the old sorted form admitted
+    the first sorted occurrence; multiset equality is the contract)."""
+    from alphastats_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "sdex_dup")
+    spark.createDataFrame(
+        [(7, "same text"), (3, "same text"), (3, "same text"), (9, "other")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    sq = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdex_dup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+
+    rows = spark.sql("select * from sdex_dup_test").collect()
+    tuples = sorted((r["doc_id"], r["first_id"], r["admitted"]) for r in rows)
+    assert tuples == [
+        (3, 3, False),
+        (3, 3, True),   # exactly ONE of the duplicate min-id rows admitted
+        (7, 3, False),
+        (9, 9, True),
+    ]
