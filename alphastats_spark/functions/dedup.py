@@ -2373,19 +2373,72 @@ def write_dedup_index(
         # hashing into empty buckets (null for the coefficient-free md5
         # family, and for pre-r14 affine indexes, which predate the stamp)
         coeffs = _affine_checksum(int(k)) if family != "md5" else None
-        # literal JVM-side frame, NOT createDataFrame([tuple]): a
-        # parallelized local row writes through the Python RDD path and
-        # measured 4.7 s per meta write (vs 0.20 s for this shape,
-        # byte-identical JSON) — 3 index writes paid ~13 s of the
-        # dedup_index_compacted gate query on metadata alone (round 14)
-        corpus_df.sparkSession.range(1).select(
-            F.lit(int(k)).cast("int").alias("k"),
-            F.lit(int(rows_per_band)).cast("int").alias("rows_per_band"),
-            F.lit(int(n)).cast("int").alias("n"),
-            F.lit(2).cast("int").alias("version"),
-            F.lit(family).alias("sig_family"),
-            F.lit(coeffs).cast("string").alias("sig_coeffs"),
-        ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        # one-row metadata is driver work, not a distributed job: the
+        # Hadoop FileSystem client writes the single JSON line directly
+        # (portable to HDFS/s3a/local like every other index file), where
+        # even the JVM-literal one-task Spark write paid ~0.2 s of job
+        # scheduling per call — 3 writes per compaction cycle (round 14).
+        # Layout (meta/part-00000.json, one object per line) is exactly
+        # what the previous Spark json writer produced, so old and new
+        # indexes stay mutually readable.
+        _write_index_meta_fs(
+            corpus_df.sparkSession,
+            path,
+            {
+                "k": int(k),
+                "rows_per_band": int(rows_per_band),
+                "n": int(n),
+                "version": 2,
+                "sig_family": family,
+                "sig_coeffs": coeffs,
+            },
+        )
+
+
+_META_FIELDS = ("k", "rows_per_band", "n", "version", "sig_family", "sig_coeffs")
+
+
+def _write_index_meta_fs(spark, path: str, payload: dict) -> None:
+    """Publish the single-row ``<path>/meta`` parameter record through the
+    Hadoop FileSystem client — driver-side metadata I/O, no Spark job.
+    Byte layout matches the previous one-task Spark JSON writer
+    (``meta/part-00000.json``, one object per line), so indexes written
+    before and after this change read identically. The new row lands
+    under a dot-prefixed temp name (invisible to readers, which skip
+    dot/underscore files exactly like Spark's scan planner) and is
+    renamed into place after the old data files are removed."""
+    import json as _json
+
+    from alphastats_spark.sources.maintenance import _hadoop_fs
+
+    jvm = spark._jvm
+    fs, jdir = _hadoop_fs(spark, f"{path}/meta")
+    fs.mkdirs(jdir)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/meta/.part-00000.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(
+            (_json.dumps(payload, separators=(",", ":")) + "\n").encode("utf-8")
+        ))
+    finally:
+        out.close()
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if st.isDirectory() or name.startswith("_") or name.startswith("."):
+            continue
+        fs.delete(st.getPath(), False)
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{path}/meta/part-00000.json"))
+
+
+class _IndexMeta:
+    """Attribute-access view of the meta row (the shape a Spark ``Row``
+    gave callers; fields missing from older meta read as absent, so
+    ``getattr(meta, "sig_coeffs", None)`` keeps working)."""
+
+    def __init__(self, row: dict):
+        for f in _META_FIELDS:
+            if f in row:
+                setattr(self, f, row[f])
 
 
 def read_index_meta(spark, path: str):
@@ -2399,42 +2452,61 @@ def read_index_meta(spark, path: str):
     (transient filesystem error, permission denial, corrupt JSON)
     re-raises — treating it as "no metadata" would silently fall back to
     default hash parameters, i.e. zero band collisions and every
-    near-duplicate admitted."""
-    from pyspark.errors import AnalysisException
+    near-duplicate admitted.
 
-    try:
-        # FAILFAST: PERMISSIVE (the default) would swallow a truncated /
-        # partially-written meta file as a _corrupt_record row with null
-        # fields, which _resolve_index_params would silently fill with
-        # module defaults — the exact mismatched-hash admission hole the
-        # metadata exists to close
-        row = (
-            spark.read.option("mode", "FAILFAST")
-            .schema("k int, rows_per_band int, n int, version int, "
-                    "sig_family string, sig_coeffs string")
-            .json(f"{path}/meta")
-            .collect()
+    Read through the Hadoop FileSystem client (same portability as the
+    index data; no Spark job for one row of metadata). Every data file
+    under ``meta/`` is parsed line-by-line with strict JSON — a
+    truncated/corrupt line raises (the FAILFAST posture the previous
+    Spark JSON reader enforced), and multi-row meta raises as ambiguous."""
+    import json as _json
+
+    from alphastats_spark.sources.maintenance import _hadoop_fs
+
+    jvm = spark._jvm
+    fs, jdir = _hadoop_fs(spark, f"{path}/meta")
+    if not fs.exists(jdir):
+        return None
+    rows: list[dict] = []
+    for st in sorted(fs.listStatus(jdir), key=lambda s: s.getPath().getName()):
+        name = st.getPath().getName()
+        if st.isDirectory() or name.startswith("_") or name.startswith("."):
+            continue
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(st.getPath()), "UTF-8")
         )
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-            return None
-        raise
-    if not row or row[0]["k"] is None:
+        try:
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                if not line.strip():
+                    continue
+                parsed = _json.loads(line)  # corrupt/truncated line raises
+                if not isinstance(parsed, dict):
+                    raise ValueError(
+                        f"dedup index meta at {path}/meta holds a non-object "
+                        f"JSON line; rebuild the index"
+                    )
+                rows.append(parsed)
+        finally:
+            reader.close()
+    if not rows or rows[0].get("k") is None:
         raise ValueError(
             f"dedup index meta at {path}/meta is empty or corrupt; rebuild the "
             "index (falling back to default hash parameters would silently "
             "admit every near-duplicate)"
         )
-    if len(row) > 1:
+    if len(rows) > 1:
         raise ValueError(
-            f"dedup index meta at {path}/meta holds {len(row)} rows — the "
+            f"dedup index meta at {path}/meta holds {len(rows)} rows — the "
             "index was appended to by a writer with its own meta (or a "
             "pre-fix append-mode build); which hash parameters are live is "
             "ambiguous, and resolving a stale row silently admits every "
             "near-duplicate. Rewrite <path>/meta with the single live "
             "parameter row (or rebuild the index)."
         )
-    return row[0]
+    return _IndexMeta(rows[0])
 
 
 def compact_dedup_index(
