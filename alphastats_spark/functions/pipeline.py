@@ -848,10 +848,19 @@ def dsir_weights(
     predicate rather than a global rank window.
 
     Plan shape at 100 TB: explode to the token stream, ONE map-side-
-    combinable groupBy down to ≤``n_buckets`` rows, the per-bucket log-
-    ratio table broadcast-joined back to the stream, one per-doc groupBy.
-    No global window, no driver materialization beyond the ``top_n`` rows.
+    combinable groupBy to per-(doc, bucket) counts — the tokenizer runs
+    exactly once; both distributions AND the per-doc weights derive from
+    that persisted reduced table (round 14: the un-persisted token stream
+    used to feed the bucket counts and the per-doc join separately, so
+    the corpus was tokenized twice — and twice more through the ``top_n``
+    re-read) — then ≤``n_buckets`` rows of log-ratio table broadcast-
+    joined back, one per-doc groupBy. The per-doc mean over tokens is
+    taken as Σ(count·diff)/Σcount over the (doc, bucket) counts — the
+    grouped form of the same mean. No global window, no driver
+    materialization beyond the ``top_n`` rows.
     """
+    from alphastats_spark.operators import ordered as _ordered
+
     toks = text.tokens(text.normalize(F.col(text_col)))
     base = df.select(F.col(id_col), target.alias("__t"), toks.alias("__toks"))
     # explode_outer + null-filter: see repetition_stats — avoids the
@@ -861,10 +870,13 @@ def dsir_weights(
         .where(F.col("__tok").isNotNull())
         .select(id_col, "__t", hash_bucket(F.col("__tok"), n_buckets).alias("__bk"))
     )
+    bk_counts = _ordered.persist_tracked(
+        stream.groupBy(id_col, "__t", "__bk").agg(F.count(F.lit(1)).alias("__c"))
+    )
 
-    counts = stream.groupBy("__bk").agg(
-        F.count(F.when(F.col("__t"), F.lit(1))).alias("__ct"),
-        F.count(F.lit(1)).alias("__cr"),
+    counts = bk_counts.groupBy("__bk").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(F.lit(0))).alias("__ct"),
+        F.sum("__c").alias("__cr"),
     )
     tot = counts.agg(
         F.sum("__ct").cast("double").alias("__nt"),
@@ -879,8 +891,10 @@ def dsir_weights(
             - F.log((F.col("__cr") + a) / (F.col("__nr") + a * b))
         ).alias("__diff"),
     )
-    perdoc = stream.join(F.broadcast(lp), "__bk").groupBy(id_col).agg(
-        F.avg("__diff").alias("__w")
+    perdoc = bk_counts.join(F.broadcast(lp), "__bk").groupBy(id_col).agg(
+        (
+            F.sum(F.col("__diff") * F.col("__c")) / F.sum(F.col("__c"))
+        ).alias("__w")
     )
     out = (
         base.select(
@@ -900,6 +914,10 @@ def dsir_weights(
         )
     )
     if top_n is not None:
+        # the threshold TakeOrdered and the returned frame both read `out`;
+        # persist it (doc-sized, 4 narrow columns) so the whole weighting
+        # pipeline is not recomputed for the second consumer
+        out = _ordered.persist_tracked(out)
         top = (
             out.orderBy(F.desc("log_weight"), F.asc(id_col))
             .limit(top_n)

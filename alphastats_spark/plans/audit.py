@@ -87,6 +87,13 @@ def _subtree(plan: str, pos: int) -> str:
 def audit(df: DataFrame) -> list[Finding]:
     """Heuristic scale-hazard findings for the physical plan of ``df``."""
     simple = explain_string(df, "simple")
+    # WholeStageCodegen tags (``*(7) ``) appear on codegen'd operators only,
+    # so in an AQE-finalized rendering a tagged parent can compute DEEPER
+    # than its untagged child and ``_subtree`` truncates early (seen when a
+    # BroadcastNestedLoopJoin's probe side is a materialized cached
+    # relation: the exempting 1-row build aggregate was never reached).
+    # Depth analysis runs on the untagged text.
+    simple = re.sub(r"\*\(\d+\) ", "", simple)
     findings: list[Finding] = []
 
     for m in re.finditer(r"Exchange SinglePartition[^\n]*", simple):
