@@ -253,7 +253,12 @@ def tf_idf_topk(
     DOCUMENT — parallel across docs, no global sort. Ties break by term for
     determinism.
     """
-    tf = term_frequencies(df, id_col, text_col)
+    from alphastats_spark.operators import ordered as _ordered
+
+    # the tf table feeds doc_freq AND the scored join: persist the reduced
+    # (doc, term) table so the tokenize+explode+groupBy runs once (round 14
+    # — same shared-branch pattern as lsh_verified_pairs' shingle table)
+    tf = _ordered.persist_tracked(term_frequencies(df, id_col, text_col))
     n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # No broadcast hint: doc_freq is vocabulary-sized, which grows with the
@@ -326,20 +331,28 @@ def tfidf_similarity_pairs(
     candidate bound) would thin it further at equal output — noted as
     the next lever if the posting join ever dominates a profile.
     """
-    tf = term_frequencies(df, id_col, text_col)
+    from alphastats_spark.operators import ordered as _ordered
+
+    # tf feeds doc_freq and the weight projection; w feeds the norms and
+    # BOTH posting join sides. Un-persisted, the corpus was re-tokenized
+    # for every consumer (~6 scans per call); the two persisted reduced
+    # tables make it exactly one (round 14, the lsh shingle-table pattern).
+    tf = _ordered.persist_tracked(term_frequencies(df, id_col, text_col))
     n_docs = df.select(F.countDistinct(F.col(id_col))).first()[0]
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Hint-free for the same reason as tf_idf_topk: doc_freq is
     # vocabulary-sized (unbounded in the corpus), so a forced broadcast is
     # a hard failure at scale; AQE upgrades to broadcast when it fits.
-    w = tf.join(doc_freq, "term").select(
-        F.col(id_col),
-        "term",
-        "df",
-        (
-            F.col("tf")
-            * (F.log(F.lit(1.0 + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0)
-        ).alias("w"),
+    w = _ordered.persist_tracked(
+        tf.join(doc_freq, "term").select(
+            F.col(id_col),
+            "term",
+            "df",
+            (
+                F.col("tf")
+                * (F.log(F.lit(1.0 + n_docs) / (F.lit(1.0) + F.col("df"))) + 1.0)
+            ).alias("w"),
+        )
     )
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
