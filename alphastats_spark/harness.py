@@ -14,7 +14,9 @@ driver's value-hash comparison needs bit-identical output.
 
 from __future__ import annotations
 
+import contextlib
 import math
+import os
 from statistics import NormalDist
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -2228,6 +2230,52 @@ def _await_stream(sq, src: str) -> None:
         shutil.rmtree(src, ignore_errors=True)
 
 
+@contextlib.contextmanager
+def _stream_parts(spark: SparkSession, src: str):
+    """Scope ``spark.sql.shuffle.partitions`` — which fixes a streaming
+    query's STATE partition count at plan time — to the staged feed's size
+    for the duration of one gate stream.
+
+    Unlike batch shuffles (where AQE coalesces empty post-shuffle
+    partitions away), every state partition of a stateful streaming
+    operator pays a fixed per-micro-batch cost that exists even when the
+    partition carries no rows: a state-store lifecycle (open, delta read,
+    commit) plus one Arrow/Python worker round for the
+    ``applyInPandasWithState`` folds. A partition count inherited from the
+    session's batch setting (2-3× cluster cores) is therefore pure
+    overhead for the gate's bounded feeds — measured on the
+    ``dedup_streaming_exact`` stream at sf0.1: 32 state partitions ≈ 7.0 s
+    median vs 8 ≈ 3.5 s, identical output multisets.
+
+    The count is derived from the data, not the box: ≥ 64 KiB of staged
+    feed per partition (thousands of rows per store per trigger), floor 2
+    so the cross-partition code path stays exercised, capped at the
+    session's ``defaultParallelism`` so any production-sized feed gets
+    the session's full parallelism back and a cluster deployment's own
+    conf wins. ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides the derivation
+    for experiments. State-store semantics are per-key and the gate
+    oracles are order-insensitive, so the count changes wall-clock only.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env is not None:
+        n = int(env)
+    else:
+        byts = 0
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                byts += os.path.getsize(os.path.join(root, f))
+        n = max(2, min(
+            spark.sparkContext.defaultParallelism,
+            (byts + (64 << 10) - 1) // (64 << 10),
+        ))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _add_streaming(add) -> None:
     """Streaming operators exposed through the correctness gate.
 
@@ -2249,15 +2297,16 @@ def _add_streaming(add) -> None:
         load_returns(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("d date, r double").parquet(src)
         name = f"stream_dd_{uuid.uuid4().hex[:8]}"
-        sq = (
-            streaming_drawdowns(stream, temporal="d")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                streaming_drawdowns(stream, temporal="d")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         return _round_df(
             spark.table(name).select(
                 F.col("d").cast("string").alias("d"), F.col("r_dd").alias("dd")
@@ -2292,15 +2341,16 @@ def _add_streaming(add) -> None:
         long_df.coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("asset string, d date, r double").parquet(src)
         name = f"stream_ddk_{uuid.uuid4().hex[:8]}"
-        sq = (
-            streaming_drawdowns(stream, key_col="asset", temporal="d")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                streaming_drawdowns(stream, key_col="asset", temporal="d")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         return _round_df(
             spark.table(name).select(
                 "asset", F.col("d").cast("string").alias("d"), F.col("r_dd").alias("dd")
@@ -3460,15 +3510,16 @@ FROM canon""")
                 .parquet(src)
             )
             name = f"surl_{uuid.uuid4().hex[:8]}"
-            sq = (
-                streaming_url_dedup(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await_stream(sq, src)
+            with _stream_parts(spark, src):
+                sq = (
+                    streaming_url_dedup(stream)
+                    .writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _await_stream(sq, src)
             assert len(sq.recentProgress) >= 2, "feed must span 2 micro-batches"
             rows = spark.table(name).select(
                 "doc_id", "canonical_url", "first_id", "admitted"
@@ -3677,15 +3728,16 @@ GROUP BY 1, 2""")
         _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
         name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-        sq = (
-            streaming_dedup_candidates(stream, max_ids_per_sig=1_000_000)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                streaming_dedup_candidates(stream, max_ids_per_sig=1_000_000)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         return spark.table(name).select("id_a", "id_b").distinct()
 
     add("dedup_streaming_candidates", _stream_dedup, _SHINGLE_CTE + f""",
@@ -4822,14 +4874,15 @@ FROM n""")
             stream, conversion_type="purchase", touch_types=("click", "view"),
             window_us=_ATTR_WINDOW_US,
         )
-        sq = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         fed = [p for p in sq.recentProgress if p["numInputRows"] > 0]
         if len(fed) != 2:
             raise AssertionError(
@@ -5119,14 +5172,15 @@ GROUP BY 1, 2""")
                 F.round(F.sum("value"), ROUND).alias("total_value"),
             )
         )
-        sq = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         return spark.table(name).select(
             (F.expr("unix_micros(w.start)") / F.lit(3600_000_000))
             .cast("bigint")
@@ -5169,14 +5223,15 @@ FROM events GROUP BY 1, 2""")
             stream, gap="30 minutes", key_col="user_id", temporal="ts",
             watermark="1 hour",
         )
-        sq = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         return spark.table(name).select(
             "user_id",
             (F.expr("unix_micros(session_start)") / F.lit(1_000_000))
@@ -5229,14 +5284,15 @@ FROM s GROUP BY user_id, session_id""")
         stream = spark.readStream.schema(ev.schema).parquet(src)
         name = f"stream_funnel_{uuid.uuid4().hex[:8]}"
         levels = streaming_funnel_levels(stream, steps=steps, max_gap_s=86_400)
-        sq = (
-            levels.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_stream(sq, src)
+        with _stream_parts(spark, src):
+            sq = (
+                levels.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(sq, src)
         counters = [
             F.count(F.when(F.col("lvl") >= i + 1, True)).alias(f"s{i}")
             for i in range(len(steps))
@@ -6220,15 +6276,16 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON tr.doc_id = s.match_id""")
             stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
             bands = spark.read.parquet(f"{idx}/bands")
             name = f"stream_idx_{uuid.uuid4().hex[:8]}"
-            sq = (
-                streaming_index_candidates(stream, bands, index_path=idx)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await_stream(sq, src)
+            with _stream_parts(spark, src):
+                sq = (
+                    streaming_index_candidates(stream, bands, index_path=idx)
+                    .writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _await_stream(sq, src)
             rows = spark.table(name).select("new_id", "match_id").distinct().collect()
         finally:
             shutil.rmtree(idx, ignore_errors=True)
@@ -6504,15 +6561,16 @@ FROM documents GROUP BY lang""")
                 .parquet(src)
             )
             name = f"sdex_{uuid.uuid4().hex[:8]}"
-            sq = (
-                streaming_exact_dedup(stream)
-                .writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            _await_stream(sq, src)
+            with _stream_parts(spark, src):
+                sq = (
+                    streaming_exact_dedup(stream)
+                    .writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _await_stream(sq, src)
             rows = spark.table(name).select("doc_id", "first_id", "admitted").collect()
         finally:
             shutil.rmtree(src, ignore_errors=True)

@@ -717,3 +717,54 @@ def test_streaming_exact_dedup_duplicate_ids_one_batch(spark, tmp_path):
         (7, 3, False),
         (9, 9, True),
     ]
+
+
+def test_stream_parts_scope_derivation_and_restore(spark, tmp_path):
+    """harness._stream_parts sizes the state-partition conf to the staged
+    feed (>= 64 KiB per partition, floor 2, capped at defaultParallelism),
+    and restores the session conf on exit — including on error."""
+    from alphastats_spark import harness
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # tiny feed -> floor of 2
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "batch-000.parquet").write_bytes(b"x" * 1024)
+    with harness._stream_parts(spark, str(small)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # ~200 KiB -> ceil(200/64) = 4 partitions (nested dirs counted too)
+    mid = tmp_path / "mid" / "nested"
+    mid.mkdir(parents=True)
+    (mid / "part-0.parquet").write_bytes(b"x" * (200 << 10))
+    with harness._stream_parts(spark, str(tmp_path / "mid")):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # huge feed -> capped at the session's parallelism
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "batch-000.parquet").write_bytes(b"x" * (8 << 20))
+    cap = str(spark.sparkContext.defaultParallelism)
+    with harness._stream_parts(spark, str(big)):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == cap
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # restore happens on the error path as well
+    with pytest.raises(RuntimeError):
+        with harness._stream_parts(spark, str(small)):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # explicit override wins over the derivation
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = "5"
+    try:
+        with harness._stream_parts(spark, str(big)):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    finally:
+        del _os.environ["SPARK_GRAFT_STREAM_PARTITIONS"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
