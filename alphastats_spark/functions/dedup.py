@@ -1291,10 +1291,17 @@ def embedding_near_dup_pairs_lsh(
     sf0.1 (12 tables): 18.2 s → 5.1 s, identical rows.
     """
     from alphastats_spark.functions import similarity
+    from alphastats_spark.operators import ordered
 
     if dim is None:
         dim = similarity.infer_dim(df, vec_col)
-    vecs = _prepared_vectors(df, id_col, vec_col)
+    # vecs feeds the bucket table AND both attach sides of the candidate
+    # scoring; light feeds both sides of the bucket self-join. Un-persisted,
+    # the embedding scan + double-cast + norm fold ran once per consumer
+    # (3×) and the n_tables × n_planes interpreted hyperplane dots ran on
+    # both join sides (2×) — the shared-branch persist pattern of
+    # lsh_verified_pairs' shingle table makes each run exactly once.
+    vecs = ordered.persist_tracked(_prepared_vectors(df, id_col, vec_col))
 
     buckets = F.array(
         *[
@@ -1307,9 +1314,11 @@ def embedding_near_dup_pairs_lsh(
             for t in range(n_tables)
         ]
     )
-    light = vecs.select(
-        F.col(id_col).alias("__id"), F.explode(buckets).alias("tb")
-    ).select("__id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    light = ordered.persist_tracked(
+        vecs.select(
+            F.col(id_col).alias("__id"), F.explode(buckets).alias("tb")
+        ).select("__id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
     a = light.select(F.col("__id").alias("id_a"), "t", "b")
     b = light.select(F.col("__id").alias("id_b"), "t", "b")
     cands = (
