@@ -3728,9 +3728,27 @@ GROUP BY 1, 2""")
         _docs(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
         name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        # Bucketed signature state, sized from the staged feed (data-derived
+        # like _stream_parts, not a box constant): this gate stream replays
+        # the WHOLE corpus in one availableNow trigger, the exact shape the
+        # bucketed layout is for — per-(band,sig) groups cost ~0.2 ms of
+        # per-group Arrow/Python machinery per trigger (7.5 s over the 38k
+        # signature groups at sf0.1) while the bucketed write volume is the
+        # same because every signature is written exactly once either way.
+        # ~1 bucket per KiB of feed keeps dozens of signatures per bucket at
+        # any feed size; the pair multiset is layout-invariant (pinned by
+        # tests/test_streaming.py::test_streaming_dedup_bucketed_state_parity).
+        byts = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(src)
+            for f in files
+        )
+        buckets = max(64, min(65_536, byts >> 10))
         with _stream_parts(spark, src):
             sq = (
-                streaming_dedup_candidates(stream, max_ids_per_sig=1_000_000)
+                streaming_dedup_candidates(
+                    stream, max_ids_per_sig=1_000_000, state_buckets=buckets
+                )
                 .writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")

@@ -524,6 +524,7 @@ def streaming_dedup_candidates(
     k: int | None = None,
     rows_per_band: int | None = None,
     max_ids_per_sig: int = 32,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Cross-batch near-duplicate candidates over a document stream.
 
@@ -541,6 +542,30 @@ def streaming_dedup_candidates(
     ``k``/``rows_per_band`` default to the batch module's banding family
     (``dedup.MINHASH_K``/``dedup.ROWS_PER_BAND``) so a stream and the
     batch pass it backstops agree on which pairs can collide.
+
+    ``state_buckets`` — state-layout knob, value-neutral (the candidate
+    pair multiset is identical either way; per-signature logic is the
+    same code run per sub-group):
+
+    * ``None`` (default): one state group per (band, signature) value.
+      State writes per trigger are O(signatures in the batch) — the
+      right layout for production ingest where each micro-batch is tiny
+      against the accumulated corpus.
+    * ``int``: signatures are hashed into ``state_buckets`` groups
+      (deterministic ``xxhash64 % buckets``, stable across restarts —
+      NEVER change the count on an existing checkpoint: it would split
+      each signature's history across two groups) and each group's state
+      holds a signature → ids map. This collapses the per-group
+      ``applyInPandasWithState`` constant (~0.2 ms of Arrow/Python
+      machinery per group PER TRIGGER; measured 7.5 s over the 38k
+      signature groups of a 5k-doc batch at sf0.1) into
+      ``state_buckets`` groups. The trade: a trigger rewrites the FULL
+      state value of every touched bucket, so writes are O(corpus
+      signatures ∩ touched buckets) — use it when trigger batches are
+      comparable to the accumulated corpus (bounded ``availableNow``
+      replays/backfills, the gate shape) or when per-trigger signature
+      cardinality is huge; keep the default for small-batch-vs-huge-
+      corpus ingest.
     """
     from alphastats_spark.functions import dedup as _dedup
 
@@ -561,27 +586,12 @@ def streaming_dedup_candidates(
             T.StructField("band", T.IntegerType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("ids", T.ArrayType(T.LongType()))])
 
-    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        stored: list[int] = list(state.get[0]) if state.exists else []
-        # ~1 group per (band, sig) signature value ⇒ group count scales
-        # with the corpus, so per-group constant costs dominate this
-        # operator's wall. Skip the pd.concat for the common single-chunk
-        # group and pull plain numpy arrays instead of pandas indexing.
-        chunks = [c for c in pdfs if len(c)]
-        if not chunks:
-            return
-        if len(chunks) == 1:
-            ids = chunks[0]["__id"].values
-            band = int(chunks[0]["__band"].values[0])
-        else:
-            batch = pd.concat(chunks, ignore_index=True)
-            ids = batch["__id"].values
-            band = int(batch["__band"].values[0])
-        new_ids = sorted({int(x) for x in ids})
-        pairs = []
-        for nid in new_ids:
+    def _advance(stored: list, ids, band: int, pairs: list) -> None:
+        """Admit one signature group's batch ids against its stored ids —
+        THE semantics of this operator, shared verbatim by both state
+        layouts (bucketing must be value-neutral)."""
+        for nid in sorted({int(x) for x in ids}):
             if nid in stored:
                 continue
             # At the cap this signature is hot boilerplate: stop BOTH
@@ -593,12 +603,95 @@ def streaming_dedup_candidates(
             for sid in stored:
                 pairs.append((min(sid, nid), max(sid, nid), band))
             stored.append(nid)
-        state.update(([int(x) for x in stored],))
+
+    if state_buckets is None:
+        state_schema = T.StructType(
+            [T.StructField("ids", T.ArrayType(T.LongType()))]
+        )
+
+        def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+            stored: list[int] = list(state.get[0]) if state.exists else []
+            # ~1 group per (band, sig) signature value ⇒ group count scales
+            # with the corpus, so per-group constant costs dominate this
+            # operator's wall. Skip the pd.concat for the common
+            # single-chunk group and pull plain numpy arrays instead of
+            # pandas indexing.
+            chunks = [c for c in pdfs if len(c)]
+            if not chunks:
+                return
+            if len(chunks) == 1:
+                ids = chunks[0]["__id"].values
+                band = int(chunks[0]["__band"].values[0])
+            else:
+                batch = pd.concat(chunks, ignore_index=True)
+                ids = batch["__id"].values
+                band = int(batch["__band"].values[0])
+            pairs: list = []
+            _advance(stored, ids, band, pairs)
+            state.update(([int(x) for x in stored],))
+            if pairs:
+                yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band"])
+
+        return banded.groupBy("__key").applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    if int(state_buckets) < 1:
+        raise ValueError(f"state_buckets must be >= 1, got {state_buckets}")
+    # bucketed layout: state holds the bucket's signature → ids map as
+    # three parallel arrays (keys, flat ids, offsets) — applyInPandasWithState
+    # state rows are flat Arrow structs, so the dict is flattened on
+    # update and rebuilt on read
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(T.StringType())),
+            T.StructField("offs", T.ArrayType(T.IntegerType())),
+            T.StructField("flat", T.ArrayType(T.LongType())),
+        ]
+    )
+    bucketed = banded.withColumn(
+        "__bkt", F.pmod(F.xxhash64(F.col("__key")), F.lit(int(state_buckets)))
+    )
+
+    def fold_bucketed(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        if state.exists:
+            keys, offs, flat = state.get
+            stored = {
+                kk: [int(x) for x in flat[offs[i]:offs[i + 1]]]
+                for i, kk in enumerate(keys)
+            }
+        else:
+            stored = {}
+        pairs: list = []
+        for kk, sub in batch.groupby("__key", sort=False):
+            st = stored.get(kk)
+            if st is None:
+                st = stored[kk] = []
+            _advance(st, sub["__id"].values, int(sub["__band"].values[0]), pairs)
+        keys_out = list(stored)
+        offs_out = [0]
+        flat_out: list[int] = []
+        for kk in keys_out:
+            flat_out.extend(stored[kk])
+            offs_out.append(len(flat_out))
+        state.update((keys_out, offs_out, flat_out))
         if pairs:
             yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band"])
 
-    return banded.groupBy("__key").applyInPandasWithState(
-        fold,
+    return bucketed.groupBy("__bkt").applyInPandasWithState(
+        fold_bucketed,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

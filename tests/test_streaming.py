@@ -251,6 +251,75 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
     assert (3, 9) not in pairs and (0, 3) not in pairs
 
 
+def test_streaming_dedup_bucketed_state_parity(spark, tmp_path):
+    """state_buckets is a state-LAYOUT knob: the emitted candidate pair
+    multiset must be identical to the per-signature default, including
+    across micro-batch boundaries and under the hot-signature cap."""
+    from alphastats_spark.streaming import streaming_dedup_candidates
+
+    dup_a = "the quick brown fox jumps over the lazy dog tonight"
+    dup_b = "completely different text about spark engines and data pipelines"
+    batch1 = spark.createDataFrame(
+        [(0, dup_a), (1, dup_b), (2, dup_a), (5, "unrelated words that share "
+                                                 "nothing with any other doc")],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(7, dup_a), (8, dup_b), (9, dup_b)],
+        "doc_id bigint, text string",
+    )
+
+    def run(variant: str, **kwargs) -> list:
+        src = str(tmp_path / f"src_{variant}")
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        name = f"bkt_parity_{variant}"
+        sq = (
+            streaming_dedup_candidates(stream, **kwargs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
+        return sorted(
+            (r["id_a"], r["id_b"], r["band"])
+            for r in spark.table(name).collect()
+        )
+
+    plain = run("plain")
+    # 3 buckets force multiple signatures per state group; 1 bucket forces
+    # ALL signatures through one group (the maximal-collision edge)
+    assert run("b3", state_buckets=3) == plain
+    assert run("b1", state_buckets=1) == plain
+    assert len(plain) > 0  # the corpus genuinely collides
+    # cross-batch: a batch-2 doc pairs with its batch-1 duplicate
+    assert any(a == 0 and b == 7 for a, b, _ in plain)
+
+    # hot-signature cap parity: emission and storage stop at the cap in
+    # both layouts
+    capped_plain = run("cap_plain", max_ids_per_sig=2)
+    assert run("cap_b2", max_ids_per_sig=2, state_buckets=2) == capped_plain
+    assert capped_plain != plain
+
+    never = tmp_path / "never"
+    never.mkdir()
+    with pytest.raises(ValueError, match="state_buckets"):
+        streaming_dedup_candidates(
+            spark.readStream.schema("doc_id bigint, text string").parquet(
+                str(never)
+            ),
+            state_buckets=0,
+        )
+
+
 def test_rolling_metrics_keyed(spark):
     # multi-asset long frame: per-key windows match per-asset single runs
     rows = []
