@@ -28,6 +28,8 @@ All hashes are md5-derived so each operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1553,7 +1555,9 @@ def duplicate_clusters(
     # the returned frame stays cached (callers branch over it); register it
     # so release_pass_caches / pass_cache_scope can free it — a bare
     # persist() here leaked one labels frame per deduplicate() call
-    _ordered._PASS_CACHES.append(labels)
+    # (already persisted above, so _persist_pass would double-persist;
+    # append the registry entry shape directly)
+    _ordered._PASS_CACHES.append((_threading.get_ident(), labels))
     return labels.select("id", "cluster_id")
 
 
@@ -2314,6 +2318,7 @@ def write_dedup_index(
     # below, the mismatch would also be invisible to the readers'
     # FAILFAST checks. Raise at write time instead, and inherit the
     # STORED family so appends into an md5-era index keep its family.
+    existing = None
     if mode == "append":
         existing = read_index_meta(corpus_df.sparkSession, path)
         if existing is not None:
@@ -2366,10 +2371,35 @@ def write_dedup_index(
         # rows land in one task → one right-sized file per band per write;
         # at scale ``spark.sql.files.maxRecordsPerFile`` or
         # :func:`compact_dedup_index` splits bands that outgrow one file.
-        bands.repartition(F.col("band")).write.partitionBy("band").mode(
-            mode
-        ).parquet(f"{path}/bands")
-        sh.write.mode(mode).parquet(f"{path}/shingles")
+        if mode == "append":
+            # Each append batch commits into PRIVATE staging directories
+            # and renames the committed files into place
+            # (sources.maintenance.promote_staged_parquet): mode("append")
+            # writers share <table>/_temporary, so independent ingest
+            # batches could never overlap — staged, they run safely from a
+            # driver thread pool (guide §2.6; the compaction-cycle gate
+            # queries do exactly that). Same stored layout, same files.
+            import uuid as _uuid
+
+            from alphastats_spark.sources.maintenance import (
+                promote_staged_parquet,
+            )
+
+            tag = _uuid.uuid4().hex[:8]
+            bands_tmp = f"{path}/bands__append_tmp_{tag}"
+            sh_tmp = f"{path}/shingles__append_tmp_{tag}"
+            bands.repartition(F.col("band")).write.partitionBy("band").mode(
+                "overwrite"
+            ).parquet(bands_tmp)
+            sh.write.mode("overwrite").parquet(sh_tmp)
+            spark = corpus_df.sparkSession
+            promote_staged_parquet(spark, bands_tmp, f"{path}/bands")
+            promote_staged_parquet(spark, sh_tmp, f"{path}/shingles")
+        else:
+            bands.repartition(F.col("band")).write.partitionBy("band").mode(
+                mode
+            ).parquet(f"{path}/bands")
+            sh.write.mode(mode).parquet(f"{path}/shingles")
         # meta is ALWAYS overwrite, even when the band/shingle data mode is
         # "append": appending a second meta row would leave the reader to
         # guess which parameter set is live — and if a rebuild appended
@@ -2390,18 +2420,28 @@ def write_dedup_index(
         # Layout (meta/part-00000.json, one object per line) is exactly
         # what the previous Spark json writer produced, so old and new
         # indexes stay mutually readable.
-        _write_index_meta_fs(
-            corpus_df.sparkSession,
-            path,
-            {
-                "k": int(k),
-                "rows_per_band": int(rows_per_band),
-                "n": int(n),
-                "version": 2,
-                "sig_family": family,
-                "sig_coeffs": coeffs,
-            },
-        )
+        payload = {
+            "k": int(k),
+            "rows_per_band": int(rows_per_band),
+            "n": int(n),
+            "version": 2,
+            "sig_family": family,
+            "sig_coeffs": coeffs,
+        }
+        # An append whose parameters already match the stored record (the
+        # ONLY legal append — mismatches raised above) rewrites nothing:
+        # the delete+rename meta swap is what concurrent appenders would
+        # race on, so skipping it makes overlapped appends meta-safe, and
+        # it sheds driver I/O either way. Appends into an index whose meta
+        # PREDATES a field (old version / missing sig_coeffs) still
+        # rewrite — that upgrade path is serialize-your-appends territory,
+        # exactly as before.
+        if not (
+            mode == "append"
+            and existing is not None
+            and all(getattr(existing, f, None) == payload[f] for f in _META_FIELDS)
+        ):
+            _write_index_meta_fs(corpus_df.sparkSession, path, payload)
 
 
 _META_FIELDS = ("k", "rows_per_band", "n", "version", "sig_family", "sig_coeffs")
@@ -2537,18 +2577,27 @@ def compact_dedup_index(
     Returns ``{"bands": stats, "shingles": stats}`` (see
     :func:`~alphastats_spark.sources.maintenance.compact_partitioned_parquet`).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from alphastats_spark.sources.maintenance import compact_partitioned_parquet
 
-    return {
-        "bands": compact_partitioned_parquet(
+    # the two tables live in disjoint directories and share no commit
+    # namespace (dynamic-overwrite is a per-write option, not session
+    # conf), so their rewrites overlap from a driver thread pool — the
+    # shingle write back-fills executors idled by the band table's
+    # per-directory tail (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bands_f = pool.submit(
+            compact_partitioned_parquet,
             spark, f"{path}/bands", "band",
             max_files=max_files, target_bytes=target_bytes,
-        ),
-        "shingles": compact_partitioned_parquet(
+        )
+        shingles_f = pool.submit(
+            compact_partitioned_parquet,
             spark, f"{path}/shingles", None,
             max_files=max_files, target_bytes=target_bytes,
-        ),
-    }
+        )
+        return {"bands": bands_f.result(), "shingles": shingles_f.result()}
 
 
 def _resolve_index_params(meta, k, rows_per_band, n, allow_defaults=False):

@@ -654,10 +654,26 @@ def append_to_ivf_index(
     the SAME centroids the index was built with — assignment against a
     different quantizer splits a list across directories and silently
     halves recall. Clustered by list before the write for the same
-    one-file-per-list-per-batch layout as :func:`write_ivf_index`."""
+    one-file-per-list-per-batch layout as :func:`write_ivf_index`.
+
+    The batch is committed into a private staging directory
+    (``<path>__append_tmp_<uuid>``) and its files renamed into the
+    partition directories (:func:`~alphastats_spark.sources.maintenance.
+    promote_staged_parquet`) rather than ``mode("append")``, whose
+    writers all share ``<path>/_temporary`` — so INDEPENDENT append
+    batches can run concurrently from a driver thread pool, which is how
+    the compaction-cycle gate queries overlap their ingest batches
+    (guide §2.6). Stored layout is unchanged: same files, same partition
+    directories, only the commit path differs."""
+    import uuid as _uuid
+
+    from alphastats_spark.sources.maintenance import promote_staged_parquet
+
+    staging = path.rstrip("/") + f"__append_tmp_{_uuid.uuid4().hex[:8]}"
     ivf_index(df, centroids, vec_col).repartition(F.col("ivf_list")).write.partitionBy(
         "ivf_list"
-    ).mode("append").parquet(path)
+    ).mode("overwrite").parquet(staging)
+    promote_staged_parquet(df.sparkSession, staging, path)
 
 
 def compact_ivf_index(

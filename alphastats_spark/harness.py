@@ -4314,10 +4314,19 @@ GROUP BY label, pos""")
         d = tempfile.mkdtemp(prefix="as_ivf_cmp_")
         try:
             similarity.write_ivf_index(base, cents, d)
-            for m in range(5):
-                similarity.append_to_ivf_index(
-                    emb.where(F.col("vec_id") % 25 == 5 * m), cents, d
-                )
+            # five independent ingest batches: append_to_ivf_index commits
+            # each through a private staging dir, so they overlap from a
+            # driver thread pool (guide §2.6) — 2-3 in flight fills the
+            # scheduling gaps without fighting for executors
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(
+                    lambda m: similarity.append_to_ivf_index(
+                        emb.where(F.col("vec_id") % 25 == 5 * m), cents, d
+                    ),
+                    range(5),
+                ))
             stats = similarity.compact_ivf_index(spark, d, max_files=2)
             if not stats["files_after"] < stats["files_before"]:
                 raise AssertionError(
@@ -6242,12 +6251,21 @@ LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON tr.doc_id = s.match_id""")
         try:
             corpus = _docs(spark, sf_dir).where(F.col("doc_id") % 5 != 0)
             # same corpus as dedup_index_admit, built as one base write
-            # plus two append batches — the ingest shape compaction serves
+            # plus two append batches — the ingest shape compaction serves.
+            # The two appends are independent ingest batches: staged
+            # commits (write_dedup_index append mode promotes from private
+            # staging dirs, and the identical meta rewrite is skipped) make
+            # them safe to overlap from a driver thread pool (guide §2.6)
             dedup.write_dedup_index(corpus.where(F.col("doc_id") % 3 == 0), d)
-            for m in (1, 2):
-                dedup.write_dedup_index(
-                    corpus.where(F.col("doc_id") % 3 == m), d, mode="append"
-                )
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(
+                    lambda m: dedup.write_dedup_index(
+                        corpus.where(F.col("doc_id") % 3 == m), d, mode="append"
+                    ),
+                    (1, 2),
+                ))
             stats = dedup.compact_dedup_index(spark, d, max_files=1)
             if not (
                 stats["bands"]["files_after"] < stats["bands"]["files_before"]

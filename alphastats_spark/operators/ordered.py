@@ -49,13 +49,20 @@ _TEMPORAL_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
 # caller's eventual action, and repeated identical queries legitimately
 # re-hit it via plan canonicalization.
 # DataFrames (persist_tracked) and _CheckpointHandle shims
-# (local_checkpoint_tracked) — release only ever calls .unpersist()
+# (local_checkpoint_tracked) — release only ever calls .unpersist().
+# Entries are (owner thread ident, cache): mark-based release stays
+# position-based and cross-thread (bench/report semantics), while
+# pass_cache_scope releases only its own thread's registrations so
+# scopes overlapped across a driver thread pool (concurrent index
+# appends, guide §2.6) cannot release each other's live caches.
 _PASS_CACHES: list = []
 
 
 def _persist_pass(df: DataFrame) -> DataFrame:
+    import threading
+
     df = df.persist()
-    _PASS_CACHES.append(df)
+    _PASS_CACHES.append((threading.get_ident(), df))
     return df
 
 
@@ -80,11 +87,12 @@ def pass_cache_mark() -> int:
 
 def release_pass_caches(from_mark: int = 0) -> None:
     """Unpersist prefix-pass caches created since ``from_mark`` (all, by
-    default). Only call once every query derived from them has been fully
-    materialized; not safe against other threads still building plans."""
+    default), whichever thread registered them. Only call once every query
+    derived from them has been fully materialized; not safe against other
+    threads still building plans."""
     tail = _PASS_CACHES[from_mark:]
     del _PASS_CACHES[from_mark:]
-    for df in tail:
+    for _owner, df in tail:
         df.unpersist()
 
 
@@ -95,20 +103,40 @@ def pass_cache_scope():
         with ordered.pass_cache_scope():
             result = dedup.lsh_verified_pairs(docs).collect()
 
-    On exit, every cache registered inside the block is unpersisted. This
-    is the release obligation for DIRECT library callers: dedup/similarity
-    pipelines persist shared intermediates (shingle/band tables) into the
-    registry and intentionally do NOT auto-release (the cache must outlive
-    the caller's eventual action), so a long-lived session issuing many
-    such queries without a scope accumulates caches unboundedly. Only
-    wrap blocks that fully materialize their result inside the block —
-    a DataFrame returned out of the scope loses its caches' benefit (it
-    stays CORRECT; the lineage simply recomputes)."""
-    mark = pass_cache_mark()
+    On exit, every cache THIS THREAD registered inside the block is
+    unpersisted. The thread filter makes overlapped scopes safe: driver
+    thread pools running independent fully-materializing operations
+    concurrently (e.g. parallel index appends, guide §2.6) would
+    otherwise release each other's still-live caches on first exit —
+    correct (a released persist recomputes) but a silent performance
+    trap. Entries registered by OTHER threads during the block are left
+    for their own scope (or a cross-thread ``release_pass_caches``).
+
+    This is the release obligation for DIRECT library callers:
+    dedup/similarity pipelines persist shared intermediates
+    (shingle/band tables) into the registry and intentionally do NOT
+    auto-release (the cache must outlive the caller's eventual action),
+    so a long-lived session issuing many such queries without a scope
+    accumulates caches unboundedly. Only wrap blocks that fully
+    materialize their result inside the block — a DataFrame returned out
+    of the scope loses its caches' benefit (it stays CORRECT; the
+    lineage simply recomputes)."""
+    import threading
+
+    me = threading.get_ident()
+    before = {id(c) for owner, c in _PASS_CACHES if owner == me}
     try:
         yield
     finally:
-        release_pass_caches(mark)
+        mine = [
+            e for e in _PASS_CACHES if e[0] == me and id(e[1]) not in before
+        ]
+        for e in mine:
+            try:
+                _PASS_CACHES.remove(e)
+            except ValueError:  # already released by a cross-thread sweep
+                continue
+            e[1].unpersist()
 
 
 class _CheckpointHandle:
@@ -144,8 +172,10 @@ def local_checkpoint_tracked(df: DataFrame, eager: bool = True) -> DataFrame:
     checkpoint is fully materialized: the lineage is GONE, so a released
     checkpoint fails loudly (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) instead
     of silently recomputing the way a released persist does."""
+    import threading
+
     ck = df.localCheckpoint(eager=eager)
-    _PASS_CACHES.append(_CheckpointHandle(ck))
+    _PASS_CACHES.append((threading.get_ident(), _CheckpointHandle(ck)))
     return ck
 
 

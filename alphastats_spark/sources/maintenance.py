@@ -80,6 +80,65 @@ def _partition_dirs(fs, jpath, partition_col: str) -> dict[str, "object"]:
     return out
 
 
+def promote_staged_parquet(spark: SparkSession, staging: str, dest: str) -> None:
+    """Move a freshly written parquet table (flat, or one partition level
+    deep) from its private ``staging`` directory into ``dest`` by renaming
+    data files — the append mechanism that never shares a commit namespace
+    with any other writer.
+
+    ``mode("append")`` writers all stage through ``<dest>/_temporary/0``
+    (the Hadoop committer's job-attempt namespace), so two concurrent
+    appends into one table corrupt each other's staging. Here each
+    appender runs Spark's full commit protocol inside its OWN staging
+    directory and only then renames the committed data files into place,
+    so independent appends can overlap from a driver thread pool. File
+    names keep their job-unique UUIDs — renames cannot collide. Renames
+    are O(1) metadata moves on HDFS/local (object stores without atomic
+    rename degrade to copies, as they do for every committer).
+
+    Committer bookkeeping (``_SUCCESS``, dot-files) is not promoted; the
+    staging directory is deleted after promotion. Crash mid-promotion can
+    leave a PARTIAL append visible (some files moved, some not) — the
+    same non-atomic window ``mode("append")``'s job commit has; re-run
+    the append after removing the staged leftovers."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs, jsrc = _hadoop_fs(spark, staging)
+    jdest = Path(dest)
+    fs.mkdirs(jdest)
+    for st in fs.listStatus(jsrc):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        target = Path(f"{dest}/{name}")
+        if st.isDirectory():
+            if not fs.exists(target):
+                # fresh partition directory: move it wholesale
+                if not fs.rename(st.getPath(), target):
+                    raise IOError(
+                        f"promote_staged_parquet: rename {st.getPath()} -> "
+                        f"{target} failed"
+                    )
+                continue
+            for f in fs.listStatus(st.getPath()):
+                fn = f.getPath().getName()
+                if fn.startswith("_") or fn.startswith("."):
+                    continue
+                ftarget = Path(f"{dest}/{name}/{fn}")
+                if not fs.rename(f.getPath(), ftarget):
+                    raise IOError(
+                        f"promote_staged_parquet: rename {f.getPath()} -> "
+                        f"{ftarget} failed (name collision?)"
+                    )
+        else:
+            if not fs.rename(st.getPath(), target):
+                raise IOError(
+                    f"promote_staged_parquet: rename {st.getPath()} -> "
+                    f"{target} failed (name collision?)"
+                )
+    fs.delete(jsrc, True)
+
+
 def compact_partitioned_parquet(
     spark: SparkSession,
     path: str,
@@ -191,17 +250,18 @@ def compact_partitioned_parquet(
     tmp = path.rstrip("/") + "__compact_tmp"
     jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
     fs.delete(jtmp, True)
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        (sub.repartition(F.col(partition_col), salt)
-            .write.partitionBy(partition_col).mode("overwrite").parquet(tmp))
-        # dynamic mode: ONLY the partitions present in tmp are replaced —
-        # untouched directories keep their files (and their mtimes)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (spark.read.parquet(tmp)
-            .write.partitionBy(partition_col).mode("overwrite").parquet(path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    (sub.repartition(F.col(partition_col), salt)
+        .write.partitionBy(partition_col).mode("overwrite").parquet(tmp))
+    # dynamic mode: ONLY the partitions present in tmp are replaced —
+    # untouched directories keep their files (and their mtimes). Set as a
+    # per-WRITE option (takes precedence over the session conf) rather
+    # than mutating the session conf: no restore bookkeeping, and two
+    # compactions overlapped from a driver thread pool (compact_dedup_index
+    # runs its band and shingle tables concurrently) cannot race on a
+    # session-global setting.
+    (spark.read.parquet(tmp)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col).mode("overwrite").parquet(path))
     # reached only after the dynamic overwrite committed — a write-back
     # failure leaves the complete compacted copy at <path>__compact_tmp
     # for recovery (the docstring's crash-readability guarantee)

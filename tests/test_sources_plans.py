@@ -856,6 +856,154 @@ def test_compact_dedup_index(spark, tmp_path):
     assert after_admit == before_admit
 
 
+def test_concurrent_index_appends_match_sequential(spark, tmp_path):
+    """Appends commit through private staging directories, so independent
+    batches may overlap from a driver thread pool: concurrent and
+    sequential ingests must read back identically (rows AND partition
+    layout), meta must stay a single valid record, and no staging
+    leftovers may survive."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from alphastats_spark.functions import dedup, similarity
+
+    docs = _tiny_docs(spark, n=90)
+
+    def build_dedup(path, concurrent):
+        dedup.write_dedup_index(docs.where("doc_id % 3 = 0"), path)
+        writes = [
+            lambda m=m: dedup.write_dedup_index(
+                docs.where(f"doc_id % 3 = {m}"), path, mode="append"
+            )
+            for m in (1, 2)
+        ]
+        if concurrent:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                list(pool.map(lambda w: w(), writes))
+        else:
+            for w in writes:
+                w()
+
+    seq, con = str(tmp_path / "seq"), str(tmp_path / "con")
+    build_dedup(seq, False)
+    build_dedup(con, True)
+    for table in ("bands", "shingles"):
+        a = sorted(map(tuple, spark.read.parquet(f"{seq}/{table}").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{con}/{table}").collect()))
+        assert a == b and len(a) > 0
+    ma, mb = dedup.read_index_meta(spark, seq), dedup.read_index_meta(spark, con)
+    assert (ma.k, ma.rows_per_band, ma.n, ma.sig_family) == (
+        mb.k, mb.rows_per_band, mb.n, mb.sig_family
+    )
+    import os
+
+    leftovers = [
+        p for p in os.listdir(con) if "__append_tmp_" in p
+    ] + [p for p in os.listdir(str(tmp_path)) if "__append_tmp_" in p]
+    assert leftovers == []
+
+    # IVF: 3 concurrent appends == fresh build of the union
+    n, dim = 120, 8
+    rows = [
+        (i, [((i * 37 + j * 11) % 101) / 101.0 - 0.5 for j in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = emb.where("vec_id % 4 = 3")
+    cents = similarity.ivf_centroids(emb, n_centroids=4, seed=7)
+    inc, full = str(tmp_path / "ivf_inc"), str(tmp_path / "ivf_full")
+    similarity.write_ivf_index(base, cents, inc)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(
+            lambda m: similarity.append_to_ivf_index(
+                emb.where(f"vec_id % 4 = {m}"), cents, inc
+            ),
+            range(3),
+        ))
+    similarity.write_ivf_index(emb, cents, full)
+    key = lambda r: (r["ivf_list"], r["vec_id"])  # noqa: E731
+    a = sorted(spark.read.parquet(inc).select("vec_id", "ivf_list").collect(), key=key)
+    b = sorted(spark.read.parquet(full).select("vec_id", "ivf_list").collect(), key=key)
+    assert a == b and len(a) == n
+    assert [p for p in os.listdir(str(tmp_path)) if "__append_tmp_" in p] == []
+
+
+def test_append_meta_rewrite_skipped_when_identical(spark, tmp_path):
+    """A parameter-matching append (the only legal kind) must not touch
+    the meta record — the delete+rename swap is what concurrent appenders
+    would race on. An append into an index whose meta predates a field
+    still rewrites (the upgrade path)."""
+    import json
+    import os
+
+    from alphastats_spark.functions import dedup
+
+    docs = _tiny_docs(spark, n=30)
+    path = str(tmp_path / "meta_skip")
+    dedup.write_dedup_index(docs.where("doc_id % 2 = 0"), path)
+    meta_file = os.path.join(path, "meta", "part-00000.json")
+    before_stat = os.stat(meta_file)
+    dedup.write_dedup_index(docs.where("doc_id % 2 = 1"), path, mode="append")
+    after_stat = os.stat(meta_file)
+    assert (before_stat.st_mtime_ns, before_stat.st_ino) == (
+        after_stat.st_mtime_ns, after_stat.st_ino
+    )
+
+    # strip a field to simulate pre-r14 meta: the next append upgrades it
+    rec = json.loads(open(meta_file).read())
+    rec.pop("sig_coeffs")
+    with open(meta_file, "w") as f:
+        f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+    # drop the Hadoop LocalFileSystem checksum shadow — rewriting the file
+    # behind the FS client's back invalidates it
+    crc = os.path.join(path, "meta", ".part-00000.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    dedup.write_dedup_index(docs.where("doc_id % 2 = 1"), path, mode="append")
+    upgraded = json.loads(open(meta_file).read())
+    assert upgraded.get("sig_coeffs") is not None
+
+
+def test_pass_cache_scope_is_thread_owned():
+    """Overlapped scopes on a driver thread pool release only their own
+    thread's registrations; a cross-thread release_pass_caches(mark)
+    still sweeps everything after the mark."""
+    import threading
+
+    from alphastats_spark.operators import ordered
+
+    class FakeCache:
+        def __init__(self):
+            self.released = 0
+
+        def unpersist(self, blocking=False):
+            self.released += 1
+
+    mark = ordered.pass_cache_mark()
+    mine, theirs = FakeCache(), FakeCache()
+    ready, done = threading.Event(), threading.Event()
+
+    def other_thread():
+        ordered._PASS_CACHES.append((threading.get_ident(), theirs))
+        ready.set()
+        done.wait(10)
+
+    t = threading.Thread(target=other_thread)
+    try:
+        with ordered.pass_cache_scope():
+            t.start()
+            assert ready.wait(10)
+            ordered._PASS_CACHES.append((threading.get_ident(), mine))
+        # scope exit: my entry released, the other thread's untouched
+        assert mine.released == 1 and theirs.released == 0
+    finally:
+        done.set()
+        t.join(10)
+    # cross-thread mark release sweeps the leftover entry
+    ordered.release_pass_caches(mark)
+    assert theirs.released == 1
+    assert ordered.pass_cache_mark() == mark
+
+
 def _crash_writer(monkeypatch, is_target):
     """Monkeypatch DataFrameWriter.parquet to raise when ``is_target(path)``
     — simulating a compaction crash at that exact stage boundary
