@@ -1208,7 +1208,17 @@ def embedding_near_dup_pairs(
 
 
 def _prepared_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
+    """(id, double vector, norm) — the shared base of every embedding
+    operator. Small-scan guard (same as ``ivf_index`` / the shingle
+    pipelines): a small parquet corpus arrives as one scan partition, and
+    everything computed OVER the prepared vectors — hyperplane bucket
+    signs, centroid argmins, pairwise dots — is interpreted per-element
+    expression work that would serialize on one core (measured: the
+    12-table bucket projection of ``embedding_near_dup_pairs_lsh`` took
+    3-4 s single-task vs ~0.3 s spread at sf0.1). The exchange moves only
+    the prepared rows — a no-op at cluster scale, where the scan already
+    carries enough partitions."""
+    out = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         F.sqrt(
@@ -1217,6 +1227,10 @@ def _prepared_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             )
         ).alias("norm"),
     )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        out = out.repartition(target, F.col(id_col))
+    return out
 
 
 def _pairwise_cosine(
@@ -1305,12 +1319,16 @@ def embedding_near_dup_pairs_lsh(
     # lsh_verified_pairs' shingle table makes each run exactly once.
     vecs = ordered.persist_tracked(_prepared_vectors(df, id_col, vec_col))
 
+    # bucket_expr by column NAME → each table's bucket renders as ONE SQL
+    # string (the SQL-text-twins rule: one py4j parse per table instead of
+    # two eager lambda round-trips per plane — n_tables × n_planes of
+    # driver time before any job runs)
     buckets = F.array(
         *[
             F.struct(
                 F.lit(t).alias("t"),
                 similarity.bucket_expr(
-                    F.col("v"), similarity.hyperplanes(dim, n_planes, seed + t)
+                    "v", similarity.hyperplanes(dim, n_planes, seed + t)
                 ).alias("b"),
             )
             for t in range(n_tables)
