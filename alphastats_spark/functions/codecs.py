@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools as _functools
 import io
+import types as _types
 import struct
 import zlib
 
@@ -362,7 +363,7 @@ _DCT_C = _dct_basis()
 
 
 @_functools.lru_cache(maxsize=64)
-def _huff_codes_cached(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
+def _huff_codes_cached(bits: tuple, vals: tuple):
     out: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -372,28 +373,33 @@ def _huff_codes_cached(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
-    return out
+    # read-only view: every caller shares one cached table, and a future
+    # caller mutating it would silently corrupt every other user of the
+    # same (bits, vals) key — the proxy makes that a TypeError instead
+    return _types.MappingProxyType(out)
 
 
 @_functools.lru_cache(maxsize=64)
-def _huff_lookup_cached(bits: tuple, vals: tuple) -> dict[tuple[int, int], int]:
-    return {
+def _huff_lookup_cached(bits: tuple, vals: tuple):
+    return _types.MappingProxyType({
         (ln, code): sym for sym, (code, ln) in _huff_codes_cached(bits, vals).items()
-    }
+    })
 
 
-def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+def _huff_codes(bits: list[int], vals: list[int]):
     """Canonical code assignment: symbol → (code, length).
 
     Memoized on the (bits, vals) table definition: real corpora reuse a
     handful of tables (ours always emits the two standard ones), and
     rebuilding the dicts per IMAGE was ~38% of a small-image decode.
-    Callers only ever read the returned dicts, so sharing them is safe;
-    the 64-entry LRU bounds memory against adversarial per-image tables."""
+    The returned mapping is a read-only MappingProxyType — the cached
+    dicts are SHARED across callers, so mutation is a bug by construction
+    and now raises; the 64-entry LRU bounds memory against adversarial
+    per-image tables."""
     return _huff_codes_cached(tuple(bits), tuple(vals))
 
 
-def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+def _huff_lookup(bits: list[int], vals: list[int]):
     """Decoder-side map: (length, code) → symbol. Memoized — see
     :func:`_huff_codes`."""
     return _huff_lookup_cached(tuple(bits), tuple(vals))

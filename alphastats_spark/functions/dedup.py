@@ -1305,6 +1305,14 @@ def embedding_near_dup_pairs_lsh(
     interpreted 64-dim dot exactly ONCE (before, a pair colliding in m
     of the tables was scored m times and deduped after). Measured at
     sf0.1 (12 tables): 18.2 s → 5.1 s, identical rows.
+
+    Registers two persisted frames (the prepared vectors and the exploded
+    bucket table) in the pass-cache registry per call and does NOT
+    auto-release them — the caches must outlive the caller's eventual
+    action. Direct library callers in long-lived sessions must release
+    them after fully materializing, via ``ordered.pass_cache_scope()``
+    or ``ordered.release_pass_caches`` — the same obligation
+    :func:`lsh_verified_pairs` documents.
     """
     from alphastats_spark.functions import similarity
     from alphastats_spark.operators import ordered

@@ -2255,10 +2255,28 @@ def _stream_parts(spark: SparkSession, src: str):
     conf wins. ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides the derivation
     for experiments. State-store semantics are per-key and the gate
     oracles are order-insensitive, so the count changes wall-clock only.
+
+    Mutates the session-global ``spark.sql.shuffle.partitions`` for the
+    scope's duration — safe because gate operators run single-threaded
+    on the session (the registry executes queries sequentially);
+    concurrent gate execution on a shared session would need a lock
+    around this scope.
     """
     env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
     if env is not None:
-        n = int(env)
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_PARTITIONS must be an integer >= 1, "
+                f"got {env!r}"
+            ) from None
+        if n < 1:
+            raise ValueError(
+                f"SPARK_GRAFT_STREAM_PARTITIONS must be >= 1, got {n} — "
+                "a non-positive shuffle-partition count is an invalid "
+                "Spark conf"
+            )
     else:
         byts = 0
         for root, _dirs, files in os.walk(src):

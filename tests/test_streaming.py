@@ -804,12 +804,16 @@ def test_stream_parts_scope_derivation_and_restore(spark, tmp_path):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
 
-    # ~200 KiB -> ceil(200/64) = 4 partitions (nested dirs counted too)
+    # ~150 KiB -> ceil(150/64) = 3 partitions (nested dirs counted too) —
+    # STRICTLY between the floor (2) and the conftest session's cap
+    # (defaultParallelism = 4), so this pins the size derivation itself,
+    # not the cap
+    assert spark.sparkContext.defaultParallelism == 4
     mid = tmp_path / "mid" / "nested"
     mid.mkdir(parents=True)
-    (mid / "part-0.parquet").write_bytes(b"x" * (200 << 10))
+    (mid / "part-0.parquet").write_bytes(b"x" * (150 << 10))
     with harness._stream_parts(spark, str(tmp_path / "mid")):
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
 
     # huge feed -> capped at the session's parallelism
@@ -837,3 +841,16 @@ def test_stream_parts_scope_derivation_and_restore(spark, tmp_path):
     finally:
         del _os.environ["SPARK_GRAFT_STREAM_PARTITIONS"]
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    # invalid overrides fail loudly, naming the variable, and never touch
+    # the session conf (0/negative would set an invalid Spark conf;
+    # garbage would crash deep inside int())
+    for bad in ("0", "-3", "lots"):
+        _os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = bad
+        try:
+            with pytest.raises(ValueError, match="SPARK_GRAFT_STREAM_PARTITIONS"):
+                with harness._stream_parts(spark, str(small)):
+                    pass
+        finally:
+            del _os.environ["SPARK_GRAFT_STREAM_PARTITIONS"]
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
