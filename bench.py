@@ -47,6 +47,18 @@ session starts) so a contended artifact is self-describing: treat any
 run with load_avg > ~2 on this 32-core box as contended and prefer an
 idle re-measure over a code-regression reading (the round-8 official/
 idle split proved the failure mode).
+
+Round 15 (additions only; min-based fields keep their exact prior
+meaning): when the contended stamp fires, or the in-run spread exceeds
+2x (contention that develops mid-bench — the post-run load average
+cannot detect it because it reads the bench's own 32-core load), each
+headline query auto-extends from 3 to 5 runs and each extension query
+from 2 to 3. "queries_median"/"value_median"/"extensions_median" are
+emitted alongside the min-based "queries"/"value"/"extensions" on every
+run, and "extended_for_contention" records whether the extension fired.
+Under load the median over 5 interleaved runs is the number to read;
+idle, median and min agree within noise (the r15 idle + synthetic-load
+artifact pair pins that).
 """
 
 from __future__ import annotations
@@ -213,31 +225,58 @@ def main() -> None:
     # looking like a code regression.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name, fn in queries.items():
-        runs[name] = []
-        for _ in range(3):
-            mark = ordered.pass_cache_mark()
-            t0 = time.perf_counter()
-            fn()
-            runs[name].append(round(time.perf_counter() - t0, 3))
-            # each run builds a fresh lineage whose prefix passes persist
-            # their windowed frames; release them OUTSIDE the timed window
-            # so 18 runs don't accumulate ~30 cache entries of GC pressure
-            ordered.release_pass_caches(mark)
-        timings[name] = min(runs[name])
 
-    total = round(sum(timings.values()), 3)
+    def _timed_run(fn) -> float:
+        mark = ordered.pass_cache_mark()
+        t0 = time.perf_counter()
+        fn()
+        dt = round(time.perf_counter() - t0, 3)
+        # each run builds a fresh lineage whose prefix passes persist
+        # their windowed frames; release them OUTSIDE the timed window
+        # so 18 runs don't accumulate ~30 cache entries of GC pressure
+        ordered.release_pass_caches(mark)
+        return dt
+
+    for name, fn in queries.items():
+        runs[name] = [_timed_run(fn) for _ in range(3)]
+
+    # Contention robustness (r14 verdict item 2, additions only): a single
+    # min-of-3 under load produced two disputed rounds. When the
+    # pre-session load stamp fires — or the in-run spread says contention
+    # developed mid-bench (post-run load_avg is useless: it reads the
+    # bench's OWN 32-core load) — extend every headline query to 5 runs so
+    # the median is taken over mostly-clean samples. "queries" stays the
+    # min (same estimator as every prior round, only over more samples);
+    # "queries_median" / "value_median" are ADDED alongside for readers
+    # who want the contention-robust statistic.
     spread = round(
         max(max(r) / max(min(r), 1e-9) for r in runs.values()), 2
     )
+    contended = bool(load_avg is not None and load_avg > 2.0)
+    extended = contended or spread > 2.0
+    if extended:
+        for name, fn in queries.items():
+            runs[name] += [_timed_run(fn) for _ in range(2)]
+        spread = round(
+            max(max(r) / max(min(r), 1e-9) for r in runs.values()), 2
+        )
+
+    import statistics as _stats
+
+    for name in queries:
+        timings[name] = min(runs[name])
+    medians = {n: round(_stats.median(r), 3) for n, r in runs.items()}
+
+    total = round(sum(timings.values()), 3)
 
     # extension group: best-of-2 (the dedup/ANN queries are several times
-    # heavier than any headline query; the first run still absorbs JIT)
+    # heavier than any headline query; the first run still absorbs JIT);
+    # +1 run when the contention extension fired, so the median is over 3
     ext_timings: dict[str, float] = {}
     ext_runs: dict[str, list[float]] = {}
     for name, fn in ext_queries.items():
         ext_runs[name] = []
-        for _ in range(2):
+        for _ in range(3 if extended else 2):
             mark = ordered.pass_cache_mark()
             t0 = time.perf_counter()
             fn()
@@ -245,6 +284,7 @@ def main() -> None:
             ordered.release_pass_caches(mark)
             spark.catalog.clearCache()
         ext_timings[name] = min(ext_runs[name])
+    ext_medians = {n: round(_stats.median(r), 3) for n, r in ext_runs.items()}
 
     print(
         json.dumps(
@@ -256,16 +296,23 @@ def main() -> None:
                 # regression question was unanswerable) — readers should
                 # prefer an idle re-measure over a code-regression reading
                 # whenever this is true
-                "contended": bool(load_avg is not None and load_avg > 2.0),
+                "contended": contended,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
                 "max_run_spread": spread,
+                # additions (r15): medians over all runs, and whether the
+                # contention extension (5 headline runs instead of 3)
+                # fired — min-based fields above are unchanged in meaning
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 3),
+                "extended_for_contention": extended,
                 "extensions": ext_timings,
                 "extensions_total": round(sum(ext_timings.values()), 3),
                 "extensions_runs": ext_runs,
+                "extensions_median": ext_medians,
             }
         )
     )
